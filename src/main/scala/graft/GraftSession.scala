@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * The reference (RickyXuPengfei/LightLane) has no engine of its own — it
+  * delegates planning to MySQL/Hive/Impala (SURVEY.md §4). Here Spark *is*
+  * the engine, so the defaults below are the knobs that matter at 100 TB:
+  * AQE (runtime re-planning, skew-join splitting, partition coalescing) and
+  * a shuffle-partition count sized to the local harness (a real cluster
+  * would set this to ~2-3x total cores or rely on AQE coalescing).
+  */
+object GraftSession {
+
+  /** Apply graft defaults to any builder (callers may override after). */
+  def tuned(b: SparkSession.Builder, cores: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val s = tuned(SparkSession.builder().master(s"local[$cores]").appName(appName), cores.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,574 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{HiveText, Text, Vectors}
+import graft.operators._
+import graft.sources.Source
+
+/** Driver contract: every operator from SURVEY.md §2 (plus the
+  * training-data extension ops) exposed as a named query with a DuckDB
+  * oracle where SQL-expressible.
+  *
+  * Oracle-compare discipline (learned the hard way so the driver doesn't):
+  *   - every query has a total ORDER BY (both sides) — engines don't
+  *     share physical row order;
+  *   - double SUM/AVG go through DECIMAL accumulation then a final cast
+  *     to double — FP addition isn't associative, decimal is exact;
+  *   - `events.ts` is parquet ns; Spark truncates to µs — oracles compare
+  *     `unix_micros`/`epoch_us` or hour-truncated windows, never raw ns;
+  *   - regexes restricted to RE2-safe syntax (DuckDB) that Java matches
+  *     identically.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal accumulation, surfaced as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+
+  /** Flagship: multi-hop star join → per-nation revenue (sf0.001 smoke). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    nationRevenue(spark, "/root/testdata/sf0.001")
+
+  private def nationRevenue(s: SparkSession, dir: String): DataFrame = {
+    // dims are broadcast (see GraftSession autoBroadcastJoinThreshold);
+    // the only shuffle is the final groupBy on n_name.
+    val revenue = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,6)")
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  // ----------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S1-S4: scans, projection, filter, boundary probe ----
+    "s1_projection" -> ((s, dir) =>
+      Source.table(s, dir, "customer", Seq("c_custkey", "c_name", "c_acctbal"))
+        .orderBy("c_custkey")),
+
+    "s2_filter" -> ((s, dir) =>
+      Source.table(s, dir, "lineitem",
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+          where = Some("l_quantity > 45 AND l_returnflag = 'R'"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "s3_sql" -> ((s, dir) => {
+      Source.registerAll(s, dir, Seq("orders", "customer"))
+      s.sql("""SELECT c_mktsegment,
+               |       COUNT(*) AS n_orders,
+               |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+               |FROM orders JOIN customer ON o_custkey = c_custkey
+               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    "s4_minmax" -> ((s, dir) =>
+      Source.boundary(t(s, dir, "lineitem"), "l_orderkey")),
+
+    // S5: union of half-open range splits must equal the full scan
+    "s5_split_union" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Source.splitRanges(li, "l_orderkey", 4)
+        .reduce(_ unionByName _)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- R1: dedup via ranking window ----
+    "r1_dedup" -> ((s, dir) =>
+      Dedup.byRank(t(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")),
+
+    "r1_dedup_firstevent" -> ((s, dir) =>
+      Dedup.byRank(t(s, dir, "events"), Seq("user_id", "event_type"),
+          Seq(col("event_id").asc))
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")),
+
+    // ---- R2: merge/upsert (staging wins on PK) ----
+    "r2_merge" -> ((s, dir) => {
+      val target = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val staging = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      Merge.upsert(target, staging, Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+
+    // ---- R3: append + static partition injection ----
+    "r3_append_partition" -> ((s, dir) => {
+      val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      f.unionByName(o)
+        .withColumn("dt", lit("2026-08-12"))
+        .select("o_orderkey", "o_orderstatus", "dt")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- T1: declarative derive (row map) ----
+    "t1_derive" -> ((s, dir) =>
+      Transforms.pipe(
+        Transforms.derive(
+          "revenue" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          "charge" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))),
+        Transforms.where(col("l_quantity") > 40)
+      )(t(s, dir, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "revenue", "charge")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- T3: JSON extract + flatten ----
+    "t3_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+
+    "t3_flatten_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "token")),
+
+    // ---- joins / agg / windows / set ops (SURVEY §2.5 gap list) ----
+    "join_multihop" -> ((s, dir) => nationRevenue(s, dir)),
+
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_shipdate") <= lit("2026-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "topk_customers" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(dsum(col("o_totalprice")).as("total_spend"))
+        .orderBy(col("total_spend").desc, col("o_custkey").asc)
+        .limit(10)),
+
+    "window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("running",
+          sum(col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "window_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "rollup_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "cube_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    "grouping_sets" -> ((s, dir) => {
+      Source.registerAll(s, dir, Seq("lineitem"))
+      s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "setops_intersect" -> ((s, dir) => {
+      val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F").select("o_custkey")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O").select("o_custkey")
+      f.intersect(o).orderBy("o_custkey")
+    }),
+
+    "setops_except" -> ((s, dir) => {
+      val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F").select("o_custkey")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O").select("o_custkey")
+      f.except(o).orderBy("o_custkey")
+    }),
+
+    "scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat_ws("-", col("p_brand"), col("p_size").cast("string")).as("brand_size"),
+          round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),
+          (col("p_size") % 7).as("size_mod"))
+        .orderBy("p_partkey")),
+
+    // ---- streaming-shape ops, batch-checked ----
+    "window_agg_time" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowedAgg(t(s, dir, "events"), "ts", "1 hour", "1 hour")
+        .withColumn("sum_value",
+          round(col("sum_value"), 4)) // double sum over ≤ hour buckets; round for FP order
+        .orderBy("window_start", "event_type")),
+
+    "session_count" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag("us", 1).over(w))
+        .groupBy("user_id")
+        .agg((sum(when(col("gap") > 30L * 60 * 1000000, 1).otherwise(0)) + 1).as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    // ---- K2-K4: hive-text encoding (escape + null token) ----
+    "hivetext_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), nullif(col("lang"), lit("en")).as("lang2"))
+      d.select(col("doc_id"), HiveText.encodeRow(d.schema).as("line")).orderBy("doc_id")
+    }),
+
+    // ---- dedup family over documents ----
+    "dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+
+    "dedup_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies", "fp")
+        .orderBy("doc_id")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      MinHashDedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          nGram = 2, threshold = 0.1)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      SimHashDedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 7)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      // exact n-gram Jaccard over candidate pairs from shared rare tokens
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(Text.shingles(Text.tokens(col("text")), 2)).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("j"))
+        .filter(col("j") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- text analysis ----
+    "text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).as("token_count"),
+          Text.bpeishTokenCount(col("text")).as("bpeish_count"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // ---- similarity search ----
+    "ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      SimilaritySearch.bruteForceTopK(corpus, queries, 5)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    "ann_srp" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      SimilaritySearch.srpTopK(corpus, queries, 5, dim = 64)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    "cosine_near_dup" -> ((s, dir) => {
+      val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.cosineNearDupPairs(corpus, dim = 64, threshold = 0.5, nBits = 4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- multimodal plumbing ----
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source")
+        .select(col("media_id"), col("meta.mime").as("mime"),
+          length(col("payload")).as("n_bytes"))
+        .orderBy("media_id")),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
+        .select(col("media_id"), size(col("features")).as("feat_dim"),
+          round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
+        .orderBy("media_id")),
+
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id"))
+  )
+
+  // ----------------------------------------------------------------- //
+
+  /** DuckDB oracle SQL. Keys absent here (minhash/simhash/srp/features —
+    * engine-specific hashing or JVM stubs) get the driver's weaker
+    * rows-only check by design.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "s1_projection" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+
+    "s2_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s3_sql" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "s4_minmax" ->
+      "SELECT min(l_orderkey) AS lower, max(l_orderkey) AS upper FROM lineitem",
+
+    "s5_split_union" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem""".stripMargin,
+
+    "r1_dedup" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rnk
+        |  FROM orders) WHERE rnk = 1 ORDER BY o_custkey""".stripMargin,
+
+    "r1_dedup_firstevent" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY event_id ASC) AS rnk
+        |  FROM events) WHERE rnk = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "r2_merge" ->
+      """WITH staging AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+        |FROM orders t LEFT JOIN staging s ON t.o_orderkey = s.o_orderkey
+        |WHERE s.o_orderkey IS NULL
+        |UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM staging
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "r3_append_partition" ->
+      """SELECT o_orderkey, o_orderstatus, '2026-08-12' AS dt FROM orders
+        |WHERE o_orderstatus IN ('F', 'O') ORDER BY o_orderkey""".stripMargin,
+
+    "t1_derive" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1.0 - l_discount) AS revenue,
+        |       l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+        |FROM lineitem WHERE l_quantity > 40
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "t3_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "t3_flatten_tokens" ->
+      """SELECT doc_id, token, COUNT(*) AS n FROM (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents)
+        |GROUP BY doc_id, token ORDER BY doc_id, token""".stripMargin,
+
+    "join_multihop" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2026-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "topk_customers" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spend DESC, o_custkey ASC LIMIT 10""".stripMargin,
+
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "setops_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "setops_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  substring(p_type, 1, 5) AS type5,
+        |  concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+        |  round(sqrt(p_retailprice), 6) AS price_sqrt,
+        |  p_size % 7 AS size_mod
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "window_agg_time" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "session_count" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |         us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS gap
+        |  FROM e)
+        |SELECT user_id,
+        |       SUM(CASE WHEN gap > 30 * 60 * 1000000 THEN 1 ELSE 0 END) + 1 AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "hivetext_encode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id AS VARCHAR) || chr(1) ||
+        |  replace(replace(replace(replace(text,
+        |    chr(1), '\1'), chr(10), '\n'), chr(13), '\r'), chr(0), '\0') || chr(1) ||
+        |  COALESCE(NULLIF(lang, 'en'), '\N') AS line
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "dedup_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, cp) -> (acc * 31 + cp) % 1000000007) AS fp
+        |  FROM documents)
+        |SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies, fp
+        |FROM fp GROUP BY fp ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
+        |      i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
+        |           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token_count,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        |  least(CAST(floor((octet_length(encode(text)) - 1) / 64) AS BIGINT) + 1, 8) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

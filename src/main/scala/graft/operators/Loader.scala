@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loader — the reference's load pipeline (SURVEY.md §3.2) as one Spark
+  * job graph: optional dedup (R1) → mode-specific reconcile (R2/R3) →
+  * atomic publish (R5) → stats (R8), with pre/post SQL hooks (R7).
+  *
+  * The reference needs a staging *table* + rename-swap because Hive text
+  * loads are not transactional; in Spark the DataFrame IS the staging
+  * area and `saveAsTable(Overwrite)` is the atomic publish, so R4's
+  * `z_etl_*_staging` protocol collapses into the plan.
+  */
+object Loader {
+
+  sealed trait Mode
+  case object Overwrite extends Mode                       // R3 INSERT OVERWRITE
+  case object Append extends Mode                          // R3 INSERT INTO
+  final case class MergeOn(keys: Seq[String]) extends Mode // R2
+
+  final case class DedupSpec(uniqKeys: Seq[String], orderBy: Seq[Column] = Nil)
+
+  final case class LoadConfig(
+      target: String,
+      mode: Mode = Overwrite,
+      dedup: Option[DedupSpec] = None,
+      // R3 static partition spec (`PARTITION (k=v)`): constant columns
+      // added then used as table partitioning (`hive_loader.py:152-155`).
+      partition: Map[String, String] = Map.empty,
+      preSql: Seq[String] = Nil,   // R7
+      postSql: Seq[String] = Nil,  // R7
+      analyze: Boolean = true)     // R8
+
+  /** Validation mirroring `hive_loader.py:66-82`: merge forbids static
+    * partitions and requires keys.
+    */
+  private def validate(cfg: LoadConfig): Unit = cfg.mode match {
+    case MergeOn(keys) =>
+      require(keys.nonEmpty, "MERGE requires primary keys")
+      require(cfg.partition.isEmpty, "MERGE with static partitions is unsupported (reference parity)")
+    case _ => ()
+  }
+
+  def load(spark: SparkSession, staging0: DataFrame, cfg: LoadConfig): Unit = {
+    validate(cfg)
+    cfg.preSql.foreach(spark.sql(_))
+
+    val deduped = cfg.dedup.fold(staging0)(d => Dedup.byRank(staging0, d.uniqKeys, d.orderBy))
+    val staged = cfg.partition.foldLeft(deduped) { case (df, (k, v)) => df.withColumn(k, lit(v)) }
+
+    cfg.mode match {
+      case Overwrite =>
+        writePartitioned(staged, cfg).mode(SaveMode.Overwrite).saveAsTable(cfg.target)
+      case Append =>
+        if (spark.catalog.tableExists(cfg.target))
+          staged.write.mode(SaveMode.Append).insertInto(cfg.target)
+        else
+          writePartitioned(staged, cfg).mode(SaveMode.ErrorIfExists).saveAsTable(cfg.target)
+      case MergeOn(keys) =>
+        if (!spark.catalog.tableExists(cfg.target)) // R6 idempotent creation
+          staged.write.saveAsTable(cfg.target)
+        else {
+          val merged = Merge.upsert(spark.table(cfg.target), staged, keys)
+          // R5 atomic publish: materialize the reconcile result, then
+          // swap — same staging+rename protocol as hive_loader.py:176-178
+          // but catalog-atomic at the final rename.
+          val reconcile = s"${cfg.target}__graft_reconcile"
+          merged.write.mode(SaveMode.Overwrite).saveAsTable(reconcile)
+          spark.sql(s"DROP TABLE IF EXISTS `${cfg.target}`")
+          spark.sql(s"ALTER TABLE `$reconcile` RENAME TO `${cfg.target}`")
+        }
+    }
+
+    if (cfg.analyze) // R8 stats refresh for CBO
+      spark.sql(s"ANALYZE TABLE `${cfg.target}` COMPUTE STATISTICS")
+    cfg.postSql.foreach(spark.sql(_))
+  }
+
+  private def writePartitioned(df: DataFrame, cfg: LoadConfig) = {
+    val w = df.write
+    if (cfg.partition.nonEmpty) w.partitionBy(cfg.partition.keys.toSeq: _*) else w
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Near-duplicate detection via MinHash + LSH banding — the standard
+  * web-corpus dedup pipeline (shingle → minhash signature → band →
+  * bucket-join → verify), built entirely from native codegen'd
+  * expressions + one equi-join.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *   - signatures are computed in ONE pass over each doc's shingle array
+  *     (`aggregate` with a k-wide min accumulator), map-side only;
+  *   - candidate generation is `explode(bands)` → self-equi-join on
+  *     (band_id, band_hash): a hash-partitioned join on a low-cardinality
+  *     composite key — never an O(n²) cross join;
+  *   - verification (exact Jaccard on shingle sets) touches only
+  *     candidate pairs. Band/row parameters trade recall vs candidate
+  *     volume: b bands of r rows ⇒ match threshold ≈ (1/b)^(1/r).
+  */
+object MinHashDedup {
+
+  private val P = 4294967311L // prime > 2^32, classic minhash modulus
+  private val MaxHash = Long.MaxValue
+
+  /** Deterministic (a,b) permutation params from a seeded RNG. */
+  private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(k)((rng.nextLong().abs % (P - 1) + 1, rng.nextLong().abs % P))
+  }
+
+  /** k-wide MinHash signature of an array-of-string column: single pass,
+    * accumulator = element-wise min across all shingles of the k
+    * permuted hashes.
+    */
+  def signature(shingleSet: Column, k: Int = 64, seed: Long = 42L): Column = {
+    val ps = perms(k, seed)
+    def permHashes(h: Column): Column =
+      array(ps.map { case (a, b) => pmod(h * a + b, lit(P)) }: _*)
+    aggregate(
+      transform(shingleSet, s => pmod(xxhash64(s), lit(P))),
+      array_repeat(lit(MaxHash), k),
+      (acc, h) => zip_with(acc, permHashes(h), (x, y) => least(x, y)))
+  }
+
+  /** Split a signature into b bands of r values, hash each band.
+    * Returns array<struct<band:int, bucket:bigint>>.
+    */
+  def bands(sig: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)), i =>
+      struct(i.as("band"),
+        xxhash64(concat_ws(",", transform(slice(sig, i * r + 1, lit(r)), _.cast("string")))).as("bucket")))
+
+  /** Candidate near-dup pairs (idA < idB) with exact-Jaccard verification.
+    *
+    * @param df        input with `idCol` and a text column
+    * @param nGram     word-shingle width
+    * @param threshold Jaccard threshold for a verified near-dup
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val shingled = df
+      .select(col(idCol), Text.shingles(Text.tokens(col(textCol)), nGram).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sh", array_distinct(col("sh")))
+      .withColumn("sig", signature(col("sh"), numHashes))
+    val r = numHashes / numBands
+    val buckets = shingled
+      .select(col(idCol), col("sh"),
+        explode(bands(col("sig"), numBands, r)).as("bb"))
+      .select(col(idCol), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val bdf = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(bdf, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Dedup: drop every doc that near-dups an earlier (lower-id) doc. */
+  def dedup(df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.8): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, threshold = threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

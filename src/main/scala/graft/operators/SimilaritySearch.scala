@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - `bruteForceTopK`: broadcast the (small) query set against the
+  *     corpus; exact cosine; window top-k. The right plan when
+  *     |queries| is small — the corpus streams through map-side only,
+  *     no corpus shuffle at any scale.
+  *   - `srpTopK`: LSH scale path — bucket corpus and queries by
+  *     signed-random-projection signature and only score within-bucket,
+  *     multi-probing nearby buckets for recall. Turns the cross product
+  *     into an equi-join on the signature.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k by cosine for each query vector. Queries are broadcast;
+    * the corpus is never shuffled (window partitions by query id, so the
+    * shuffle moves only (qid, id, score) triples — not embeddings).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"),
+        Vectors.cosine(col("qvec"), col("vec")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** ANN via SRP-LSH: candidates = same-signature bucket plus all
+    * 1-bit-flip probe buckets (multi-probe improves recall with no extra
+    * corpus copies — probes explode on the *query* side, the small one).
+    */
+  def srpTopK(
+      corpus: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      dim: Int,
+      nBits: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val c = corpus.withColumn("sig", Vectors.srpSignature(col("vec"), dim, nBits, seed))
+    val probes = transform(sequence(lit(0), lit(nBits)), i =>
+      when(i === 0, col("sig")).otherwise(col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), i - 1))))
+    val q = queries
+      .withColumn("sig", Vectors.srpSignature(col("qvec"), dim, nBits, seed))
+      .withColumn("sig", explode(probes))
+    val scored = c.join(broadcast(q), Seq("sig"))
+      .select(col("qid"), col("id"), Vectors.cosine(col("qvec"), col("vec")).as("score"))
+      .groupBy("qid", "id").agg(max("score").as("score")) // dedup multi-probe hits
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within the corpus itself:
+    * bucket by SRP signature, pair within buckets, verify by cosine.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, // (id, vec)
+      dim: Int,
+      threshold: Double = 0.95,
+      nBits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val sigs = corpus.withColumn("sig", Vectors.srpSignature(col("vec"), dim, nBits, seed))
+    val a = sigs.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sigs.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Vectors.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

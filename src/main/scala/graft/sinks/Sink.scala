@@ -1,0 +1,68 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.functions.HiveText
+
+/** Sink surface — SURVEY.md §2.2 (K1-K10).
+  *
+  * The reference hand-rolls staging temp files + byte-concat merge
+  * (`utils/fs.py:33-46`); Spark's FileOutputCommitter is the same
+  * task-temp → commit protocol, so only the *formats* need code here.
+  * Retry/reset lifecycle (K6) and multi-part commit (K5) are the
+  * committer's job; fan-out (K9) persists once and writes N times.
+  */
+object Sink {
+
+  final case class CsvOptions(
+      header: Boolean = false,
+      delimiter: String = ",",
+      quoteAll: Boolean = true, // reference default QUOTE_ALL, csv_handler.py:31
+      nullValue: String = "",
+      encoding: String = "UTF-8",
+      singleFile: Boolean = false)
+
+  /** K1 — CSV sink with the reference's knobs. */
+  def csv(df: DataFrame, path: String, opts: CsvOptions = CsvOptions()): Unit = {
+    val out = if (opts.singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite)
+      .option("header", opts.header.toString)
+      .option("sep", opts.delimiter)
+      .option("quoteAll", opts.quoteAll.toString)
+      .option("nullValue", opts.nullValue)
+      .option("encoding", opts.encoding)
+      .csv(path)
+  }
+
+  /** K2-K4 — Hive-text sink: `\u0001` delimiter, no quoting, `\N` nulls,
+    * JSON containers, escape table — encoded by expression (HiveText)
+    * then written as single-column text so the bytes are exactly the
+    * reference's, not Spark-CSV's approximation.
+    */
+  def hiveText(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val encoded = df.select(HiveText.encodeRow(df.schema).as("value"))
+    val out = if (singleFile) encoded.coalesce(1) else encoded
+    out.write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** Const.py:19-26 format map — parquet/orc/avro/text. */
+  def format(df: DataFrame, path: String, fmt: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format(fmt).save(path)
+
+  /** K7 — JDBC bulk load (the LOAD DATA INFILE equivalent). */
+  def jdbc(df: DataFrame, url: String, table: String, mode: SaveMode,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
+  /** K9 — multi-sink fan-out: materialize once, write N times. */
+  def fanOut(df: DataFrame, writes: Seq[DataFrame => Unit]): Unit = {
+    val cached = df.persist()
+    try { cached.count(); writes.foreach(_(cached)) }
+    finally cached.unpersist()
+  }
+
+  /** K10 — null sink (benchmarking): forces full computation, writes
+    * nothing.
+    */
+  def noop(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).format("noop").save()
+}
