@@ -22,6 +22,10 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Parquet TIMESTAMP(NANOS) columns (e.g. events.ts) are ILLEGAL to
+      // Spark 4's reader; surface them as Long nanos instead of crashing.
+      // Consumers convert with `timestamp_micros(ts div 1000)`.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {

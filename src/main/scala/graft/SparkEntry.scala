@@ -18,8 +18,12 @@ import graft.sources.Source
   *     share physical row order;
   *   - double SUM/AVG go through DECIMAL accumulation then a final cast
   *     to double — FP addition isn't associative, decimal is exact;
-  *   - `events.ts` is parquet ns; Spark truncates to µs — oracles compare
-  *     `unix_micros`/`epoch_us` or hour-truncated windows, never raw ns;
+  *   - `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+  *     read as a timestamp; the session sets
+  *     `spark.sql.legacy.parquet.nanosAsLong` (GraftSession) and the
+  *     `events` helper below rebuilds a µs timestamp with
+  *     `timestamp_micros(ts div 1000)` — DuckDB's `CAST(ts AS TIMESTAMP)`
+  *     truncates ns→µs identically;
   *   - regexes restricted to RE2-safe syntax (DuckDB) that Java matches
   *     identically.
   */
@@ -27,6 +31,14 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet with `ts` restored to TimestampType (µs). The file's
+    * TIMESTAMP(NANOS) arrives as Long nanos under the session's
+    * nanosAsLong conf; `div 1000` truncates toward the epoch exactly like
+    * DuckDB's ns→µs cast (all test timestamps are post-1970).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Exact decimal accumulation, surfaced as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
@@ -91,7 +103,7 @@ object SparkEntry {
         .orderBy("o_custkey")),
 
     "r1_dedup_firstevent" -> ((s, dir) =>
-      Dedup.byRank(t(s, dir, "events"), Seq("user_id", "event_type"),
+      Dedup.byRank(events(s, dir), Seq("user_id", "event_type"),
           Seq(col("event_id").asc))
         .select("user_id", "event_type", "event_id")
         .orderBy("user_id", "event_type")),
@@ -129,7 +141,7 @@ object SparkEntry {
 
     // ---- T3: JSON extract + flatten ----
     "t3_json_extract" -> ((s, dir) =>
-      t(s, dir, "events")
+      events(s, dir)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")),
@@ -222,14 +234,14 @@ object SparkEntry {
 
     // ---- streaming-shape ops, batch-checked ----
     "window_agg_time" -> ((s, dir) =>
-      graft.streaming.StreamOps.windowedAgg(t(s, dir, "events"), "ts", "1 hour", "1 hour")
+      graft.streaming.StreamOps.windowedAgg(events(s, dir), "ts", "1 hour", "1 hour")
         .withColumn("sum_value",
           round(col("sum_value"), 4)) // double sum over ≤ hour buckets; round for FP order
         .orderBy("window_start", "event_type")),
 
     "session_count" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
-      t(s, dir, "events")
+      events(s, dir)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
         .withColumn("gap", col("us") - lag("us", 1).over(w))
         .groupBy("user_id")
@@ -268,18 +280,11 @@ object SparkEntry {
       SimHashDedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 7)
         .orderBy("id_a", "id_b")),
 
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      // exact n-gram Jaccard over candidate pairs from shared rare tokens
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(Text.shingles(Text.tokens(col("text")), 2)).as("sh"))
-      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("j"))
-        .filter(col("j") >= 0.3)
-        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")
-    }),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      JaccardDedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          nGram = 2, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
 
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) =>

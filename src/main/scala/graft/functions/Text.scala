@@ -18,8 +18,13 @@ object Text {
     */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Token classes: letter runs, digit runs, single non-alnum non-space
+    * chars — same regex DuckDB's `regexp_extract_all` oracle uses.
+    * (A lookaround `split` is wrong here: whitespace runs survive as
+    * elements and inflate the count.)
+    */
   def bpeishTokenCount(c: Column): Column =
-    size(filter(split(c, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => length(t) > 0))
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Word n-gram shingles: contiguous n-token windows joined by a space.
     * Empty result when the doc has fewer than n tokens.

@@ -61,14 +61,19 @@ object Loader {
         if (!spark.catalog.tableExists(cfg.target)) // R6 idempotent creation
           staged.write.saveAsTable(cfg.target)
         else {
+          // R5 publish via rename-swap, same statement order as the
+          // reference (`hive_loader.py:176-178`): target→bak,
+          // reconcile→target, drop bak. A failure at ANY point leaves a
+          // recoverable table — the target never ceases to exist without
+          // a fully-built replacement already in the catalog.
           val merged = Merge.upsert(spark.table(cfg.target), staged, keys)
-          // R5 atomic publish: materialize the reconcile result, then
-          // swap — same staging+rename protocol as hive_loader.py:176-178
-          // but catalog-atomic at the final rename.
           val reconcile = s"${cfg.target}__graft_reconcile"
+          val bak = s"${cfg.target}__graft_bak"
           merged.write.mode(SaveMode.Overwrite).saveAsTable(reconcile)
-          spark.sql(s"DROP TABLE IF EXISTS `${cfg.target}`")
+          spark.sql(s"DROP TABLE IF EXISTS `$bak`")
+          spark.sql(s"ALTER TABLE `${cfg.target}` RENAME TO `$bak`")
           spark.sql(s"ALTER TABLE `$reconcile` RENAME TO `${cfg.target}`")
+          spark.sql(s"DROP TABLE IF EXISTS `$bak`")
         }
     }
 

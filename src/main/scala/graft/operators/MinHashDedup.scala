@@ -24,10 +24,15 @@ object MinHashDedup {
   private val P = 4294967311L // prime > 2^32, classic minhash modulus
   private val MaxHash = Long.MaxValue
 
-  /** Deterministic (a,b) permutation params from a seeded RNG. */
+  /** Deterministic (a,b) permutation params from a seeded RNG.
+    * `a` is kept under 2^31 so `a * h` (h also < 2^31) stays ≤ 2^62 —
+    * no signed-64 wrap before the pmod, preserving hash-family
+    * uniformity.
+    */
   private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(seed)
-    Seq.fill(k)((rng.nextLong().abs % (P - 1) + 1, rng.nextLong().abs % P))
+    val aMax = (1L << 31) - 1
+    Seq.fill(k)((rng.nextLong().abs % aMax + 1, rng.nextLong().abs % P))
   }
 
   /** k-wide MinHash signature of an array-of-string column: single pass,
@@ -39,7 +44,8 @@ object MinHashDedup {
     def permHashes(h: Column): Column =
       array(ps.map { case (a, b) => pmod(h * a + b, lit(P)) }: _*)
     aggregate(
-      transform(shingleSet, s => pmod(xxhash64(s), lit(P))),
+      // base hash < 2^31 so every a*h+b fits in a signed long (see perms)
+      transform(shingleSet, s => pmod(xxhash64(s), lit(1L << 31))),
       array_repeat(lit(MaxHash), k),
       (acc, h) => zip_with(acc, permHashes(h), (x, y) => least(x, y)))
   }

@@ -82,13 +82,16 @@ object Multimodal {
     * window as a "frame" (real impl: video frame extraction). Returns
     * exploded (media_id, frame_no, frame_bytes).
     */
-  def sampleFrames(media: DataFrame, stride: Int = 64, maxFrames: Int = 8): DataFrame =
+  def sampleFrames(media: DataFrame, stride: Int = 64, maxFrames: Int = 8): DataFrame = {
+    // integral floor-div: sequence() rejects fractional bounds
+    val lastWindow = greatest(expr(s"(length(payload) - 1) div $stride"), lit(0))
     media.select(
       col("media_id"),
       posexplode(
         slice(
           transform(
-            sequence(lit(0), greatest((length(col("payload")) - 1) / stride, lit(0))),
+            sequence(lit(0), lastWindow.cast("int")),
             i => col("payload").substr(i * stride + 1, lit(stride))),
           1, maxFrames)).as(Seq("frame_no", "frame_bytes")))
+  }
 }
