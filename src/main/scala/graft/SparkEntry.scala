@@ -327,7 +327,7 @@ object SparkEntry {
 
     "cosine_near_dup" -> ((s, dir) => {
       val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      SimilaritySearch.cosineNearDupPairs(corpus, dim = 64, threshold = 0.5, nBits = 4)
+      SimilaritySearch.cosineNearDupPairs(corpus, dim = 64, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),
@@ -355,9 +355,12 @@ object SparkEntry {
 
   // ----------------------------------------------------------------- //
 
-  /** DuckDB oracle SQL. Keys absent here (minhash/simhash/srp/features —
-    * engine-specific hashing or JVM stubs) get the driver's weaker
-    * rows-only check by design.
+  /** DuckDB oracle SQL. Keys absent here (minhash/simhash/srp — the
+    * result depends on engine-specific hash functions no other engine
+    * reproduces) get the driver's weaker rows-only check and are pinned
+    * by ScalaTest fixtures instead (DedupSpec/SimilaritySpec).
+    * cosine_near_dup's oracle is the EXACT all-pairs ground truth: the
+    * LSH path must reach full recall on the test corpus to match it.
     */
   def oracleSql: Map[String, String] = Map(
     "s1_projection" ->
@@ -574,6 +577,102 @@ object SparkEntry {
     "multimodal_frames" ->
       """SELECT doc_id AS media_id,
         |  least(CAST(floor((octet_length(encode(text)) - 1) / 64) AS BIGINT) + 1, 8) AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // documents.text is ASCII in the fixtures, so codepoint == byte and
+    // DuckDB's ascii() reproduces the stub decoder's byte-window mean;
+    // the mean's numerator is an exact integer sum on both sides, so the
+    // float-vs-double division agrees at 3 decimals.
+    "multimodal_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, greatest(length(text) // 8, 1) AS w, length(text) AS n
+        |  FROM documents)
+        |SELECT doc_id AS media_id, 8 AS feat_dim,
+        |  round(list_avg(list_transform(range(1, least(w, n) + 1),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 3) AS f0
+        |FROM t ORDER BY media_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len, nonspace, alpha, punct,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','are','was',
+        |       'it','that','this','for','on','with','as','at','by','be'], x))) AS DOUBLE) AS stop
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(
+        |    least(len / 1000.0, 1.0) * 0.3 +
+        |    (CASE WHEN nonspace > 0 THEN alpha / nonspace ELSE 0.0 END) * 0.3 +
+        |    (CASE WHEN nonspace > 0 THEN greatest(0.0, 1.0 - punct * 10.0 / nonspace)
+        |          ELSE 1.0 END) * 0.1 +
+        |    (CASE WHEN ntok > 0 THEN stop / ntok ELSE 0.0 END) * 0.2 +
+        |    (CASE WHEN ntok > 0 AND nonspace / ntok >= 3 AND nonspace / ntok <= 10
+        |          THEN 1.0 ELSE 0.5 END) * 0.1
+        |  , 6) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // argmax over per-language stopword hits; ties break toward the
+    // later language code (matches Text.langId's array_max on
+    // struct(hits, lang): lexicographically greatest struct wins)
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ein','eine','ist','zu','mit','von'], x))) AS h_de,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','to','in','is','that','it','for','with'], x))) AS h_en,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['el','la','los','de','y','un','una','es','que','para'], x))) AS h_es,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['le','la','les','de','et','un','une','est','que','pour'], x))) AS h_fr,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['的','了','是','在','我','有','和','就','不','人'], x))) AS h_zh
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN h_zh = m THEN 'zh' WHEN h_fr = m THEN 'fr' WHEN h_es = m THEN 'es'
+        |       WHEN h_en = m THEN 'en' ELSE 'de' END AS lang_pred
+        |FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS m FROM h)
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact top-k ground truth; the Spark side is also exact (broadcast
+    // brute force), and adjacent scores in the fixtures differ by
+    // >=1.9e-4 — far above double noise, so ranks are stable
+    "ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, e.vec_id AS id,
+        |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+        |  FROM q CROSS JOIN embeddings e),
+        |r AS (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
+        |  FROM s)
+        |SELECT qid, id, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // EXACT all-pairs ground truth: the banded-LSH Spark side must have
+    // full recall on this corpus to hash-match (verified at sf0.01;
+    // nearest sub-threshold pair is 0.493 — a comfortable margin)
+    "cosine_near_dup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

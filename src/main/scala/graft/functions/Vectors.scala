@@ -44,4 +44,43 @@ object Vectors {
     }
     bits.reduce(_ + _).as("srp_sig")
   }
+
+  /** SRP sign bits for a pool of `nPlanes` seeded hyperplanes: one pass
+    * over a literal plane matrix per row. `v` must already be
+    * `array<double>` (cast once upstream — higher-order functions are
+    * interpreted, so an inline cast would re-run per plane).
+    * Returns `array<bigint>` of 0/1.
+    */
+  def srpBits(vd: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes: Seq[Array[Double]] =
+      Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+    val planesLit = array(planes.map(w => array(w.map(lit(_)): _*)): _*)
+    transform(planesLit, p =>
+      when(aggregate(zip_with(vd, p, _ * _), lit(0.0), _ + _) >= 0, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** Fold a 0/1 bit array into `tables` LSH bucket ids of `bitsPerTable`
+    * bits each: `array<struct<tbl:int, bucket:bigint>>` — explode and
+    * equi-join on (tbl, bucket) for candidate generation. A pair at
+    * cosine θ shares a bucket in one table with p = (1 − arccos(θ)/π)^r;
+    * recall across L tables is 1 − (1 − p)^L. Raise `bitsPerTable`
+    * (≈ log2 corpus size) to keep random collisions sub-quadratic, raise
+    * `tables` to buy recall back.
+    *
+    * IMPORTANT: pass the bits as their own projected column (not the
+    * srpBits expression inline) — interpreted HOFs have no common-
+    * subexpression elimination, so an inline expression would recompute
+    * every dot product once per table.
+    */
+  def srpFoldBuckets(bits: Column, bitsPerTable: Int, tables: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), l =>
+      struct(
+        l.cast("int").as("tbl"),
+        aggregate(
+          zip_with(
+            slice(bits, l * bitsPerTable + 1, lit(bitsPerTable)),
+            sequence(lit(0), lit(bitsPerTable - 1)),
+            (bit, i) => bit * call_function("shiftleft", lit(1L), i)),
+          lit(0L), _ + _).as("bucket")))
 }

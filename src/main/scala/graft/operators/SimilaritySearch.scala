@@ -59,19 +59,41 @@ object SimilaritySearch {
   }
 
   /** Embedding-cosine near-duplicate pairs within the corpus itself:
-    * bucket by SRP signature, pair within buckets, verify by cosine.
+    * banded SRP-LSH — L independent tables of r hyperplanes; candidates
+    * are same-bucket-in-any-table pairs, deduped, then verified by exact
+    * cosine.
+    *
+    * Scale shape: exploded index rows carry ONLY (id, tbl, bucket) — the
+    * embeddings are re-joined after the candidate pair set is distinct,
+    * so the bucket join never ships vectors and the per-pair work is one
+    * cosine. Defaults (r=8, L=96) give ~0.99 recall at cosine 0.5;
+    * at larger corpora raise `bitsPerTable` toward log2(n) to keep the
+    * random-collision candidate count sub-quadratic, and raise `tables`
+    * to buy recall back.
     */
   def cosineNearDupPairs(
       corpus: DataFrame, // (id, vec)
       dim: Int,
-      threshold: Double = 0.95,
-      nBits: Int = 8,
+      threshold: Double = 0.5,
+      bitsPerTable: Int = 8,
+      tables: Int = 96,
       seed: Long = 42L): DataFrame = {
-    val sigs = corpus.withColumn("sig", Vectors.srpSignature(col("vec"), dim, nBits, seed))
-    val a = sigs.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sigs.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("sig"))
+    val sigs = corpus
+      // three explicit projections so each stage evaluates once per row:
+      // cast → plane bits → bucket fold (HOFs are interpreted, no CSE)
+      .withColumn("vd", transform(col("vec"), _.cast("double")))
+      .withColumn("bits", Vectors.srpBits(col("vd"), dim, bitsPerTable * tables, seed))
+      .select(col("id"),
+        explode(Vectors.srpFoldBuckets(col("bits"), bitsPerTable, tables)).as("bb"))
+      .select(col("id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+    val cand = sigs.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(sigs.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(corpus.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(corpus.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), Vectors.cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
