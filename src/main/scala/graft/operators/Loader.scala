@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Source
 
 /** Loader — the reference's load pipeline (SURVEY.md §3.2) as one Spark
   * job graph: optional dedup (R1) → mode-specific reconcile (R2/R3) →
@@ -69,16 +70,19 @@ object Loader {
           val merged = Merge.upsert(spark.table(cfg.target), staged, keys)
           val reconcile = s"${cfg.target}__graft_reconcile"
           val bak = s"${cfg.target}__graft_bak"
+          // R10 quoting on every catalog statement
+          val (qT, qR, qB) = (Source.quoteIdentifier(cfg.target),
+            Source.quoteIdentifier(reconcile), Source.quoteIdentifier(bak))
           merged.write.mode(SaveMode.Overwrite).saveAsTable(reconcile)
-          spark.sql(s"DROP TABLE IF EXISTS `$bak`")
-          spark.sql(s"ALTER TABLE `${cfg.target}` RENAME TO `$bak`")
-          spark.sql(s"ALTER TABLE `$reconcile` RENAME TO `${cfg.target}`")
-          spark.sql(s"DROP TABLE IF EXISTS `$bak`")
+          spark.sql(s"DROP TABLE IF EXISTS $qB")
+          spark.sql(s"ALTER TABLE $qT RENAME TO $qB")
+          spark.sql(s"ALTER TABLE $qR RENAME TO $qT")
+          spark.sql(s"DROP TABLE IF EXISTS $qB")
         }
     }
 
-    if (cfg.analyze) // R8 stats refresh for CBO
-      spark.sql(s"ANALYZE TABLE `${cfg.target}` COMPUTE STATISTICS")
+    if (cfg.analyze) // R8 stats refresh for CBO (R10 quoting: dotted names)
+      spark.sql(s"ANALYZE TABLE ${Source.quoteIdentifier(cfg.target)} COMPUTE STATISTICS")
     cfg.postSql.foreach(spark.sql(_))
   }
 

@@ -66,38 +66,103 @@ object Source {
       lower: Long,
       upper: Long,
       splits: Int,
-      props: java.util.Properties = new java.util.Properties()): DataFrame =
-    spark.read.jdbc(url, tbl, splitBy, lower, upper, splits, props)
+      props: java.util.Properties = new java.util.Properties(),
+      fetchSize: Int = DefaultFetchSize): DataFrame =
+    spark.read.option("fetchsize", fetchSize.toString)
+      .jdbc(url, tbl, splitBy, lower, upper, splits, props)
+
+  /** S6 — default JDBC fetch size: the reference streams MySQL results
+    * through an unbuffered server-side cursor (`connector/mysql.py:17-25`,
+    * SSCursor) for constant memory; Spark's equivalent knob is the
+    * driver-level `fetchsize` batch, applied to every JDBC scan here.
+    */
+  val DefaultFetchSize = 10000
+
+  /** S10 — plain JDBC read (reference `get_pandas_df`,
+    * `connector/dbapi.py:138-139`): ad-hoc table-or-dbtable query into a
+    * DataFrame, no partitioning.
+    */
+  def jdbc(
+      spark: SparkSession,
+      url: String,
+      tableOrQuery: String,
+      props: java.util.Properties = new java.util.Properties(),
+      fetchSize: Int = DefaultFetchSize): DataFrame =
+    spark.read.option("fetchsize", fetchSize.toString).jdbc(url, tableOrQuery, props)
+
+  /** R10 — identifier quoting (reference `connector/dbapi.py:188-195`):
+    * dotted names split per part, stripped of existing backticks,
+    * re-quoted.
+    */
+  def quoteIdentifier(name: String): String =
+    name.split('.').map(p => "`" + p.replace("`", "") + "`").mkString(".")
 
   /** S5 (file flavor) — reproduce the reference's half-open range split
     * semantics over an already-loaded DataFrame: `splits` contiguous
     * ranges over `[min, max]` of `splitCol`, last range closed, others
     * `>= AND <` (`dumper/sql.py:141-155`). Returns the per-range frames;
-    * their union must equal the full scan (tested in SplitScanSpec).
+    * their union must equal the full scan (pinned in SplitScanSpec).
     * NULL bounds (empty input) fall back to a single full scan, matching
     * `dumper/sql.py:135-137`.
+    *
+    * Integral columns use integral stride arithmetic: with 64-bit keys a
+    * double stride accumulates FP error across boundaries and can
+    * duplicate or drop boundary rows at scale. The floored stride makes
+    * the last (closed) range absorb the remainder.
     */
   def splitRanges(df: DataFrame, splitCol: String, splits: Int): Seq[DataFrame] = {
     val Array(lo, hi) = df.agg(min(col(splitCol)), max(col(splitCol))).head().toSeq.toArray
     if (lo == null || hi == null || splits <= 1) return Seq(df)
-    val (lod, hid) = (toDouble(lo), toDouble(hi))
-    val stride = (hid - lod) / splits
-    if (stride <= 0) return Seq(df)
-    (0 until splits).map { i =>
-      val start = lod + i * stride
-      val end = lod + (i + 1) * stride
-      if (i == splits - 1)
-        df.filter(col(splitCol) >= lit(start) && col(splitCol) <= lit(hid))
-      else
-        df.filter(col(splitCol) >= lit(start) && col(splitCol) < lit(end))
+    def frames[T](starts: Seq[T], ends: Seq[T], hiB: T): Seq[DataFrame] =
+      starts.indices.map { i =>
+        if (i == starts.size - 1)
+          df.filter(col(splitCol) >= lit(starts(i)) && col(splitCol) <= lit(hiB))
+        else
+          df.filter(col(splitCol) >= lit(starts(i)) && col(splitCol) < lit(ends(i)))
+      }
+    (lo, hi) match {
+      case (l: Byte, _) => integralSplit(df, splitCol, l.toLong, hi.asInstanceOf[Byte].toLong, splits)
+      case (l: Short, _) => integralSplit(df, splitCol, l.toLong, hi.asInstanceOf[Short].toLong, splits)
+      case (l: Int, _) => integralSplit(df, splitCol, l.toLong, hi.asInstanceOf[Int].toLong, splits)
+      case (l: Long, _) => integralSplit(df, splitCol, l, hi.asInstanceOf[Long], splits)
+      case (l: java.sql.Timestamp, h: java.sql.Timestamp) =>
+        // split on epoch-millis, integral; rebuild Timestamp bounds
+        val s = integralBounds(l.getTime, h.getTime, splits)
+        if (s.isEmpty) Seq(df)
+        else frames(s.map(new java.sql.Timestamp(_)), s.drop(1).map(new java.sql.Timestamp(_)), h)
+      case (l: java.sql.Date, h: java.sql.Date) =>
+        val s = integralBounds(l.getTime, h.getTime, splits)
+        if (s.isEmpty) Seq(df)
+        else frames(s.map(new java.sql.Date(_)), s.drop(1).map(new java.sql.Date(_)), h)
+      case (l: Number, h: Number) => // fractional types keep double stride
+        val (lod, hid) = (l.doubleValue(), h.doubleValue())
+        val stride = (hid - lod) / splits
+        if (stride <= 0) Seq(df)
+        else {
+          val starts = (0 until splits).map(i => lod + i * stride)
+          frames(starts, starts.drop(1) :+ hid, hid)
+        }
+      case (other, _) => throw new IllegalArgumentException(s"non-splittable bound: $other")
     }
   }
 
-  private def toDouble(v: Any): Double = v match {
-    case n: Number => n.doubleValue()
-    case t: java.sql.Timestamp => t.getTime.toDouble
-    case d: java.sql.Date => d.getTime.toDouble
-    case other => throw new IllegalArgumentException(s"non-splittable bound: $other")
+  /** Start boundaries for an integral split; empty when the span is too
+    * small to split (reference collapses to serial, `dumper/sql.py:86-87`).
+    */
+  private def integralBounds(lo: Long, hi: Long, splits: Int): Seq[Long] = {
+    val stride = (hi - lo) / splits
+    if (stride <= 0) Seq.empty else (0 until splits).map(i => lo + i * stride)
+  }
+
+  private def integralSplit(df: DataFrame, splitCol: String, lo: Long, hi: Long, splits: Int): Seq[DataFrame] = {
+    val starts = integralBounds(lo, hi, splits)
+    if (starts.isEmpty) return Seq(df)
+    starts.indices.map { i =>
+      if (i == starts.size - 1)
+        df.filter(col(splitCol) >= lit(starts(i)) && col(splitCol) <= lit(hi))
+      else
+        df.filter(col(splitCol) >= lit(starts(i)) && col(splitCol) < lit(starts(i + 1)))
+    }
   }
 
   /** S9 — catalog probes. */

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Merge
+
+/** R2 merge/upsert semantics (reference `loader/hive_loader.py:162-182`):
+  * staging wins on PK; NULL-keyed target rows are always retained (the
+  * documented deviation from the reference's ambiguous `WHERE b.k IS
+  * NULL` probe — SURVEY.md §7.4).
+  */
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("staging wins on key; unmatched target rows retained") {
+    val target = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("k", "v")
+    val staging = Seq((2, "new2"), (4, "new4")).toDF("k", "v")
+    val out = Merge.upsert(target, staging, Seq("k"))
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, "old1"), (2, "new2"), (3, "old3"), (4, "new4")))
+  }
+
+  test("composite keys match on all parts") {
+    val target = Seq((1, "a", "t"), (1, "b", "t")).toDF("k1", "k2", "v")
+    val staging = Seq((1, "a", "s")).toDF("k1", "k2", "v")
+    val out = Merge.upsert(target, staging, Seq("k1", "k2"))
+      .as[(Int, String, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq((1, "a", "s"), (1, "b", "t")))
+  }
+
+  test("NULL target key never matches staging - row retained") {
+    val target = Seq[(Option[Int], String)]((Some(1), "one"), (None, "nullkey")).toDF("k", "v")
+    val staging = Seq[(Option[Int], String)]((Some(1), "ONE")).toDF("k", "v")
+    val out = Merge.upsert(target, staging, Seq("k")).collect().toSet
+    assert(out == Set(Row(null, "nullkey"), Row(1, "ONE")))
+  }
+
+  test("NULL staging key inserts (left_anti semantics keep both NULL rows distinct-side)") {
+    val target = Seq[(Option[Int], String)]((None, "t-null")).toDF("k", "v")
+    val staging = Seq[(Option[Int], String)]((None, "s-null")).toDF("k", "v")
+    val out = Merge.upsert(target, staging, Seq("k")).collect().toSet
+    // NULL != NULL in the anti-join: target NULL row survives AND the
+    // staging NULL row is appended - pinned as the documented behavior
+    assert(out == Set(Row(null, "t-null"), Row(null, "s-null")))
+  }
+
+  test("merge is idempotent: merging the same staging twice equals once") {
+    val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val staging = Seq((2, "B"), (4, "D")).toDF("k", "v")
+    val once = Merge.upsert(target, staging, Seq("k"))
+    val twice = Merge.upsert(once, staging, Seq("k"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("upsertSmallDelta broadcast variant produces identical results") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val staging = Seq((2, "B"), (9, "I")).toDF("k", "v")
+    assert(Merge.upsert(target, staging, Seq("k")).collect().toSet ==
+      Merge.upsertSmallDelta(target, staging, Seq("k")).collect().toSet)
+  }
+}

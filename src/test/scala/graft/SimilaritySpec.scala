@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SimilaritySearch
+
+/** ANN operators pinned by fixture (srp has no SQL oracle — the bucket
+  * assignment depends on seeded JVM-side hyperplanes): brute force is
+  * the exact baseline, SRP must agree on planted structure.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 3 tight clusters around orthogonal axes in R^8, plus exact duplicates
+  private def vec(axis: Int, jitter: Double): Seq[Float] =
+    (0 until 8).map(i => (if (i == axis) 1.0 else 0.0) + (if (i == (axis + 1) % 8) jitter else 0.0))
+      .map(_.toFloat)
+
+  private lazy val corpus = Seq(
+    (0L, vec(0, 0.0)), (1L, vec(0, 0.05)), (2L, vec(0, 0.1)),
+    (10L, vec(3, 0.0)), (11L, vec(3, 0.05)),
+    (20L, vec(6, 0.0)), (21L, vec(6, 0.0)) // exact duplicate pair
+  ).toDF("id", "vec")
+
+  test("bruteForceTopK: self is rank 1 with score 1; neighbors come from own cluster") {
+    val queries = corpus.filter(col("id").isin(0L, 10L, 20L))
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val top = SimilaritySearch.bruteForceTopK(corpus, queries, 3)
+      .select("qid", "id", "rank", "score")
+      .as[(Long, Long, Int, Double)].collect()
+    val byQ = top.groupBy(_._1)
+    // rank 1 = self (or its exact duplicate, for the dup pair) at score 1.0
+    assert(byQ(0L).find(_._3 == 1).get._2 == 0L)
+    assert(math.abs(byQ(0L).find(_._3 == 1).get._4 - 1.0) < 1e-9)
+    // 20's top-2 are 20 and 21 (identical), both score 1
+    val q20 = byQ(20L).sortBy(_._3).take(2).map(_._2).toSet
+    assert(q20 == Set(20L, 21L))
+    // 0's top-3 stay inside cluster {0,1,2}
+    assert(byQ(0L).map(_._2).toSet == Set(0L, 1L, 2L))
+  }
+
+  test("srpTopK finds the same top-1 as brute force on separated clusters") {
+    val queries = corpus.filter(col("id").isin(0L, 10L))
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val bf = SimilaritySearch.bruteForceTopK(corpus, queries, 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val srp = SimilaritySearch.srpTopK(corpus, queries, 1, dim = 8, nBits = 6)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(srp == bf)
+  }
+
+  test("cosineNearDupPairs finds the exact-duplicate pair and no cross-cluster pairs") {
+    val pairs = SimilaritySearch.cosineNearDupPairs(corpus, dim = 8, threshold = 0.99,
+        bitsPerTable = 4, tables = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((20L, 21L)))
+    // nothing pairs across orthogonal clusters
+    assert(pairs.forall { case (a, b) => (a / 10) == (b / 10) })
+  }
+
+  test("cosineNearDupPairs at a looser threshold keeps within-cluster pairs only") {
+    val pairs = SimilaritySearch.cosineNearDupPairs(corpus, dim = 8, threshold = 0.9,
+        bitsPerTable = 4, tables = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "jittered neighbor at cos>0.99 must be found")
+    assert(pairs.forall { case (a, b) => (a / 10) == (b / 10) })
+  }
+}
