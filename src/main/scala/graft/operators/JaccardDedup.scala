@@ -35,9 +35,18 @@ object JaccardDedup {
       threshold: Double = 0.3,
       maxDocFreq: Option[Long] = None): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (candidate generation relies on a shared shingle)")
-    val sh = df
+    val sh = Par.widen(df)
       .select(col(idCol), array_distinct(Text.shingles(Text.tokens(col(textCol)), nGram)).as("sh"))
-      .select(col(idCol), explode(col("sh")).as("s"), size(col("sh")).as("n"))
+      // join on the 64-bit shingle hash, not the string: the self-join
+      // shuffles Σ df(s) index rows and compares Σ df(s)² key pairs, so
+      // fixed-width long keys beat variable-length strings; a 64-bit
+      // collision (≈2⁻⁶⁴ per shingle pair) could only merge two shingle
+      // identities — far below the result's 6-decimal resolution
+      .select(col(idCol), explode(col("sh")).as("s0"), size(col("sh")).as("n"))
+      .select(col(idCol), xxhash64(col("s0")).as("s"), col("n"))
+      // both sides of the self-join read this index; persist so the
+      // tokenize/shingle/explode pass runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val index = maxDocFreq.fold(sh) { cap =>
       // document-frequency cap: one extra groupBy on the shingle, then a
       // broadcast-size anti set of banned shingles (the hot tail is tiny)

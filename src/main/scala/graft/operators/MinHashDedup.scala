@@ -72,22 +72,35 @@ object MinHashDedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val shingled = df
+    // The shingle table feeds three plan branches (signature, verify-a,
+    // verify-b); Spark re-evaluates shared subtrees per branch, so it is
+    // persisted — one tokenize/shingle pass total. At corpus scale this
+    // is the standard materialize-the-shingle-table step of a dedup
+    // pipeline; MEMORY_AND_DISK spills instead of OOMing.
+    val shingled = Par.widen(df)
       .select(col(idCol), Text.shingles(Text.tokens(col(textCol)), nGram).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sh", array_distinct(col("sh")))
-      .withColumn("sig", signature(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r = numHashes / numBands
+    // Candidate generation ships ONLY (band, bucket, id): a pair hitting
+    // k bands appears k times here but is deduped BEFORE the (expensive)
+    // exact-Jaccard verify, and the shingle arrays are re-joined only for
+    // the surviving distinct pairs — verify runs exactly once per pair.
     val buckets = shingled
-      .select(col(idCol), col("sh"),
-        explode(bands(col("sig"), numBands, r)).as("bb"))
-      .select(col(idCol), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val bdf = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(bdf, Seq("band", "bucket"))
+      .select(col(idCol),
+        explode(bands(signature(col("sh"), numHashes), numBands, r)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides
+    val cand = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(buckets.select(col("band"), col("bucket"), col(idCol).as("id_b")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select("id_a", "id_b")
       .distinct()
+    cand
+      .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -39,7 +39,10 @@ object SimHashDedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val sigs = df.select(col(idCol), simhash(Text.tokens(col(textCol))).as("sig"))
+    // the 64-vote simhash is the expensive branch and feeds both join
+    // sides; persist so it is computed once per doc
+    val sigs = Par.widen(df).select(col(idCol), simhash(Text.tokens(col(textCol))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(
       col(idCol), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), i =>

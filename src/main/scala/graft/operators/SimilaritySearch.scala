@@ -78,7 +78,7 @@ object SimilaritySearch {
       bitsPerTable: Int = 8,
       tables: Int = 96,
       seed: Long = 42L): DataFrame = {
-    val sigs = corpus
+    val sigs = Par.widen(corpus)
       // three explicit projections so each stage evaluates once per row:
       // cast → plane bits → bucket fold (HOFs are interpreted, no CSE)
       .withColumn("vd", transform(col("vec"), _.cast("double")))
@@ -86,15 +86,28 @@ object SimilaritySearch {
       .select(col("id"),
         explode(Vectors.srpFoldBuckets(col("bits"), bitsPerTable, tables)).as("bb"))
       .select(col("id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+      // both candidate-join sides read the signature index; persist so
+      // the L·r plane dots run once per vector
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = sigs.select(col("tbl"), col("bucket"), col("id").as("id_a"))
       .join(sigs.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    // pre-normalize once per vector so the per-pair verify is a single
+    // dot product instead of dot + two norms (3x fewer flops on the
+    // candidate set, which dwarfs the corpus). The norm is bound as its
+    // own column first — referencing norm(vec) inside the transform
+    // lambda would re-evaluate it per element (no CSE in HOFs).
+    val normed = corpus
+      .withColumn("nrm", Vectors.norm(col("vec")))
+      .select(col("id"),
+        when(col("nrm") === 0, transform(col("vec"), x => x.cast("double")))
+          .otherwise(transform(col("vec"), x => x.cast("double") / col("nrm"))).as("vn"))
     cand
-      .join(corpus.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
-      .join(corpus.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), Vectors.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .join(normed.select(col("id").as("id_a"), col("vn").as("vn_a")), Seq("id_a"))
+      .join(normed.select(col("id").as("id_b"), col("vn").as("vn_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), Vectors.dot(col("vn_a"), col("vn_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
