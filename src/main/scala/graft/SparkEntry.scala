@@ -146,6 +146,20 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")),
 
+    // T4: error-tolerant transform — rows whose transform throws are
+    // quarantined (logged-and-skipped in the reference,
+    // handler/base.py:32-44); the good side must equal the oracle's
+    // filter. The failure predicate is deterministic (doc_id % 7 == 0).
+    "t4_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      val (good, _) = Transforms.quarantine(docs) { case (id, n) =>
+        if (id % 7 == 0) throw new IllegalArgumentException(s"poisoned row $id")
+        (id, n * 2)
+      }
+      good.toDF("doc_id", "n2").orderBy("doc_id")
+    }),
+
     "t3_flatten_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
@@ -423,6 +437,10 @@ object SparkEntry {
     "t3_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "t4_quarantine" ->
+      """SELECT doc_id, n_chars * 2 AS n2 FROM documents
+        |WHERE doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
 
     "t3_flatten_tokens" ->
       """SELECT doc_id, token, COUNT(*) AS n FROM (

@@ -53,9 +53,13 @@ object Vectors {
     */
   def srpBits(vd: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
     val rng = new scala.util.Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-    val planesLit = array(planes.map(w => array(w.map(lit(_)): _*)): _*)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+    // typedlit folds the whole L·r×dim matrix into ONE Literal node;
+    // array(array(lit(..))) would put ~50k expression nodes through
+    // analysis/optimization on the driver — seconds of constant
+    // plan-compile overhead per query
+    val planesLit = typedlit(planes)
     transform(planesLit, p =>
       when(aggregate(zip_with(vd, p, _ * _), lit(0.0), _ + _) >= 0, lit(1L)).otherwise(lit(0L)))
   }

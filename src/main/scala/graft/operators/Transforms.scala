@@ -78,4 +78,12 @@ object Transforms {
     */
   def observed(name: String)(df: DataFrame): DataFrame =
     df.observe(name, count(lit(1)).as("rows"))
+
+  /** T6 with a handle: `Observation.get` blocks until the first action
+    * over the returned frame finishes, then yields the metric map —
+    * the reference's end-of-dump row count ("took %s", worker.py:73-80)
+    * without a listener registration.
+    */
+  def observed(obs: org.apache.spark.sql.Observation)(df: DataFrame): DataFrame =
+    df.observe(obs, count(lit(1)).as("rows"))
 }

@@ -29,24 +29,30 @@ object StreamOps {
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long, sum_value: Double)
-  private final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  // public: the state encoder's generated (Janino) code must reach the
+  // accessors reflectively; a private case class fails codegen at runtime
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
   /** Sessionization via flatMapGroupsWithState: events for a user belong
-    * to one session until a `gapMs` silence; timeout flushes the session.
-    * State per key is O(1) (no event buffering) — the shape that survives
-    * 100 TB of events: state size scales with active users, not volume.
+    * to one session until a `gapMs` silence in EVENT time; the session
+    * closes either inline (a later event for the same user arrives past
+    * the gap) or via event-time timeout once the watermark passes
+    * session-end + gap. State per key is O(1) (no event buffering) — the
+    * shape that survives 100 TB of events: state size scales with active
+    * users, not volume. Pinned in StreamingSpec with a MemoryStream.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long, watermark: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+            Iterator(Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
           } else {
             val sorted = it.toSeq.sortBy(_.ts.getTime)
             var cur = state.getOption
@@ -55,15 +61,20 @@ object StreamOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
                 case Some(s) =>
-                  closed += Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  closed += Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
-            cur.foreach { s => state.update(s); state.setTimeoutDuration(gapMs) }
+            cur.foreach { s =>
+              state.update(s)
+              // event-time timeout at session-end + gap; clamp above the
+              // current watermark (Spark rejects timestamps at/below it)
+              state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1, s.last + gapMs))
+            }
             closed.result().iterator
           }
       }

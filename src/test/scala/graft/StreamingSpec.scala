@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Structured Streaming operators driven as REAL streaming queries
+  * (MemoryStream source → memory sink, micro-batches advanced by hand):
+  * windowed aggregation, streaming dedup, and event-time sessionization
+  * — the watermark/timeout mechanics that batch-mode checks cannot see.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  test("windowedAgg groups a stream into tumbling event-time windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.windowedAgg(in.toDF().toDF("ts", "event_type", "value"),
+        "ts", "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("wagg").outputMode("complete").start()
+    try {
+      in.addData((ts(100), "click", 1.0), (ts(200), "click", 2.0), (ts(4000), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wagg")
+        .select("event_type", "n_events", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops same-key duplicates across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.dedup(in.toDF().toDF("ts", "id", "v"), "ts", "1 hour", Seq("id"))
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      in.addData((ts(10), 1L, "a"), (ts(10), 1L, "a"))
+      q.processAllAvailable()
+      in.addData((ts(10), 1L, "a"), (ts(20), 2L, "b")) // dup arrives again next batch
+      q.processAllAvailable()
+      assert(spark.table("sdedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions by event-time gap and watermark timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapMs = 30 * 60 * 1000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 60s apart -> one session
+      in.addData(Event(1L, ts(1000), "click", 1.0), Event(1L, ts(1060), "click", 2.0))
+      q.processAllAvailable()
+      // later traffic advances the watermark past session-end + gap
+      in.addData(Event(9L, ts(20000), "view", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(9L, ts(21000), "view", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .as[StreamOps.Session].collect().filter(_.user_id == 1L)
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s.start == ts(1000) && s.end == ts(1060) && s.n_events == 2 && s.sum_value == 3.0)
+    } finally q.stop()
+  }
+
+  test("sessionize splits on gap inline when a late-gap event arrives for the same user") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions2").outputMode("append").start()
+    try {
+      // second event is 2h after the first -> first session closes inline
+      in.addData(Event(5L, ts(1000), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(5L, ts(1000 + 7200), "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions2").as[StreamOps.Session].collect()
+      assert(closed.length == 1 && closed.head.user_id == 5L && closed.head.n_events == 1)
+    } finally q.stop()
+  }
+}
