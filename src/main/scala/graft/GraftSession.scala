@@ -28,10 +28,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
-  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val s = tuned(SparkSession.builder().master(s"local[$cores]").appName(appName), cores.toString)
+  /** S7 — `hive = true` backs the session catalog with a Hive metastore
+    * (derby under the warehouse dir unless configured otherwise),
+    * enabling Hive-format tables and `LOAD DATA` (K8). The reference
+    * reaches Hive over a thrift connection (`connector/hive_impala.py:
+    * 18-22`); Spark-native, the metastore IS the catalog.
+    */
+  def local(cores: Int = 32, appName: String = "graft", hive: Boolean = false): SparkSession = {
+    val b = tuned(SparkSession.builder().master(s"local[$cores]").appName(appName), cores.toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = (if (hive) b.enableHiveSupport() else b).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -86,6 +86,28 @@ object Loader {
     cfg.postSql.foreach(spark.sql(_))
   }
 
+  /** K8 — bulk load a local file into a catalog table. The reference
+    * shells out to `hive -e "LOAD DATA LOCAL INPATH …"` via subprocess
+    * (`connector/hive_impala.py:24-41`); Spark executes the same
+    * statement natively. Requires a Hive-format target table (session
+    * built with `GraftSession.local(hive = true)`).
+    */
+  def loadFile(spark: SparkSession, path: String, table: String, overwrite: Boolean = false): Unit = {
+    val ow = if (overwrite) "OVERWRITE " else ""
+    spark.sql(s"LOAD DATA LOCAL INPATH '$path' ${ow}INTO TABLE ${Source.quoteIdentifier(table)}")
+  }
+
+  /** R4 — staging-table protocol: `CREATE TABLE stg LIKE target` (the
+    * reference's `z_etl_{t}_staging` clone, `hive_loader.py:112-124`).
+    * Exposed for pipelines that stage through the catalog instead of a
+    * DataFrame; `Loader.load` itself needs no staging table — the
+    * DataFrame is the staging area.
+    */
+  def prepareStaging(spark: SparkSession, target: String, staging: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${Source.quoteIdentifier(staging)}")
+    spark.sql(s"CREATE TABLE ${Source.quoteIdentifier(staging)} LIKE ${Source.quoteIdentifier(target)}")
+  }
+
   private def writePartitioned(df: DataFrame, cfg: LoadConfig) = {
     val w = df.write
     if (cfg.partition.nonEmpty) w.partitionBy(cfg.partition.keys.toSeq: _*) else w
