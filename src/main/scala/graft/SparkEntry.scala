@@ -271,8 +271,12 @@ object SparkEntry {
     }),
 
     // ---- dedup family over documents ----
+    // group on a 64-bit text hash so the shuffle moves 8-byte keys, not
+    // document bodies (at 100 TB the text column IS the table); a
+    // collision would merge two distinct texts — at 2⁻⁶⁴ per pair this
+    // is below any practical corpus's birthday bound
     "dedup_exact" -> ((s, dir) =>
-      t(s, dir, "documents").groupBy("text")
+      t(s, dir, "documents").groupBy(xxhash64(col("text")).as("h"))
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
         .select("doc_id", "n_copies")
         .orderBy("doc_id")),
