@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.NativeHash
+
+/** SparkSessionExtensions entry point: exposes the engine's native
+  * sketch expressions to SQL (`SELECT minhash_sig(shingles), …`).
+  * Activated via `spark.sql.extensions=graft.GraftExtensions`
+  * (GraftSession sets it by default).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[NativeHash.MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e) => NativeHash.MinHashSigExpr(e, 64, 42L)
+        case Seq(e, Literal(k: Int, IntegerType)) => NativeHash.MinHashSigExpr(e, k, 42L)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(array<string>[, numHashes]) expects 1 or 2 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[NativeHash.SimHash64Expr].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e) => NativeHash.SimHash64Expr(e)
+        case _ => throw new IllegalArgumentException("simhash64(array<string>) expects 1 argument")
+      }))
+  }
+}

@@ -16,6 +16,8 @@ object GraftSession {
   /** Apply graft defaults to any builder (callers may override after). */
   def tuned(b: SparkSession.Builder, cores: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cores)
+      // SQL surface for the native sketch expressions (minhash_sig, …)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

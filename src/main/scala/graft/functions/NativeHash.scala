@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketch-signature hot paths.
+  *
+  * The pure-`Column` versions of these (HOF `aggregate`/`zip_with`
+  * pipelines) are interpreted — no whole-stage codegen, no CSE, heavy
+  * boxing. Each expression here runs the whole per-row loop in one
+  * compiled JVM method and participates in codegen via `doGenCode`
+  * (a single static-shaped call on a referenced helper), which is the
+  * preference order SURVEY.md §2.8 sets out: native Expression > UDF.
+  *
+  * Semantics are bit-identical to the Column versions they replace
+  * (same xxhash64 seed 42, same (a·h+b) mod P permutations, same
+  * sequential fold order), so fixture-pinned results are unchanged.
+  */
+object NativeHash {
+
+  // ---- minhash ----
+
+  final class MinHashHelper(k: Int, seed: Long) extends Serializable {
+    private val P = 4294967311L // prime > 2^32 (MinHashDedup.P)
+    private val M31 = 1L << 31
+    private val (as, bs) = {
+      val rng = new scala.util.Random(seed)
+      val aMax = (1L << 31) - 1
+      val a = new Array[Long](k); val b = new Array[Long](k)
+      var i = 0
+      while (i < k) { a(i) = rng.nextLong().abs % aMax + 1; b(i) = rng.nextLong().abs % P; i += 1 }
+      (a, b)
+    }
+    def compute(arr: ArrayData): ArrayData = {
+      val sig = Array.fill(k)(Long.MaxValue)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = ((h0 % M31) + M31) % M31
+        var j = 0
+        while (j < k) {
+          val v = (h * as(j) + bs(j)) % P // operands positive: no pmod fixup needed
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+  }
+
+  case class MinHashSigExpr(child: Expression, numHashes: Int, seed: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val helper = new MinHashHelper(numHashes, seed)
+    override def nullSafeEval(input: Any): Any = helper.compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("minhashHelper", helper, classOf[MinHashHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.compute($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_sig"
+  }
+
+  // ---- simhash ----
+
+  final class SimHashHelper extends Serializable {
+    def compute(arr: ArrayData): Long = {
+      val votes = new Array[Int](64)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+  }
+
+  case class SimHash64Expr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    @transient private lazy val helper = new SimHashHelper
+    override def nullSafeEval(input: Any): Any = helper.compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("simhashHelper", helper, classOf[SimHashHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.compute($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+      copy(child = newChild)
+    override def prettyName: String = "simhash64"
+  }
+
+  // ---- SRP sign bits ----
+
+  final class SrpHelper(dim: Int, nPlanes: Int, seed: Long) extends Serializable {
+    // same seeded pool as the Column version (row-major, plane-by-plane)
+    private val planes: Array[Array[Double]] = {
+      val rng = new scala.util.Random(seed)
+      Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+    }
+    def compute(vec: ArrayData): ArrayData = {
+      val v = new Array[Double](dim)
+      val n = math.min(dim, vec.numElements())
+      var i = 0
+      while (i < n) { v(i) = vec.getFloat(i).toDouble; i += 1 }
+      val bits = new Array[Long](nPlanes)
+      var p = 0
+      while (p < nPlanes) {
+        val w = planes(p)
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += v(j) * w(j); j += 1 }
+        bits(p) = if (acc >= 0) 1L else 0L
+        p += 1
+      }
+      new GenericArrayData(bits)
+    }
+  }
+
+  case class SrpBitsExpr(child: Expression, dim: Int, nPlanes: Int, seed: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val helper = new SrpHelper(dim, nPlanes, seed)
+    override def nullSafeEval(input: Any): Any = helper.compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("srpHelper", helper, classOf[SrpHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.compute($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): SrpBitsExpr =
+      copy(child = newChild)
+    override def prettyName: String = "srp_bits"
+  }
+
+  // ---- Column wrappers ----
+
+  def minhashSig(arr: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    Shims.column(MinHashSigExpr(Shims.expression(arr), numHashes, seed))
+
+  def simhash64(tokens: Column): Column =
+    Shims.column(SimHash64Expr(Shims.expression(tokens)))
+
+  def srpBits(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column =
+    Shims.column(SrpBitsExpr(Shims.expression(vec), dim, nPlanes, seed))
+}

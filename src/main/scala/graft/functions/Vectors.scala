@@ -45,24 +45,9 @@ object Vectors {
     bits.reduce(_ + _).as("srp_sig")
   }
 
-  /** SRP sign bits for a pool of `nPlanes` seeded hyperplanes: one pass
-    * over a literal plane matrix per row. `v` must already be
-    * `array<double>` (cast once upstream — higher-order functions are
-    * interpreted, so an inline cast would re-run per plane).
-    * Returns `array<bigint>` of 0/1.
-    */
-  def srpBits(vd: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
-    // typedlit folds the whole L·r×dim matrix into ONE Literal node;
-    // array(array(lit(..))) would put ~50k expression nodes through
-    // analysis/optimization on the driver — seconds of constant
-    // plan-compile overhead per query
-    val planesLit = typedlit(planes)
-    transform(planesLit, p =>
-      when(aggregate(zip_with(vd, p, _ * _), lit(0.0), _ + _) >= 0, lit(1L)).otherwise(lit(0L)))
-  }
+  // (SRP sign-bit computation lives in NativeHash.SrpBitsExpr — a
+  // codegen'd expression; the HOF formulation was interpreted and paid
+  // a per-plane re-evaluation tax.)
 
   /** Fold a 0/1 bit array into `tables` LSH bucket ids of `bitsPerTable`
     * bits each: `array<struct<tbl:int, bucket:bigint>>` — explode and

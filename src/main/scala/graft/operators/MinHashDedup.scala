@@ -21,34 +21,15 @@ import graft.functions.Text
   */
 object MinHashDedup {
 
-  private val P = 4294967311L // prime > 2^32, classic minhash modulus
-  private val MaxHash = Long.MaxValue
-
-  /** Deterministic (a,b) permutation params from a seeded RNG.
-    * `a` is kept under 2^31 so `a * h` (h also < 2^31) stays ≤ 2^62 —
-    * no signed-64 wrap before the pmod, preserving hash-family
-    * uniformity.
+  /** k-wide MinHash signature of an array-of-string column: one pass,
+    * element-wise min of k permuted hashes ((a·h + b) mod P, h the
+    * 31-bit-clamped xxhash64 of the shingle so products never wrap).
+    * Runs as a native codegen'd Catalyst expression
+    * (NativeHash.MinHashSigExpr) — the equivalent HOF `aggregate`
+    * pipeline is interpreted and ~10x slower on the signature pass.
     */
-  private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val rng = new scala.util.Random(seed)
-    val aMax = (1L << 31) - 1
-    Seq.fill(k)((rng.nextLong().abs % aMax + 1, rng.nextLong().abs % P))
-  }
-
-  /** k-wide MinHash signature of an array-of-string column: single pass,
-    * accumulator = element-wise min across all shingles of the k
-    * permuted hashes.
-    */
-  def signature(shingleSet: Column, k: Int = 64, seed: Long = 42L): Column = {
-    val ps = perms(k, seed)
-    def permHashes(h: Column): Column =
-      array(ps.map { case (a, b) => pmod(h * a + b, lit(P)) }: _*)
-    aggregate(
-      // base hash < 2^31 so every a*h+b fits in a signed long (see perms)
-      transform(shingleSet, s => pmod(xxhash64(s), lit(1L << 31))),
-      array_repeat(lit(MaxHash), k),
-      (acc, h) => zip_with(acc, permHashes(h), (x, y) => least(x, y)))
-  }
+  def signature(shingleSet: Column, k: Int = 64, seed: Long = 42L): Column =
+    graft.functions.NativeHash.minhashSig(shingleSet, k, seed)
 
   /** Split a signature into b bands of r values, hash each band.
     * Returns array<struct<band:int, bucket:bigint>>.

@@ -16,22 +16,12 @@ import graft.functions.Text
   */
 object SimHashDedup {
 
-  /** 64-bit SimHash of an array-of-token column. */
-  def simhash(toks: Column): Column = {
-    val votes = aggregate(
-      transform(toks, t => xxhash64(t)),
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
-        (x, y) => x + y))
-    // fold votes -> bits: bit i set iff votes[i] > 0
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-      lit(0L), (a, x) => a.bitwiseOR(x))
-  }
+  /** 64-bit SimHash of an array-of-token column: per-bit votes over the
+    * token xxhash64s, bit set iff votes > 0. Native codegen'd expression
+    * (NativeHash.SimHash64Expr) — one compiled loop per row instead of
+    * an interpreted 64-wide zip per token.
+    */
+  def simhash(toks: Column): Column = graft.functions.NativeHash.simhash64(toks)
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

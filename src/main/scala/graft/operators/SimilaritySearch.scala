@@ -79,10 +79,11 @@ object SimilaritySearch {
       tables: Int = 96,
       seed: Long = 42L): DataFrame = {
     val sigs = Par.widen(corpus)
-      // three explicit projections so each stage evaluates once per row:
-      // cast → plane bits → bucket fold (HOFs are interpreted, no CSE)
-      .withColumn("vd", transform(col("vec"), _.cast("double")))
-      .withColumn("bits", Vectors.srpBits(col("vd"), dim, bitsPerTable * tables, seed))
+      // plane bits via the native codegen'd expression (one compiled
+      // L·r×dim loop per row), projected as their own column before the
+      // interpreted bucket fold so they evaluate once
+      .withColumn("bits",
+        graft.functions.NativeHash.srpBits(col("vec"), dim, bitsPerTable * tables, seed))
       .select(col("id"),
         explode(Vectors.srpFoldBuckets(col("bits"), bitsPerTable, tables)).as("bb"))
       .select(col("id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column↔Expression converters. Spark 4
+  * hid the classic Expression-backed Column constructors behind the
+  * ColumnNode API; third-party Catalyst expressions still need this
+  * hop, hence the package-qualified shim (public-knowledge pattern —
+  * every Spark extension library ships one).
+  */
+object Shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

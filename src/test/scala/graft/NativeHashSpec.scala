@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.NativeHash
+
+/** The native codegen expressions must be bit-identical to the HOF
+  * Column formulas they replaced (the fixture-pinned dedup results
+  * depend on the hash family). The old formulas are reconstructed here
+  * inline as the reference.
+  */
+class NativeHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    Seq("the quick", "quick brown", "brown fox"),
+    Seq("lone"),
+    Seq.empty[String]
+  ).toDF("sh")
+
+  test("native minhash signature equals the HOF aggregate formula") {
+    // old formula: h = pmod(xxhash64(s), 2^31); sig_i = min (a_i*h+b_i) mod P
+    val P = 4294967311L
+    val rng = new scala.util.Random(42L)
+    val aMax = (1L << 31) - 1
+    val ps = Seq.fill(64)((rng.nextLong().abs % aMax + 1, rng.nextLong().abs % P))
+    def permHashes(h: org.apache.spark.sql.Column) =
+      array(ps.map { case (a, b) => pmod(h * a + b, lit(P)) }: _*)
+    val oldSig = aggregate(
+      transform(col("sh"), s => pmod(xxhash64(s), lit(1L << 31))),
+      array_repeat(lit(Long.MaxValue), 64),
+      (acc, h) => zip_with(acc, permHashes(h), (x, y) => least(x, y)))
+    val rows = docs.select(
+      NativeHash.minhashSig(col("sh"), 64, 42L).as("nw"), oldSig.as("old"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (nw, old) => assert(nw == old) }
+  }
+
+  test("native simhash equals the HOF vote formula") {
+    val votes = aggregate(
+      transform(col("sh"), t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
+        (x, y) => x + y))
+    val oldSig = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+    val rows = docs.select(NativeHash.simhash64(col("sh")).as("nw"), oldSig.as("old"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (nw, old) => assert(nw == old) }
+  }
+
+  test("native srp bits equal the HOF plane-dot formula") {
+    val dim = 8; val nPlanes = 24; val seed = 7L
+    val vecs = Seq(Seq(1f, 0f, -1f, 2f, 0.5f, 0f, 0f, 3f), Seq.fill(8)(0f)).toDF("vec")
+    val rng = new scala.util.Random(seed)
+    val planes = Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+    val vd = transform(col("vec"), _.cast("double"))
+    val oldBits = {
+      val planesLit = typedlit(planes)
+      transform(planesLit, p =>
+        when(aggregate(zip_with(vd, p, _ * _), lit(0.0), _ + _) >= 0, lit(1L)).otherwise(lit(0L)))
+    }
+    val rows = vecs
+      .withColumn("vd2", vd)
+      .select(NativeHash.srpBits(col("vec"), dim, nPlanes, seed).as("nw"), oldBits.as("old"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (nw, old) => assert(nw == old) }
+  }
+
+  test("SQL surface: minhash_sig and simhash64 resolve via GraftExtensions") {
+    docs.createOrReplaceTempView("nh_docs")
+    val r = spark.sql(
+      "SELECT size(minhash_sig(sh)) AS k, simhash64(sh) AS sh64 FROM nh_docs LIMIT 1")
+      .as[(Int, Long)].head()
+    assert(r._1 == 64)
+  }
+}
