@@ -343,6 +343,16 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      IvfSearch.ivfTopK(corpus, queries, 5, nLists = 32, nProbe = 8)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     "cosine_near_dup" -> ((s, dir) => {
       val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       SimilaritySearch.cosineNearDupPairs(corpus, dim = 64, threshold = 0.5)

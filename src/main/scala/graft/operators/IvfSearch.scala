@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types._
+
+import graft.functions.Vectors
+
+/** IVF-style approximate nearest neighbor: coarse quantization into
+  * `nLists` inverted lists, queries probe the `nProbe` nearest lists.
+  * The complement to SRP-LSH (SimilaritySearch.srpTopK): IVF partitions
+  * by data geometry (centroids) instead of random hyperplanes, which
+  * wins when the corpus is clustered.
+  *
+  * Scale shape:
+  *   - "training" = one driver-side collect of `nLists` seeded sample
+  *     vectors (IVF's coarse quantizer is always tiny relative to the
+  *     corpus; real IVF runs k-means on a sample the same way);
+  *   - assignment is a native codegen expression (one compiled
+  *     nLists×dim loop per row) — the corpus is scanned once, never
+  *     shuffled except by its list id;
+  *   - the probe join is an equi-join on list id: corpus×queries work
+  *     is |list| × nProbe, not |corpus| × |queries|.
+  */
+object IvfSearch {
+
+  /** Nearest-centroid ids (ascending by L2 distance), `nProbe` of them. */
+  final class CentroidHelper(centroids: Array[Array[Float]], nProbe: Int) extends Serializable {
+    private val c = centroids.length
+    def compute(vec: ArrayData): ArrayData = {
+      val dim = centroids(0).length
+      val n = math.min(dim, vec.numElements())
+      val d2 = new Array[Double](c)
+      var ci = 0
+      while (ci < c) {
+        val w = centroids(ci)
+        var acc = 0.0
+        var j = 0
+        while (j < n) { val d = vec.getFloat(j) - w(j); acc += d * d; j += 1 }
+        d2(ci) = acc
+        ci += 1
+      }
+      // selection of nProbe smallest (c is small; simple partial selection)
+      val ids = Array.tabulate(c)(identity)
+      val out = new Array[Int](math.min(nProbe, c))
+      var k = 0
+      while (k < out.length) {
+        var best = k
+        var i = k + 1
+        while (i < c) { if (d2(ids(i)) < d2(ids(best))) best = i; i += 1 }
+        val t = ids(k); ids(k) = ids(best); ids(best) = t
+        out(k) = ids(k)
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Float]], nProbe: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val helper = new CentroidHelper(centroids, nProbe)
+    override def nullSafeEval(input: Any): Any = helper.compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("centroidHelper", helper, classOf[CentroidHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.compute($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+      copy(child = newChild)
+    override def prettyName: String = "nearest_centroids"
+  }
+
+  private def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    Shims.column(NearestCentroidsExpr(Shims.expression(vec), centroids, nProbe))
+
+  /** Deterministic coarse quantizer: the `nLists` corpus vectors with the
+    * smallest xxhash64(id) — a seeded uniform sample (k-means would
+    * refine it; the list structure and query path are identical).
+    */
+  def trainCentroids(corpus: DataFrame, nLists: Int): Array[Array[Float]] =
+    corpus.withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h").limit(nLists)
+      .select("vec").collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Top-k by cosine among the probed inverted lists.
+    * corpus: (id, vec array<float>), queries: (qid, qvec array<float>).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nLists: Int = 64,
+      nProbe: Int = 8): DataFrame = {
+    val cents = trainCentroids(corpus, nLists)
+    val assigned = Par.widen(corpus)
+      .withColumn("list", element_at(nearestCentroids(col("vec"), cents, 1), 1))
+    val probes = queries
+      .withColumn("list", explode(nearestCentroids(col("qvec"), cents, nProbe)))
+    val scored = assigned.join(broadcast(probes), Seq("list"))
+      .select(col("qid"), col("id"), Vectors.cosine(col("qvec"), col("vec")).as("score"))
+      .groupBy("qid", "id").agg(max("score").as("score")) // a pair can meet in ≤nProbe lists
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -60,6 +60,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => (a / 10) == (b / 10) })
   }
 
+  test("ivfTopK matches brute force on clustered data when every list is probed") {
+    import graft.operators.IvfSearch
+    val queries = corpus.filter(col("id").isin(0L, 10L, 20L))
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val bf = SimilaritySearch.bruteForceTopK(corpus, queries, 3)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    // nProbe == nLists -> exhaustive probing: IVF must equal exact search
+    val ivf = IvfSearch.ivfTopK(corpus, queries, 3, nLists = 4, nProbe = 4)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("ivfTopK finds the exact duplicate with partial probing") {
+    import graft.operators.IvfSearch
+    val queries = corpus.filter(col("id") === 20L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val top2 = IvfSearch.ivfTopK(corpus, queries, 2, nLists = 4, nProbe = 2)
+      .select("id").as[Long].collect().toSet
+    assert(top2 == Set(20L, 21L)) // the identical pair shares a list by construction
+  }
+
   test("cosineNearDupPairs at a looser threshold keeps within-cluster pairs only") {
     val pairs = SimilaritySearch.cosineNearDupPairs(corpus, dim = 8, threshold = 0.9,
         bitsPerTable = 4, tables = 16)
