@@ -304,6 +304,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // char-n-gram flavor for unsegmented/short text (charShingles): the
+    // zh-labeled slice stands in for text where word tokens are
+    // meaningless
+    "dedup_chargram" -> ((s, dir) =>
+      JaccardDedup.nearDupPairsByChars(
+          t(s, dir, "documents").filter(col("lang") === "zh"),
+          "doc_id", "text", nChars = 3, threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -593,6 +603,19 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_chargram" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, length(text)-3+2),
+        |    i -> substr(text, CAST(i AS INT), 3))) AS sh
+        |  FROM documents WHERE lang = 'zh' AND length(text) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
 
     "text_tokens" ->

@@ -33,10 +33,31 @@ object JaccardDedup {
       textCol: String,
       nGram: Int = 2,
       threshold: Double = 0.3,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      maxDocFreq: Option[Long] = None): DataFrame =
+    nearDupPairsBy(df, idCol,
+      Text.shingles(Text.tokens(col(textCol)), nGram), threshold, maxDocFreq)
+
+  /** Char-n-gram flavor — for short or unsegmented text (e.g. zh) where
+    * word tokenization is meaningless (Text.charShingles).
+    */
+  def nearDupPairsByChars(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nChars: Int = 3,
+      threshold: Double = 0.3): DataFrame =
+    nearDupPairsBy(df, idCol, Text.charShingles(col(textCol), nChars), threshold, None)
+
+  /** Core: exact Jaccard over any shingle-array expression. */
+  def nearDupPairsBy(
+      df: DataFrame,
+      idCol: String,
+      shingleExpr: Column,
+      threshold: Double,
+      maxDocFreq: Option[Long]): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (candidate generation relies on a shared shingle)")
     val sh = Par.widen(df)
-      .select(col(idCol), array_distinct(Text.shingles(Text.tokens(col(textCol)), nGram)).as("sh"))
+      .select(col(idCol), array_distinct(shingleExpr).as("sh"))
       // join on the 64-bit shingle hash, not the string: the self-join
       // shuffles Σ df(s) index rows and compares Σ df(s)² key pairs, so
       // fixed-width long keys beat variable-length strings; a 64-bit
