@@ -40,6 +40,14 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** documents.parquet widened to the session's parallelism: the test
+    * files are single-split, which would serialize the regex/tokenize
+    * text pipelines on one core (Par.widen no-ops on real multi-split
+    * scans).
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Par.widen(t(s, dir, "documents"))
+
   /** Exact decimal accumulation, surfaced as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
 
@@ -161,7 +169,7 @@ object SparkEntry {
     }),
 
     "t3_flatten_tokens" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
         .orderBy("doc_id", "token")),
@@ -276,13 +284,13 @@ object SparkEntry {
     // collision would merge two distinct texts — at 2⁻⁶⁴ per pair this
     // is below any practical corpus's birthday bound
     "dedup_exact" -> ((s, dir) =>
-      t(s, dir, "documents").groupBy(xxhash64(col("text")).as("h"))
+      docs(s, dir).groupBy(xxhash64(col("text")).as("h"))
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
         .select("doc_id", "n_copies")
         .orderBy("doc_id")),
 
     "dedup_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .groupBy("fp").agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
         .select("doc_id", "n_copies", "fp")
@@ -316,19 +324,19 @@ object SparkEntry {
 
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
           Text.tokenCount(col("text")).as("token_count"),
           Text.bpeishTokenCount(col("text")).as("bpeish_count"))
         .orderBy("doc_id")),
 
     "text_quality" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
     "text_langid" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
