@@ -392,6 +392,15 @@ object SparkEntry {
           round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
         .orderBy("media_id")),
 
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"),
+          targetBytes = 64)
+        .select(col("media_id"),
+          length(col("resized")).as("n_resized"),
+          decode(substring(col("resized"), 1, 1), "UTF-8").as("b0"))
+        .orderBy("media_id")),
+
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
@@ -636,6 +645,17 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // stride-sampled "resize" stub: stride = ceil(len/64), output length
+    // ceil(len/stride), first sampled byte = first char (ASCII corpus)
+    "multimodal_resize" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n, substr(text, 1, 1) AS b0 FROM documents),
+        |s AS (SELECT doc_id, n, b0, greatest((n + 63) // 64, 1) AS stride FROM t)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN n = 0 THEN 0 ELSE (n + stride - 1) // stride END AS n_resized,
+        |  CASE WHEN n = 0 THEN NULL ELSE b0 END AS b0
+        |FROM s ORDER BY media_id""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT doc_id AS media_id,

@@ -78,6 +78,33 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: a real implementation would decode, spatially resample
+    * to the target resolution, and re-encode; the deterministic fake
+    * stride-samples every ⌈len/target⌉-th byte so the output is ≤target
+    * bytes and starts at byte 0. Same mapPartitions batch shape as
+    * decodeFeatures (codec init amortizes per partition).
+    */
+  def resize(media: DataFrame, targetBytes: Int = 64): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+ StructField("resized", BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](payloadIdx)
+        val resized =
+          if (p == null || p.isEmpty) Array.emptyByteArray
+          else {
+            val stride = math.max(1, (p.length + targetBytes - 1) / targetBytes)
+            val out = new Array[Byte]((p.length + stride - 1) / stride)
+            var i = 0
+            while (i < out.length) { out(i) = p(i * stride); i += 1 }
+            out
+          }
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
+
   /** Deterministic frame-sampling stub: pick every `stride`-th byte
     * window as a "frame" (real impl: video frame extraction). Returns
     * exploded (media_id, frame_no, frame_bytes).
