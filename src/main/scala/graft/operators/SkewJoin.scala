@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * the join key becomes (keys…, salt). A hot key's rows now spread
   * across `salts` reducers. Each (big, small) match meets exactly once
   * — on the big row's salt — so inner and left-outer results are
-  * multiset-identical to the unsalted join (pinned in SkewJoinSpec).
+  * multiset-identical to the unsalted join (pinned in SkewVectorsSpec).
   */
 object SkewJoin {
 

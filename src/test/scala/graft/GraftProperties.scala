@@ -66,4 +66,62 @@ object GraftProperties extends Properties("graft") {
         val parts = Source.splitRanges(df, "k", n)
         parts.map(_.count()).sum == ks.length
     }
+
+  private val texts: Gen[List[String]] = Gen.listOfN(8,
+    Gen.listOf(Gen.oneOf("the", "fox", "a", "b", "jumps", "12", "!").suchThat(_.nonEmpty))
+      .map(_.mkString(" ")))
+
+  property("shingle count law: |shingles(t, n)| == max(0, tokens - n + 1)") =
+    forAll(texts, Gen.choose(1, 4)) { (ts, n) =>
+      ts.isEmpty || {
+        import graft.functions.Text
+        val df = ts.toDF("text")
+        df.select(
+            size(Text.shingles(Text.tokens(col("text")), n)).as("ns"),
+            size(Text.tokens(col("text"))).as("nt"))
+          .as[(Int, Int)].collect()
+          .forall { case (ns, nt) => ns == math.max(0, nt - n + 1) }
+      }
+    }
+
+  property("minhash signature: k-wide, values in [0, P); identical texts have identical sigs") =
+    forAll(texts) { ts =>
+      ts.isEmpty || {
+        import graft.operators.MinHashDedup
+        import graft.functions.Text
+        val df = (ts ++ ts).toDF("text") // duplicated: equal text => equal sig
+        val sigs = df
+          .select(col("text"), MinHashDedup.signature(
+            array_distinct(Text.shingles(Text.tokens(col("text")), 1))).as("sig"))
+          .as[(String, Seq[Long])].collect()
+        sigs.forall(_._2.length == 64) &&
+        sigs.forall(_._2.forall(v => v >= 0)) &&
+        sigs.groupBy(_._1).values.forall(g => g.map(_._2).distinct.length == 1)
+      }
+    }
+
+  property("simhash: equal token sets => hamming 0; output deterministic") =
+    forAll(texts) { ts =>
+      ts.isEmpty || {
+        import graft.operators.SimHashDedup
+        import graft.functions.Text
+        val df = ts.toDF("text")
+        val a = df.select(SimHashDedup.simhash(Text.tokens(col("text"))).as("s")).as[Long].collect()
+        val b = df.select(SimHashDedup.simhash(Text.tokens(col("text"))).as("s")).as[Long].collect()
+        a.sameElements(b)
+      }
+    }
+
+  property("hive-text encodeRow never yields NULL and keeps the field count") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 99L), Gen.option(Gen.alphaNumStr.map(_.take(8)))))) {
+      rows =>
+        rows.isEmpty || {
+          import graft.functions.HiveText
+          val df = rows.toDF("k", "v")
+          val lines = df.select(HiveText.encodeRow(df.schema).as("l")).as[String].collect()
+          lines.length == rows.length &&
+          lines.forall(_ != null) &&
+          lines.forall(_.count(_ == '') == 1) // 2 fields -> exactly 1 delimiter
+        }
+    }
 }
