@@ -74,12 +74,24 @@ object JaccardDedup {
       val hot = sh.groupBy("s").count().filter(col("count") > cap).select("s")
       sh.join(broadcast(hot), Seq("s"), "left_anti")
     }
-    val a = index.select(col("s"), col(idCol).as("id_a"), col("n").as("n_a"))
-    val b = index.select(col("s"), col(idCol).as("id_b"), col("n").as("n_b"))
-    a.join(b, Seq("s"))
+    // the pair-count aggregation is the big shuffle (Σ df(s)² rows): keep
+    // its rows minimal — bare (id_a, id_b). The set sizes are functions
+    // of the ids, re-attached AFTER aggregation from the tiny per-doc
+    // size table (one row per doc, broadcast), not carried through the
+    // join — this halves the shuffled bytes
+    val a = index.select(col("s"), col(idCol).as("id_a"))
+    val b = index.select(col("s"), col(idCol).as("id_b"))
+    val counts = a.join(b, Seq("s"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("c"))
+    // no broadcast hint: at corpus scale the size table (one row per doc)
+    // outgrows broadcast — AQE picks broadcast-hash automatically while
+    // it fits and falls back to a shuffled join beyond that
+    val sizes = index.select(col(idCol), col("n")).distinct()
+    counts
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
