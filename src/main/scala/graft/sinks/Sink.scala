@@ -48,6 +48,27 @@ object Sink {
   def format(df: DataFrame, path: String, fmt: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).format(fmt).save(path)
 
+  /** Bucketed catalog table: co-locates the given keys at WRITE time so
+    * later equi-joins and aggregations on them read pre-partitioned
+    * buckets with NO exchange — the write-once-shuffle-never posture for
+    * fact tables joined repeatedly on the same key at 100 TB. Optional
+    * sortBy pre-sorts within buckets (sort-merge joins then skip the
+    * sort too). Pinned in StorageSpec: a join of two co-bucketed tables
+    * plans zero Exchange operators.
+    */
+  def bucketTable(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "bucketing requires at least one column")
+    val w = df.write.mode(mode).bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+
   /** K7 — JDBC bulk load (the LOAD DATA INFILE equivalent). */
   def jdbc(df: DataFrame, url: String, table: String, mode: SaveMode,
       props: java.util.Properties = new java.util.Properties()): Unit =
