@@ -71,6 +71,47 @@ object NativeHash {
     override def prettyName: String = "minhash_sig"
   }
 
+  /** Fused signature + LSH banding: computes the k-wide minhash
+    * signature and folds it into `bands` 64-bit band buckets in the
+    * same compiled pass (bucket = polynomial hash of the band's
+    * signature slice — equal slices ⇒ equal buckets, which is all LSH
+    * banding needs). Saves a second interpreted pass over the signature
+    * array per row.
+    */
+  final class MinHashBandsHelper(k: Int, bands: Int, seed: Long) extends Serializable {
+    private val base = new MinHashHelper(k, seed)
+    private val r = k / bands
+    def compute(arr: ArrayData): ArrayData = {
+      val sig = base.compute(arr)
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 1125899906842597L + b // distinct seed per band position
+        var j = b * r
+        val end = j + r
+        while (j < end) { h = h * 6364136223846793005L + sig.getLong(j); j += 1 }
+        out(b) = h
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  case class MinHashBandsExpr(child: Expression, numHashes: Int, numBands: Int, seed: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val helper = new MinHashBandsHelper(numHashes, numBands, seed)
+    override def nullSafeEval(input: Any): Any = helper.compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("minhashBandsHelper", helper, classOf[MinHashBandsHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.compute($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpr =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_band_buckets"
+  }
+
   // ---- simhash ----
 
   final class SimHashHelper extends Serializable {
@@ -156,6 +197,9 @@ object NativeHash {
 
   def minhashSig(arr: Column, numHashes: Int = 64, seed: Long = 42L): Column =
     Shims.column(MinHashSigExpr(Shims.expression(arr), numHashes, seed))
+
+  def minhashBandBuckets(arr: Column, numHashes: Int, numBands: Int, seed: Long = 42L): Column =
+    Shims.column(MinHashBandsExpr(Shims.expression(arr), numHashes, numBands, seed))
 
   def simhash64(tokens: Column): Column =
     Shims.column(SimHash64Expr(Shims.expression(tokens)))

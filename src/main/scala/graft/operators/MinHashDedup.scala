@@ -31,13 +31,12 @@ object MinHashDedup {
   def signature(shingleSet: Column, k: Int = 64, seed: Long = 42L): Column =
     graft.functions.NativeHash.minhashSig(shingleSet, k, seed)
 
-  /** Split a signature into b bands of r values, hash each band.
-    * Returns array<struct<band:int, bucket:bigint>>.
+  /** Band buckets for a shingle set: signature + per-band bucket hash in
+    * ONE compiled pass (NativeHash.MinHashBandsExpr). Bucket values are
+    * positional; consume with posexplode → (band, bucket).
     */
-  def bands(sig: Column, b: Int, r: Int): Column =
-    transform(sequence(lit(0), lit(b - 1)), i =>
-      struct(i.as("band"),
-        xxhash64(concat_ws(",", transform(slice(sig, i * r + 1, lit(r)), _.cast("string")))).as("bucket")))
+  def bandBuckets(shingleSet: Column, numHashes: Int, numBands: Int, seed: Long = 42L): Column =
+    graft.functions.NativeHash.minhashBandBuckets(shingleSet, numHashes, numBands, seed)
 
   /** Candidate near-dup pairs (idA < idB) with exact-Jaccard verification.
     *
@@ -63,15 +62,13 @@ object MinHashDedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sh", array_distinct(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val r = numHashes / numBands
     // Candidate generation ships ONLY (band, bucket, id): a pair hitting
     // k bands appears k times here but is deduped BEFORE the (expensive)
     // exact-Jaccard verify, and the shingle arrays are re-joined only for
     // the surviving distinct pairs — verify runs exactly once per pair.
     val buckets = shingled
       .select(col(idCol),
-        explode(bands(signature(col("sh"), numHashes), numBands, r)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        posexplode(bandBuckets(col("sh"), numHashes, numBands)).as(Seq("band", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides
     val cand = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
       .join(buckets.select(col("band"), col("bucket"), col(idCol).as("id_b")), Seq("band", "bucket"))
