@@ -108,6 +108,27 @@ object Loader {
     spark.sql(s"CREATE TABLE ${Source.quoteIdentifier(staging)} LIKE ${Source.quoteIdentifier(target)}")
   }
 
+  /** JDBC atomic-overwrite statement plan (SURVEY §7.4): Spark's JDBC
+    * writer truncates/recreates non-atomically, so overwriting a live
+    * remote table follows the reference's staging + RENAME swap
+    * (`loader/mysql_loader.py:81-86,119-123`): write into a staging
+    * clone, then swap names in ONE multi-table RENAME (atomic in MySQL),
+    * then drop the displaced old table. This returns the statement
+    * sequence (the df itself goes through `Sink.jdbc` into the staging
+    * table between statements 2 and 3); pure so it is testable without
+    * a live database — the sequence is pinned in LoaderSpec.
+    */
+  def jdbcOverwritePlan(table: String): Seq[String] = {
+    val stg = s"${table}__graft_staging"
+    val old = s"${table}__graft_old"
+    Seq(
+      s"DROP TABLE IF EXISTS `$stg`",
+      s"CREATE TABLE `$stg` LIKE `$table`",
+      // (data load into staging happens here, via Sink.jdbc append)
+      s"RENAME TABLE `$table` TO `$old`, `$stg` TO `$table`",
+      s"DROP TABLE `$old`")
+  }
+
   private def writePartitioned(df: DataFrame, cfg: LoadConfig) = {
     val w = df.write
     if (cfg.partition.nonEmpty) w.partitionBy(cfg.partition.keys.toSeq: _*) else w

@@ -10,11 +10,11 @@ import graft.functions.Text
   * expressions + one equi-join.
   *
   * Scale shape (the part that matters at 100 TB):
-  *   - signatures are computed in ONE pass over each doc's shingle array
-  *     (`aggregate` with a k-wide min accumulator), map-side only;
-  *   - candidate generation is `explode(bands)` → self-equi-join on
-  *     (band_id, band_hash): a hash-partitioned join on a low-cardinality
-  *     composite key — never an O(n²) cross join;
+  *   - signature + band buckets are ONE compiled pass per doc
+  *     (NativeHash.MinHashBandsExpr), map-side only;
+  *   - candidate generation is posexplode(buckets) → self-equi-join on
+  *     (band, bucket): a hash-partitioned join on a narrow composite
+  *     key — never an O(n²) cross join;
   *   - verification (exact Jaccard on shingle sets) touches only
   *     candidate pairs. Band/row parameters trade recall vs candidate
   *     volume: b bands of r rows ⇒ match threshold ≈ (1/b)^(1/r).

@@ -27,6 +27,20 @@ object StreamOps {
   def dedup(events: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
 
+  /** Streaming file sink: append micro-batches to a parquet directory
+    * with exactly-once semantics via the checkpoint (the streaming
+    * counterpart of the reference's staging-file + merge protocol — the
+    * file-sink commit log IS the staging/commit step). Returns the
+    * started query; caller owns its lifecycle.
+    */
+  def toParquet(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long, sum_value: Double)
   // public: the state encoder's generated (Janino) code must reach the

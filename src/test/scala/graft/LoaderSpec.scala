@@ -116,6 +116,17 @@ class LoaderSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS gdb.lt_dot")
   }
 
+  test("JDBC overwrite swap plan follows the reference's staging+RENAME protocol") {
+    val plan = Loader.jdbcOverwritePlan("t")
+    assert(plan == Seq(
+      "DROP TABLE IF EXISTS `t__graft_staging`",
+      "CREATE TABLE `t__graft_staging` LIKE `t`",
+      "RENAME TABLE `t` TO `t__graft_old`, `t__graft_staging` TO `t`",
+      "DROP TABLE `t__graft_old`"))
+    // the swap is a single multi-table RENAME: target never missing
+    assert(plan.count(_.startsWith("RENAME")) == 1)
+  }
+
   test("identifier quoting handles dotted and pre-quoted names (R10)") {
     assert(Source.quoteIdentifier("db.tbl") == "`db`.`tbl`")
     assert(Source.quoteIdentifier("`db`.tbl") == "`db`.`tbl`")
