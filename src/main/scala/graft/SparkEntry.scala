@@ -271,6 +271,45 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- as-of / range joins (time-series & interval matching) ----
+    "asof_join" -> ((s, dir) => {
+      // latest order at-or-before each event, per user; right side made
+      // unique on (user, time) so the as-of pick is deterministic
+      val ro = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("ot"))
+        .agg(max("o_orderkey").as("last_order"))
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+      AsOfJoin.asOf(ev, ro, Seq("user_id"), "ts", "ot", Seq("last_order"))
+        .select("event_id", "user_id", "last_order")
+        .orderBy("event_id")
+    }),
+
+    "range_join" -> ((s, dir) => {
+      // histogram-style interval match: orders priced into region-keyed
+      // price bands [k*100000, (k+1)*100000)
+      val bands = t(s, dir, "region")
+        .select(col("r_regionkey").as("band"),
+          (col("r_regionkey") * 100000.0).as("lo"),
+          ((col("r_regionkey") + 1) * 100000.0).as("hi"))
+      RangeJoin.pointInInterval(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          bands, "o_totalprice", "lo", "hi", binWidth = 50000.0)
+        .groupBy("band").agg(count(lit(1)).as("n_orders"))
+        .orderBy("band")
+    }),
+
+    "quantiles" -> ((s, dir) =>
+      // exact percentiles (Spark `percentile`, not approx) - grouped
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
+        .orderBy("l_returnflag")),
+
     // ---- K2-K4: hive-text encoding (escape + null token) ----
     "hivetext_encode" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -582,6 +621,34 @@ object SparkEntry {
         |SELECT user_id,
         |       SUM(CASE WHEN gap > 30 * 60 * 1000000 THEN 1 ELSE 0 END) + 1 AS n_sessions
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "asof_join" ->
+      """WITH ro AS (
+        |  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ot,
+        |         max(o_orderkey) AS last_order
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, ro.last_order
+        |FROM events e
+        |ASOF LEFT JOIN ro
+        |  ON e.user_id = ro.user_id AND CAST(e.ts AS TIMESTAMP) >= ro.ot
+        |ORDER BY event_id""".stripMargin,
+
+    "range_join" ->
+      """WITH bands AS (
+        |  SELECT r_regionkey AS band, r_regionkey * 100000.0 AS lo,
+        |         (r_regionkey + 1) * 100000.0 AS hi
+        |  FROM region)
+        |SELECT band, COUNT(*) AS n_orders
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "hivetext_encode" ->
       """SELECT doc_id,
