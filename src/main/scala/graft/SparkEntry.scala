@@ -361,6 +361,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // cross-corpus decontamination: the doc_id % 10 == 0 slice plays the
+    // benchmark set; train docs with >= 0.5 bigram jaccard against it
+    // are contaminated (excluding a doc matching itself in both roles)
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      JaccardDedup.crossPairs(d, "doc_id", bench, "bench_id", "text",
+          nGram = 2, threshold = 0.5)
+        .filter(col("left_id") =!= col("right_id"))
+        .select(col("left_id"), col("right_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("left_id", "right_id")
+    }),
+
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) =>
       docs(s, dir)
@@ -701,6 +715,21 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
+        |    i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY left_id, right_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -104,4 +104,50 @@ object JaccardDedup {
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Cross-corpus contamination pairs: (left_id, right_id, jaccard) for
+    * every left doc sharing ≥ threshold n-gram Jaccard with a right doc
+    * — the train-vs-benchmark decontamination check of LLM pipelines.
+    * Same lossless inverted-index shape as the self-join variant; the
+    * (usually much smaller) right corpus indexes once and the join is
+    * left-index ⋈ right-index on the shingle hash.
+    */
+  def crossPairs(
+      left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String,
+      textCol: String,
+      nGram: Int = 2,
+      threshold: Double = 0.3): DataFrame = {
+    require(threshold > 0, "threshold must be > 0")
+    def indexOf(df: DataFrame, idCol: String, outId: String) = df
+      .select(col(idCol).as(outId), array_distinct(Text.shingles(Text.tokens(col(textCol)), nGram)).as("sh"))
+      .select(col(outId), explode(col("sh")).as("s0"), size(col("sh")).as(s"n_$outId"))
+      .select(col(outId), xxhash64(col("s0")).as("s"), col(s"n_$outId"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val li = indexOf(Par.widen(left), leftId, "left_id")
+    val ri = indexOf(Par.widen(right), rightId, "right_id")
+    val counts = li.select(col("s"), col("left_id"))
+      .join(ri.select(col("s"), col("right_id")), Seq("s"))
+      .groupBy("left_id", "right_id").agg(count(lit(1)).as("c"))
+    counts
+      .join(li.select(col("left_id"), col("n_left_id")).distinct(), Seq("left_id"))
+      .join(ri.select(col("right_id"), col("n_right_id")).distinct(), Seq("right_id"))
+      .withColumn("jaccard", col("c") / (col("n_left_id") + col("n_right_id") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
+  /** Decontaminate: drop every left (train) doc contaminated by the
+    * right (benchmark) corpus at the given similarity.
+    */
+  def decontaminate(
+      train: DataFrame, trainId: String,
+      benchmark: DataFrame, benchId: String,
+      textCol: String,
+      nGram: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val dirty = crossPairs(train, trainId, benchmark, benchId, textCol, nGram, threshold)
+      .select(col("left_id").as(trainId)).distinct()
+    train.join(dirty, Seq(trainId), "left_anti")
+  }
 }

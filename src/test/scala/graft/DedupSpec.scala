@@ -93,6 +93,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(p => p._1 == 4L && p._2 == 5L))
   }
 
+  test("decontaminate drops exactly the train docs overlapping the benchmark") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated content about columnar storage engines"),
+      (3L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bench_id", "text")
+    val clean = JaccardDedup.decontaminate(train, "doc_id", bench, "bench_id", "text",
+        nGram = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L), s"expected only doc 2 to survive, got $clean")
+  }
+
   test("jaccard candidate generation is lossless at low thresholds") {
     // docs sharing exactly one shingle: candidate must still be generated
     val df = Seq(
