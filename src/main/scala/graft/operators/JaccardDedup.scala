@@ -126,8 +126,12 @@ object JaccardDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val li = indexOf(Par.widen(left), leftId, "left_id")
     val ri = indexOf(Par.widen(right), rightId, "right_id")
+    // benchmark corpora are small by nature (that is the decontamination
+    // use case), so the right index is broadcast: the train index — the
+    // 100 TB side — streams map-side and never shuffles for this join;
+    // only the candidate pairs reach the groupBy exchange
     val counts = li.select(col("s"), col("left_id"))
-      .join(ri.select(col("s"), col("right_id")), Seq("s"))
+      .join(broadcast(ri.select(col("s"), col("right_id"))), Seq("s"))
       .groupBy("left_id", "right_id").agg(count(lit(1)).as("c"))
     counts
       .join(li.select(col("left_id"), col("n_left_id")).distinct(), Seq("left_id"))
