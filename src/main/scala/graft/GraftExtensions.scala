@@ -30,5 +30,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(e) => NativeHash.SimHash64Expr(e)
         case _ => throw new IllegalArgumentException("simhash64(array<string>) expects 1 argument")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_band_buckets"),
+      new ExpressionInfo(classOf[NativeHash.MinHashBandsExpr].getName, "minhash_band_buckets"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, Literal(k: Int, IntegerType), Literal(b: Int, IntegerType)) =>
+          NativeHash.MinHashBandsExpr(e, k, b, 42L)
+        case _ => throw new IllegalArgumentException(
+          "minhash_band_buckets(array<string>, numHashes, numBands) expects literal int sizes")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("srp_bits"),
+      new ExpressionInfo(classOf[NativeHash.SrpBitsExpr].getName, "srp_bits"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, Literal(dim: Int, IntegerType), Literal(p: Int, IntegerType)) =>
+          NativeHash.SrpBitsExpr(e, dim, p, 42L)
+        case _ => throw new IllegalArgumentException(
+          "srp_bits(array<float>, dim, nPlanes) expects literal int sizes")
+      }))
   }
 }

@@ -633,7 +633,7 @@ object SparkEntry {
         |         us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS gap
         |  FROM e)
         |SELECT user_id,
-        |       SUM(CASE WHEN gap > 30 * 60 * 1000000 THEN 1 ELSE 0 END) + 1 AS n_sessions
+        |       CAST(SUM(CASE WHEN gap > 30 * 60 * 1000000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "asof_join" ->

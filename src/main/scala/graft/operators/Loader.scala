@@ -29,9 +29,17 @@ object Loader {
       // R3 static partition spec (`PARTITION (k=v)`): constant columns
       // added then used as table partitioning (`hive_loader.py:152-155`).
       partition: Map[String, String] = Map.empty,
-      preSql: Seq[String] = Nil,   // R7
+      preSql: Seq[String] = Nil,   // R7 (string form: Loader.sqlList)
       postSql: Seq[String] = Nil,  // R7
       analyze: Boolean = true)     // R8
+
+  /** R9 string form — the reference accepts pre/post SQL as either a
+    * list or one `;`-separated string (`utils/__init__.py:55-63`); this
+    * parses the string form (trimmed, empty segments dropped) for use as
+    * `LoadConfig(preSql = Loader.sqlList("SET a=1; SET b=2"))`.
+    */
+  def sqlList(sql: String): Seq[String] =
+    sql.split(";").iterator.map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Validation mirroring `hive_loader.py:66-82`: merge forbids static
     * partitions and requires keys.

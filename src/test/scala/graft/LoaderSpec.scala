@@ -127,6 +127,20 @@ class LoaderSpec extends AnyFunSuite {
     assert(plan.count(_.startsWith("RENAME")) == 1)
   }
 
+  test("R9 string form: ';'-separated SQL splits like the reference") {
+    assert(Loader.sqlList("SET a=1; SET b=2;") == Seq("SET a=1", "SET b=2"))
+    assert(Loader.sqlList("  ") == Nil)
+    assert(Loader.sqlList("single") == Seq("single"))
+    // end-to-end: string-form preSql runs through load()
+    spark.sql("DROP TABLE IF EXISTS lt_s9")
+    Loader.load(spark, Seq((1, "a")).toDF("k", "v"),
+      Loader.LoadConfig("lt_s9", Loader.Overwrite,
+        preSql = Loader.sqlList(
+          "CREATE TABLE lt_s9_pre1 (x INT) USING parquet; CREATE TABLE lt_s9_pre2 (x INT) USING parquet;")))
+    assert(spark.catalog.tableExists("lt_s9_pre1") && spark.catalog.tableExists("lt_s9_pre2"))
+    drop("lt_s9", "lt_s9_pre1", "lt_s9_pre2")
+  }
+
   test("identifier quoting handles dotted and pre-quoted names (R10)") {
     assert(Source.quoteIdentifier("db.tbl") == "`db`.`tbl`")
     assert(Source.quoteIdentifier("`db`.tbl") == "`db`.`tbl`")

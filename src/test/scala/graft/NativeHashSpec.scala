@@ -81,4 +81,20 @@ class NativeHashSpec extends AnyFunSuite {
       .as[(Int, Long)].head()
     assert(r._1 == 64)
   }
+
+  test("SQL surface: minhash_band_buckets and srp_bits resolve via GraftExtensions") {
+    docs.createOrReplaceTempView("nh_docs2")
+    // band buckets: same values as the Column API (same default seed)
+    val sqlBands = spark.sql(
+      "SELECT minhash_band_buckets(sh, 64, 16) AS bb FROM nh_docs2")
+      .as[Seq[Long]].collect().toSeq
+    val colBands = docs.select(NativeHash.minhashBandBuckets(col("sh"), 64, 16).as("bb"))
+      .as[Seq[Long]].collect().toSeq
+    assert(sqlBands == colBands && sqlBands.head.size == 16)
+
+    Seq(Seq(1f, -2f, 0.5f, 3f)).toDF("vec").createOrReplaceTempView("nh_vecs")
+    val bits = spark.sql("SELECT srp_bits(vec, 4, 12) AS bits FROM nh_vecs")
+      .as[Seq[Long]].head()
+    assert(bits.size == 12 && bits.forall(b => b == 0L || b == 1L))
+  }
 }
