@@ -40,9 +40,21 @@ object MinHashDedup {
 
   /** Candidate near-dup pairs (idA < idB) with exact-Jaccard verification.
     *
+    * Recall contract — the part callers get wrong: banding with b bands
+    * of r rows catches a pair of true Jaccard J with probability
+    * 1 − (1 − J^r)^b, an S-curve whose knee (p = 0.5) sits at
+    * ≈ (1/b)^(1/r). The defaults (b=16, r=4 ⇒ knee ≈ 0.5) are sized for
+    * web-dedup thresholds: recall is ≥ 0.9998 at J = 0.8 but only ~0.64
+    * AT the knee itself. Pick `threshold` comfortably ABOVE the knee, or
+    * re-band (larger b, smaller r pushes the knee down at the cost of
+    * candidate volume). Asking for threshold 0.1 under the default
+    * banding returns only the lucky fraction of mid-range pairs —
+    * exact verification bounds precision, never recall.
+    *
     * @param df        input with `idCol` and a text column
     * @param nGram     word-shingle width
-    * @param threshold Jaccard threshold for a verified near-dup
+    * @param threshold Jaccard threshold for a verified near-dup; keep it
+    *                  above the banding knee ≈ (1/numBands)^(numBands/numHashes)
     */
   def nearDupPairs(
       df: DataFrame,

@@ -34,26 +34,56 @@ object SimilaritySearch {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** ANN via SRP-LSH: candidates = same-signature bucket plus all
-    * 1-bit-flip probe buckets (multi-probe improves recall with no extra
-    * corpus copies — probes explode on the *query* side, the small one).
+  /** ANN via banded SRP-LSH: `tables` independent hash tables of
+    * `bitsPerTable` hyperplanes each; candidates are corpus vectors
+    * sharing a (table, bucket) cell with the query in ANY table —
+    * the standard multi-table E2LSH layout. A single-table multi-probe
+    * variant was tried first and abandoned: with one table, recall for
+    * moderate-similarity neighbors decays as p^nBits with no way to buy
+    * it back, while L tables give 1 − (1 − p^r)^L.
+    *
+    * Scale shape:
+    *   - corpus index rows carry ONLY (tbl, bucket, id) — vectors are
+    *     re-joined for the distinct candidate set, so the index explode
+    *     (×L) never ships embeddings;
+    *   - the candidate join is an equi-join on (tbl, bucket) against the
+    *     broadcast query index;
+    *   - `bitsPerTable` < 0 auto-sizes to ceil(log2 n) − 5, i.e. ~32
+    *     corpus vectors per bucket per table: per-query candidate work is
+    *     then ~32·tables regardless of corpus size. Per-neighbor recall
+    *     at bit-agreement p = 1 − θ/π is 1 − (1 − p^r)^L; raise `tables`
+    *     to buy recall for a given similarity floor.
     */
   def srpTopK(
       corpus: DataFrame, // (id, vec)
       queries: DataFrame, // (qid, qvec)
       k: Int,
       dim: Int,
-      nBits: Int = 12,
+      bitsPerTable: Int = -1,
+      tables: Int = 32,
       seed: Long = 42L): DataFrame = {
-    val c = corpus.withColumn("sig", Vectors.srpSignature(col("vec"), dim, nBits, seed))
-    val probes = transform(sequence(lit(0), lit(nBits)), i =>
-      when(i === 0, col("sig")).otherwise(col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), i - 1))))
-    val q = queries
-      .withColumn("sig", Vectors.srpSignature(col("qvec"), dim, nBits, seed))
-      .withColumn("sig", explode(probes))
-    val scored = c.join(broadcast(q), Seq("sig"))
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else { // ceil(log2 n) − 5, floored at 2 (index build is offline; one count is cheap)
+        val n = math.max(2L, corpus.count())
+        math.max(2, 64 - java.lang.Long.numberOfLeadingZeros(n - 1) - 5)
+      }
+    def index(df: DataFrame, vecCol: String, idCol: String) = df
+      // bits bound as their own column BEFORE the interpreted bucket
+      // fold — HOFs have no CSE, an inline srpBits would re-run all
+      // plane dots once per table
+      .withColumn("__bits",
+        graft.functions.NativeHash.srpBits(col(vecCol), dim, bits * tables, seed))
+      .select(col(idCol),
+        explode(Vectors.srpFoldBuckets(col("__bits"), bits, tables)).as("bb"))
+      .select(col(idCol), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+    val cand = index(corpus, "vec", "id")
+      .join(broadcast(index(queries, "qvec", "qid")), Seq("tbl", "bucket"))
+      .select("qid", "id").distinct() // a pair meeting in j tables scores once
+    val scored = cand
+      .join(corpus, Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
       .select(col("qid"), col("id"), Vectors.cosine(col("qvec"), col("vec")).as("score"))
-      .groupBy("qid", "id").agg(max("score").as("score")) // dedup multi-probe hits
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

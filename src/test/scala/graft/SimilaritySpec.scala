@@ -46,7 +46,7 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("id").as("qid"), col("vec").as("qvec"))
     val bf = SimilaritySearch.bruteForceTopK(corpus, queries, 1)
       .select("qid", "id").as[(Long, Long)].collect().toSet
-    val srp = SimilaritySearch.srpTopK(corpus, queries, 1, dim = 8, nBits = 6)
+    val srp = SimilaritySearch.srpTopK(corpus, queries, 1, dim = 8)
       .select("qid", "id").as[(Long, Long)].collect().toSet
     assert(srp == bf)
   }
@@ -79,6 +79,39 @@ class SimilaritySpec extends AnyFunSuite {
     val top2 = IvfSearch.ivfTopK(corpus, queries, 2, nLists = 4, nProbe = 2)
       .select("id").as[Long].collect().toSet
     assert(top2 == Set(20L, 21L)) // the identical pair shares a list by construction
+  }
+
+  // ---- recall gates on the driver's own fixture corpus: the silent-
+  // recall failure mode (r2's ann_srp returned 9 of 25 rows with nothing
+  // to catch it) is pinned here ----
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def fixtureTopK(k: Int)(run: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    run(corpus, queries).select("qid", "id").as[(Long, Long)].collect().toSet
+  }
+
+  test("recall gate: srpTopK has full row count and >= 0.9 overlap with brute force on fixtures") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val bf = fixtureTopK(5)(SimilaritySearch.bruteForceTopK(_, _, 5))
+    val srp = fixtureTopK(5)(SimilaritySearch.srpTopK(_, _, 5, dim = 64))
+    assert(srp.size == bf.size, s"srp returned ${srp.size} of ${bf.size} rows")
+    assert((srp & bf).size >= math.ceil(bf.size * 0.9).toInt,
+      s"srp recall ${(srp & bf).size}/${bf.size} below 0.9")
+  }
+
+  test("recall gate: ivfTopK at the declared nProbe=28 has full row count and >= 0.9 recall") {
+    assume(new java.io.File(sfDir).isDirectory)
+    import graft.operators.IvfSearch
+    val bf = fixtureTopK(5)(SimilaritySearch.bruteForceTopK(_, _, 5))
+    val ivf = fixtureTopK(5)(IvfSearch.ivfTopK(_, _, 5, nLists = 32, nProbe = 28))
+    assert(ivf.size == bf.size, s"ivf returned ${ivf.size} of ${bf.size} rows")
+    assert((ivf & bf).size >= math.ceil(bf.size * 0.9).toInt,
+      s"ivf recall ${(ivf & bf).size}/${bf.size} below 0.9")
   }
 
   test("cosineNearDupPairs at a looser threshold keeps within-cluster pairs only") {
