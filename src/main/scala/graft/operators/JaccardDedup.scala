@@ -6,24 +6,30 @@ import graft.functions.Text
 
 /** Exact n-gram Jaccard near-duplicate pairs WITHOUT an all-pairs join.
   *
-  * Candidate generation is lossless for any threshold > 0: J(a,b) ≥ t > 0
-  * requires at least one shared shingle, so an inverted index —
-  * `explode(shingles)` → self-equi-join on the shingle — reaches every
-  * qualifying pair. Counting the join hits per (id_a, id_b) gives the
-  * intersection size c directly, and with each side's set size attached,
+  * Candidate generation uses PREFIX FILTERING on a global rarity order
+  * (the PPJoin family — Xiao, Wang, Lin & Yu, "Efficient Similarity
+  * Joins for Near Duplicate Detection", WWW 2008): J(a,b) ≥ t implies
+  * an overlap c ≥ ⌈t·|a|⌉ (and ≥ ⌈t·|b|⌉), and if sets are sorted by a
+  * global order, any pair with overlap ≥ α must share an element within
+  * the first |x| − α + 1 elements of EACH side. So only each document's
+  * rarest n − ⌈t·n⌉ + 1 shingles (by corpus document frequency, ties on
+  * hash) enter the candidate self-join. Candidates are then verified
+  * with an exact intersection count through the full index:
   *     J = c / (n_a + n_b − c)
-  * — no second pass over the shingle arrays, no array shipping through
-  * the pair shuffle.
+  * — lossless at every threshold, no arrays through any shuffle.
   *
-  * Scale shape: cost is Σ_s df(s)² over shingle document-frequencies
-  * instead of n² over documents. For web-scale corpora the tail risk is
-  * ultra-common shingles ("of the"); `maxDocFreq` caps them — any shingle
-  * shared by more than that many docs is dropped from the index. That cap
-  * trades exactness for a bound on the join fan-out (a pair sharing ONLY
-  * ultra-common shingles can be missed), so it is off by default and the
-  * default path stays exact; at 100 TB the principled refinement is
-  * PPJoin-style prefix filtering on a global rarity order, which this
-  * index layout extends to directly.
+  * Scale shape: the naive inverted-index join costs Σ_s df(s)² over
+  * shingle document-frequencies, and one viral shingle ("of the",
+  * df = 10⁶) alone contributes 10¹² join rows. Under prefix filtering a
+  * viral shingle ranks LAST in the rarity order and falls out of almost
+  * every prefix, so the candidate join costs Σ_s dfP(s)² over prefix
+  * frequencies — the hot tail self-prunes, with zero recall loss (the
+  * `hot-shingle corpus` DedupSpec case pins candidates = 0 where the
+  * naive join would produce all pairs). A size filter
+  * (t·max(|a|,|b|) ≤ min(|a|,|b|)) further prunes before dedup.
+  * `maxDocFreq` remains as an OPTIONAL extra cap for adversarial
+  * corpora; unlike prefix filtering it can lose pairs, so it stays off
+  * by default.
   */
 object JaccardDedup {
 
@@ -48,6 +54,36 @@ object JaccardDedup {
       threshold: Double = 0.3): DataFrame =
     nearDupPairsBy(df, idCol, Text.charShingles(col(textCol), nChars), threshold, None)
 
+  /** Prefix index: each document's rarest n − ⌈t·n⌉ + 1 shingle hashes
+    * under the global (document-frequency asc, hash asc) order. Any pair
+    * with J ≥ t shares at least one shingle in BOTH prefixes (see object
+    * doc), so a self-join on this index is a lossless candidate
+    * generator. Exposed package-private so DedupSpec can pin the
+    * hot-shingle fan-out bound directly.
+    */
+  private[graft] def prefixIndex(index: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val dfreq = index.groupBy("s").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df").asc, col("s").asc)
+    index.join(dfreq, Seq("s"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("s"), col(idCol), col("n"))
+  }
+
+  /** Candidate (id_a < id_b) pairs from the prefix self-join, with the
+    * size filter t·max(n_a,n_b) ≤ min(n_a,n_b) applied before dedup.
+    */
+  private[graft] def prefixCandidates(index: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val prefix = prefixIndex(index, idCol, threshold)
+    prefix.select(col("s"), col(idCol).as("id_a"), col("n").as("__na"))
+      .join(prefix.select(col("s"), col(idCol).as("id_b"), col("n").as("__nb")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(greatest(col("__na"), col("__nb")) * threshold <= least(col("__na"), col("__nb")))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   /** Core: exact Jaccard over any shingle-array expression. */
   def nearDupPairsBy(
       df: DataFrame,
@@ -58,31 +94,29 @@ object JaccardDedup {
     require(threshold > 0, "threshold must be > 0 (candidate generation relies on a shared shingle)")
     val sh = Par.widen(df)
       .select(col(idCol), array_distinct(shingleExpr).as("sh"))
-      // join on the 64-bit shingle hash, not the string: the self-join
-      // shuffles Σ df(s) index rows and compares Σ df(s)² key pairs, so
-      // fixed-width long keys beat variable-length strings; a 64-bit
-      // collision (≈2⁻⁶⁴ per shingle pair) could only merge two shingle
-      // identities — far below the result's 6-decimal resolution
+      // index on the 64-bit shingle hash, not the string: joins shuffle
+      // fixed-width long keys instead of variable-length strings; a
+      // 64-bit collision (≈2⁻⁶⁴ per shingle pair) could only merge two
+      // shingle identities — far below the result's 6-decimal resolution
       .select(col(idCol), explode(col("sh")).as("s0"), size(col("sh")).as("n"))
       .select(col(idCol), xxhash64(col("s0")).as("s"), col("n"))
-      // both sides of the self-join read this index; persist so the
-      // tokenize/shingle/explode pass runs once
+      // the index feeds the df count, the prefix join and both verify
+      // sides; persist so the tokenize/shingle/explode pass runs once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val index = maxDocFreq.fold(sh) { cap =>
-      // document-frequency cap: one extra groupBy on the shingle, then a
-      // broadcast-size anti set of banned shingles (the hot tail is tiny)
+      // OPTIONAL document-frequency cap (can lose pairs — off by
+      // default; prefix filtering below already bounds the fan-out
+      // losslessly): broadcast anti-join of the tiny hot tail
       val hot = sh.groupBy("s").count().filter(col("count") > cap).select("s")
       sh.join(broadcast(hot), Seq("s"), "left_anti")
     }
-    // the pair-count aggregation is the big shuffle (Σ df(s)² rows): keep
-    // its rows minimal — bare (id_a, id_b). The set sizes are functions
-    // of the ids, re-attached AFTER aggregation from the tiny per-doc
-    // size table (one row per doc, broadcast), not carried through the
-    // join — this halves the shuffled bytes
-    val a = index.select(col("s"), col(idCol).as("id_a"))
-    val b = index.select(col("s"), col(idCol).as("id_b"))
-    val counts = a.join(b, Seq("s"))
-      .filter(col("id_a") < col("id_b"))
+    // verification: exact intersection count for candidate pairs only,
+    // through the full index — bare (id_a, id_b, s) rows, no arrays.
+    // Join 1 expands each pair to a's shingles; join 2 on (id_b, s)
+    // keeps exactly the shared ones, so count == |a ∩ b|
+    val counts = prefixCandidates(index, idCol, threshold)
+      .join(index.select(col(idCol).as("id_a"), col("s")), Seq("id_a"))
+      .join(index.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("c"))
     // no broadcast hint: at corpus scale the size table (one row per doc)

@@ -117,4 +117,27 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(pairs.length == 1 && pairs.head._3 == 0.2) // 1 shared of 5 distinct
   }
+
+  test("prefix filtering: a viral shingle creates zero candidate fan-out") {
+    // 100 docs, each 9 unique tokens + 1 viral token shared by ALL of
+    // them; true Jaccard of any pair is 1/19 < 0.5. A naive inverted-
+    // index join fans the viral token into 100·99/2 = 4950 candidate
+    // pairs; under prefix filtering it is the commonest token, ranks
+    // last in every doc's rarity order, and falls outside every prefix
+    // (length 10 − ⌈0.5·10⌉ + 1 = 6) — candidates must be exactly zero.
+    val docs = (0 until 100).map { i =>
+      (i.toLong, ((0 until 9).map(j => s"u${i}_$j") :+ "viral").mkString(" "))
+    }.toDF("doc_id", "text")
+    val index = docs
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("s0"), size(col("sh")).as("n"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"), col("n"))
+    assert(JaccardDedup.prefixCandidates(index, "doc_id", 0.5).count() == 0)
+    // end-to-end through the public API: no qualifying pairs either
+    assert(JaccardDedup.nearDupPairs(docs, "doc_id", "text", nGram = 1, threshold = 0.5).count() == 0)
+    // and losslessness at a threshold the viral-only overlap DOES meet:
+    // every pair shares exactly {viral}, J = 1/19 ≥ 0.05 → all 4950 pairs
+    val loose = JaccardDedup.nearDupPairs(docs, "doc_id", "text", nGram = 1, threshold = 0.05)
+    assert(loose.count() == 4950)
+  }
 }
