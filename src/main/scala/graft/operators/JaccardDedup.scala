@@ -25,8 +25,21 @@ import graft.functions.Text
   * every prefix, so the candidate join costs Σ_s dfP(s)² over prefix
   * frequencies — the hot tail self-prunes, with zero recall loss (the
   * `hot-shingle corpus` DedupSpec case pins candidates = 0 where the
-  * naive join would produce all pairs). A size filter
-  * (t·max(|a|,|b|) ≤ min(|a|,|b|)) further prunes before dedup.
+  * naive join would produce all pairs).
+  *
+  * Two further PPJoin prunes run INSIDE the candidate join, before the
+  * pair-distinct exchange:
+  *   - size filter: t·max(|a|,|b|) ≤ min(|a|,|b|);
+  *   - POSITIONAL filter: J ≥ t needs overlap c ≥ α = ⌈t·(n_a+n_b)/(1+t)⌉,
+  *     and both docs' shingle lists sort by the SAME global order, so
+  *     the first shared element (positions i, j in the full sorted
+  *     lists) bounds c ≤ 1 + min(n_a−i, n_b−j). Rows failing
+  *     1 + min(n_a−i, n_b−j) ≥ α are pruned; a qualifying pair always
+  *     survives through its first-shared-element row, which maximizes
+  *     the bound — lossless.
+  * All pruning bounds are computed a hair conservative (±1e-9) against
+  * fp rounding of t·n products: a boundary-exact pair is then verified
+  * by the exact intersection count rather than silently pruned.
   * `maxDocFreq` remains as an OPTIONAL extra cap for adversarial
   * corpora; unlike prefix filtering it can lose pairs, so it stays off
   * by default.
@@ -54,32 +67,52 @@ object JaccardDedup {
       threshold: Double = 0.3): DataFrame =
     nearDupPairsBy(df, idCol, Text.charShingles(col(textCol), nChars), threshold, None)
 
+  /** Guard band against fp rounding of t·n products in pruning bounds
+    * (e.g. 0.07·100 = 7.000000000000001 → ceil 8 would shrink a prefix
+    * by one and could silently drop a boundary-exact pair). Every prune
+    * subtracts/adds this so boundary cases are verified, not pruned.
+    */
+  private val Eps = 1e-9
+
   /** Prefix index: each document's rarest n − ⌈t·n⌉ + 1 shingle hashes
-    * under the global (document-frequency asc, hash asc) order. Any pair
-    * with J ≥ t shares at least one shingle in BOTH prefixes (see object
-    * doc), so a self-join on this index is a lossless candidate
-    * generator. Exposed package-private so DedupSpec can pin the
-    * hot-shingle fan-out bound directly.
+    * under the global (document-frequency asc, hash asc) order, each
+    * carrying its position `pos` in the doc's FULL sorted shingle list
+    * (for the positional filter). Any pair with J ≥ t shares at least
+    * one shingle in BOTH prefixes (see object doc), so a self-join on
+    * this index is a lossless candidate generator. Exposed
+    * package-private so DedupSpec can pin the hot-shingle fan-out bound
+    * directly.
     */
   private[graft] def prefixIndex(index: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val dfreq = index.groupBy("s").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df").asc, col("s").asc)
     index.join(dfreq, Seq("s"))
-      .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("s"), col(idCol), col("n"))
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold - lit(Eps)) + 1)
+      .select(col("s"), col(idCol), col("n"), col("pos"))
   }
 
-  /** Candidate (id_a < id_b) pairs from the prefix self-join, with the
-    * size filter t·max(n_a,n_b) ≤ min(n_a,n_b) applied before dedup.
+  /** Candidate (id_a < id_b) pairs from the prefix self-join. The size
+    * and positional filters run inside the join condition — pruned rows
+    * never reach the pair-distinct exchange. The prefix index is
+    * persisted: a self-join re-evaluates its subtree per side, and the
+    * df-count + per-doc window pipeline is the expensive part.
     */
   private[graft] def prefixCandidates(index: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val prefix = prefixIndex(index, idCol, threshold)
-    prefix.select(col("s"), col(idCol).as("id_a"), col("n").as("__na"))
-      .join(prefix.select(col("s"), col(idCol).as("id_b"), col("n").as("__nb")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(greatest(col("__na"), col("__nb")) * threshold <= least(col("__na"), col("__nb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = prefix.select(col("s").as("__sa"), col(idCol).as("id_a"),
+      col("n").as("__na"), col("pos").as("__pa"))
+    val b = prefix.select(col("s").as("__sb"), col(idCol).as("id_b"),
+      col("n").as("__nb"), col("pos").as("__pb"))
+    // minimum overlap for J ≥ t: c ≥ t·(n_a+n_b)/(1+t)
+    val alpha = ceil((col("__na") + col("__nb")) * (threshold / (1.0 + threshold)) - lit(Eps))
+    a.join(b,
+        col("__sa") === col("__sb") &&
+        col("id_a") < col("id_b") &&
+        greatest(col("__na"), col("__nb")) * threshold <= least(col("__na"), col("__nb")) + lit(Eps) &&
+        lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb")) >= alpha)
       .select("id_a", "id_b")
       .distinct()
   }
@@ -110,22 +143,23 @@ object JaccardDedup {
       val hot = sh.groupBy("s").count().filter(col("count") > cap).select("s")
       sh.join(broadcast(hot), Seq("s"), "left_anti")
     }
-    // verification: exact intersection count for candidate pairs only,
-    // through the full index — bare (id_a, id_b, s) rows, no arrays.
-    // Join 1 expands each pair to a's shingles; join 2 on (id_b, s)
-    // keeps exactly the shared ones, so count == |a ∩ b|
-    val counts = prefixCandidates(index, idCol, threshold)
-      .join(index.select(col(idCol).as("id_a"), col("s")), Seq("id_a"))
-      .join(index.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("c"))
-    // no broadcast hint: at corpus scale the size table (one row per doc)
-    // outgrows broadcast — AQE picks broadcast-hash automatically while
-    // it fits and falls back to a shuffled join beyond that
-    val sizes = index.select(col(idCol), col("n")).distinct()
-    counts
-      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+    // verification: exact intersection count per candidate pair over
+    // per-doc hash ARRAYS, not by re-joining pairs through the exploded
+    // index. The join-through-index alternative expands to
+    // Σ_cand n_a rows and then hash-aggregates them (at sf0.1's
+    // adversarial tiny-vocab corpus: 6.2M candidates → 375M rows into a
+    // 6.2M-group aggregate — that WAS 90% of the query's runtime); the
+    // array form shuffles each doc's ~n×8-byte hash array per pair side
+    // — comparable bytes — and replaces the giant aggregate with a
+    // codegen'd per-row set intersection. No broadcast hint: AQE
+    // broadcasts the doc-array table while it fits (a few MB here) and
+    // falls back to shuffled joins at corpus scale.
+    val docArr = index.groupBy(col(idCol))
+      .agg(collect_list(col("s")).as("__sh"), first(col("n")).as("__n"))
+    prefixCandidates(index, idCol, threshold)
+      .join(docArr.select(col(idCol).as("id_a"), col("__sh").as("__sha"), col("__n").as("n_a")), Seq("id_a"))
+      .join(docArr.select(col(idCol).as("id_b"), col("__sh").as("__shb"), col("__n").as("n_b")), Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("__sha"), col("__shb"))))
       .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
