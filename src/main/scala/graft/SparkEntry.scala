@@ -301,13 +301,32 @@ object SparkEntry {
     }),
 
     "quantiles" -> ((s, dir) =>
-      // exact percentiles (Spark `percentile`, not approx) - grouped
+      // exact percentiles (Spark `percentile`, not approx) - grouped.
+      // Small-data parity only: the agg buffer holds EVERY group value,
+      // so this OOMs at corpus scale — use quantiles_approx there.
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           expr("percentile(l_quantity, 0.5)").as("p50"),
           expr("percentile(l_quantity, 0.9)").as("p90"),
           expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
+        .orderBy("l_returnflag")),
+
+    // the scale-safe variant: approx_percentile keeps a bounded
+    // Greenwald-Khanna sketch per group (O(1/eps * log(eps*n)) entries,
+    // not the group's values), so it survives 100 TB groups where exact
+    // `percentile` OOMs. Contract: rank error <= n/accuracy; for groups
+    // with n <= accuracy the sketch retains every value and the answer
+    // is rank-EXACT — which is why this hash-matches DuckDB's
+    // quantile_disc at the sf0.01 gate (n~20k per group < 1e5): both
+    // return the element at rank ceil(q*n)
+    "quantiles_approx" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 100000)").as("p50"),
+          expr("approx_percentile(l_quantity, 0.9, 100000)").as("p90"),
+          expr("approx_percentile(l_extendedprice, 0.99, 100000)").as("p99_price"))
         .orderBy("l_returnflag")),
 
     // ---- K2-K4: hive-text encoding (escape + null token) ----
@@ -681,6 +700,16 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.9) AS p90,
         |  quantile_cont(l_extendedprice, 0.99) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // discrete quantiles: at the sf0.01 gate every group is smaller than
+    // the sketch accuracy (1e5), so approx_percentile is rank-exact and
+    // equals quantile_disc's element-at-ceil(q*n) — hash-exact oracle
+    "quantiles_approx" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.5) AS p50,
+        |  quantile_disc(l_quantity, 0.9) AS p90,
+        |  quantile_disc(l_extendedprice, 0.99) AS p99_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "hivetext_encode" ->

@@ -37,6 +37,12 @@ object Loader {
     * list or one `;`-separated string (`utils/__init__.py:55-63`); this
     * parses the string form (trimmed, empty segments dropped) for use as
     * `LoadConfig(preSql = Loader.sqlList("SET a=1; SET b=2"))`.
+    *
+    * Deliberate divergence: the reference's filter keeps empty strings
+    * (it drops only None), so a trailing `;` yields an empty query that
+    * then fails at execution; dropping empty segments here fixes that.
+    * Neither side handles `;` inside SQL string literals — same
+    * limitation as the reference.
     */
   def sqlList(sql: String): Seq[String] =
     sql.split(";").iterator.map(_.trim).filter(_.nonEmpty).toSeq

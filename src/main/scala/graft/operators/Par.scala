@@ -16,6 +16,10 @@ object Par {
     */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // probe the split count via the dataset's OWN query execution:
+    // `df.rdd` would build a second QueryExecution (deserializer plan)
+    // and plan the subtree twice
+    val splits = df.queryExecution.toRdd.getNumPartitions
+    if (splits < target) df.repartition(target) else df
   }
 }

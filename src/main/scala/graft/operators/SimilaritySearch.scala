@@ -61,11 +61,15 @@ object SimilaritySearch {
       dim: Int,
       bitsPerTable: Int = -1,
       tables: Int = 32,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      corpusSize: Option[Long] = None): DataFrame = {
     val bits =
       if (bitsPerTable > 0) bitsPerTable
-      else { // ceil(log2 n) − 5, floored at 2 (index build is offline; one count is cheap)
-        val n = math.max(2L, corpus.count())
+      else { // ceil(log2 n) − 5, floored at 2. Auto-sizing needs the
+        // corpus cardinality; pass `corpusSize` from table stats (or a
+        // cached count) in repeated-call services — only when absent does
+        // this fall back to one count job (fine for offline index builds)
+        val n = math.max(2L, corpusSize.getOrElse(corpus.count()))
         math.max(2, 64 - java.lang.Long.numberOfLeadingZeros(n - 1) - 5)
       }
     def index(df: DataFrame, vecCol: String, idCol: String) = df

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
 import java.sql.Timestamp
 
 /** Structured Streaming operators. The reference's "stream" is a DB
@@ -26,6 +27,33 @@ object StreamOps {
   /** Streaming exact dedup on keys; watermark bounds the dedup state. */
   def dedup(events: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
+
+  /** Streaming file SOURCE: watch a directory for new parquet/csv/json
+    * files — the streaming analog of the reference's staged-file intake
+    * (`handler/csv_handler.py:50-52`, `utils/fs.py:33-46`): producers
+    * drop completed files into the directory; the source's checkpointed
+    * file-tracking log guarantees each file is processed exactly once,
+    * including across restarts (pinned in StreamingSpec). The result
+    * composes with `windowedAgg`/`dedup`/`sessionize` like any stream.
+    *
+    * `maxFilesPerTrigger` bounds micro-batch size — the backpressure
+    * knob for catching up over a large backlog without one giant batch.
+    * An explicit schema is required (streaming scans don't infer), which
+    * also keeps the scan projection-prunable.
+    */
+  def fromFiles(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      format: String = "parquet",
+      maxFilesPerTrigger: Int = 0,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.readStream.format(format).schema(schema).options(options)
+    val bounded =
+      if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else reader
+    bounded.load(path)
+  }
 
   /** Streaming file sink: append micro-batches to a parquet directory
     * with exactly-once semantics via the checkpoint (the streaming

@@ -118,6 +118,49 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs.head._3 == 0.2) // 1 shared of 5 distinct
   }
 
+  test("minhash safety margin: no sf0.01 pair sits just above the 0.8 threshold") {
+    // dedup_minhash hash-matches an EXACT oracle only because LSH recall
+    // at the fixture's J >= 0.909 pairs is ~1-1e-8; a pair at exactly
+    // J = 0.8 would flake the gate at ~2.2e-4 per run. Guard the margin:
+    // if fixture regeneration ever lands a qualifying pair inside
+    // [0.8, 0.85), fail LOUDLY here instead of probabilistically in the
+    // driver gate. Uses the exact-Jaccard path (lossless) at the same
+    // 2-gram shingling as the dedup_minhash query.
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(sfDir).isDirectory)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val marginal = JaccardDedup.nearDupPairs(docs, "doc_id", "text", nGram = 2, threshold = 0.5)
+      .filter(col("jaccard") >= 0.8 && col("jaccard") < 0.85)
+    assert(marginal.count() == 0,
+      "fixture drift: a pair's exact Jaccard fell in [0.8, 0.85) — the " +
+        "dedup_minhash exact-oracle gate is no longer safely above the LSH knee")
+  }
+
+  test("simhash pigeonhole path equals brute-force all-pairs hamming on the sf0.01 corpus") {
+    // EXACT self-oracle for the production dedup_simhash answer: the
+    // pigeonhole candidate generation (chunks = maxDist + 1) is lossless
+    // by construction for dist <= maxDist, so the full path must equal a
+    // brute-force all-pairs comparison of the SAME signatures. No DuckDB
+    // involved — the hash family is engine-specific; losslessness of the
+    // candidate step is what is being pinned.
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(sfDir).isDirectory)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = SimHashDedup.nearDupPairs(docs, "doc_id", "text", maxDist = 7)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    import graft.functions.Text
+    val sigs = docs.select(col("doc_id"),
+      SimHashDedup.simhash(Text.tokens(col("text"))).as("sig"))
+    val exp = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        SimHashDedup.hamming(col("a.sig"), col("b.sig")).as("dist"))
+      .filter(col("dist") <= 7)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exp, s"pigeonhole ${got.size} pairs vs brute-force ${exp.size}")
+    assert(exp.nonEmpty) // the corpus plants near-dups; empty would mean a dead test
+  }
+
   test("prefix filtering: a viral shingle creates zero candidate fan-out") {
     // 100 docs, each 9 unique tokens + 1 viral token shared by ALL of
     // them; true Jaccard of any pair is 1/19 < 0.5. A naive inverted-
