@@ -40,6 +40,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minhash_band_buckets(array<string>, numHashes, numBands) expects literal int sizes")
       }))
     ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[NativeHash.ShingleHashExpr].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, Literal(n: Int, IntegerType)) => NativeHash.ShingleHashExpr(e, n)
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes(array<string>, n) expects a literal int n")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_shingle_hashes"),
+      new ExpressionInfo(classOf[NativeHash.CharShingleHashExpr].getName, "char_shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, Literal(n: Int, IntegerType)) => NativeHash.CharShingleHashExpr(e, n)
+        case _ => throw new IllegalArgumentException(
+          "char_shingle_hashes(string, n) expects a literal int n")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[NativeHash.SortedIntersectCountExpr].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => NativeHash.SortedIntersectCountExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sorted_intersect_count(array<bigint>, array<bigint>) expects 2 arguments")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("srp_bits"),
       new ExpressionInfo(classOf[NativeHash.SrpBitsExpr].getName, "srp_bits"),
       (args: Seq[Expression]) => args match {

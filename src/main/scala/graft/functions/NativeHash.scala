@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the sketch-signature hot paths.
   *
@@ -193,6 +194,148 @@ object NativeHash {
     override def prettyName: String = "srp_bits"
   }
 
+  // ---- shingle hashes ----
+
+  /** Distinct word-n-gram shingle hashes of a token array, SORTED
+    * ascending: each token XXH64-hashed once, each n-window folded by
+    * chaining (h = XXH64(tokHash_j, h)), result sorted + deduplicated in
+    * place. Replaces the interpreted transform(concat_ws(slice…)) +
+    * array_distinct + explode + xxhash64(string) pipeline — no shingle
+    * strings are ever materialized. Hash VALUES differ from
+    * xxhash64-of-the-shingle-string; the Jaccard operators rely only on
+    * the equality structure (equal token windows ⇒ equal hash; distinct
+    * windows collide at ~2⁻⁶⁴), so document frequencies, candidate sets,
+    * intersection counts and Jaccard values are unchanged.
+    */
+  final class ShingleHashHelper(n: Int) extends Serializable {
+    def compute(arr: ArrayData): ArrayData = {
+      val m = arr.numElements()
+      if (m < n) return new GenericArrayData(Array.emptyLongArray)
+      val th = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val s = arr.getUTF8String(i)
+        th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        i += 1
+      }
+      val cnt = m - n + 1
+      val out = new Array[Long](cnt)
+      i = 0
+      while (i < cnt) {
+        var h = 42L
+        var j = i
+        val end = i + n
+        while (j < end) { h = XXH64.hashLong(th(j), h); j += 1 }
+        out(i) = h
+        i += 1
+      }
+      dedupeSorted(out)
+    }
+  }
+
+  /** Distinct char-n-gram hashes (code-point windows — same boundaries
+    * as `substr` on a UTF8String), sorted ascending. For short or
+    * unsegmented text where word tokenization is meaningless.
+    */
+  final class CharShingleHashHelper(n: Int) extends Serializable {
+    def compute(s: UTF8String): ArrayData = {
+      val cps = s.toString.codePoints().toArray
+      val m = cps.length
+      if (m < n) return new GenericArrayData(Array.emptyLongArray)
+      val cnt = m - n + 1
+      val out = new Array[Long](cnt)
+      var i = 0
+      while (i < cnt) {
+        var h = 42L
+        var j = i
+        val end = i + n
+        while (j < end) { h = XXH64.hashLong(cps(j).toLong, h); j += 1 }
+        out(i) = h
+        i += 1
+      }
+      dedupeSorted(out)
+    }
+  }
+
+  private def dedupeSorted(out: Array[Long]): ArrayData = {
+    java.util.Arrays.sort(out)
+    var w = 0
+    var i = 0
+    while (i < out.length) {
+      if (i == 0 || out(i) != out(i - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  case class ShingleHashExpr(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val helper = new ShingleHashHelper(n)
+    override def nullSafeEval(input: Any): Any = helper.compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("shingleHashHelper", helper, classOf[ShingleHashHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.compute($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+      copy(child = newChild)
+    override def prettyName: String = "shingle_hashes"
+  }
+
+  case class CharShingleHashExpr(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val helper = new CharShingleHashHelper(n)
+    override def nullSafeEval(input: Any): Any = helper.compute(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("charShingleHashHelper", helper, classOf[CharShingleHashHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.compute($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): CharShingleHashExpr =
+      copy(child = newChild)
+    override def prettyName: String = "char_shingle_hashes"
+  }
+
+  // ---- sorted intersection count ----
+
+  /** |a ∩ b| for two SORTED long arrays by a single merge walk — zero
+    * allocation, no per-row hash set (array_intersect builds one), the
+    * exact-verify inner loop of the Jaccard near-dup operators.
+    */
+  final class SortedIntersectHelper extends Serializable {
+    def count(a: ArrayData, b: ArrayData): Int = {
+      val na = a.numElements()
+      val nb = b.numElements()
+      var i = 0; var j = 0; var c = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
+    }
+  }
+
+  case class SortedIntersectCountExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    @transient private lazy val helper = new SortedIntersectHelper
+    override def nullSafeEval(a: Any, b: Any): Any =
+      helper.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("sortedIntersectHelper", helper, classOf[SortedIntersectHelper].getName)
+      defineCodeGen(ctx, ev, (a, b) => s"$h.count($a, $b)")
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "sorted_intersect_count"
+  }
+
   // ---- Column wrappers ----
 
   def minhashSig(arr: Column, numHashes: Int = 64, seed: Long = 42L): Column =
@@ -206,4 +349,13 @@ object NativeHash {
 
   def srpBits(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column =
     Shims.column(SrpBitsExpr(Shims.expression(vec), dim, nPlanes, seed))
+
+  def shingleHashes(tokens: Column, n: Int): Column =
+    Shims.column(ShingleHashExpr(Shims.expression(tokens), n))
+
+  def charShingleHashes(text: Column, n: Int): Column =
+    Shims.column(CharShingleHashExpr(Shims.expression(text), n))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Shims.column(SortedIntersectCountExpr(Shims.expression(a), Shims.expression(b)))
 }

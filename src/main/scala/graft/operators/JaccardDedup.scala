@@ -53,11 +53,12 @@ object JaccardDedup {
       nGram: Int = 2,
       threshold: Double = 0.3,
       maxDocFreq: Option[Long] = None): DataFrame =
-    nearDupPairsBy(df, idCol,
-      Text.shingles(Text.tokens(col(textCol)), nGram), threshold, maxDocFreq)
+    nearDupPairsByHashes(df, idCol,
+      graft.functions.NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram),
+      threshold, maxDocFreq)
 
   /** Char-n-gram flavor — for short or unsegmented text (e.g. zh) where
-    * word tokenization is meaningless (Text.charShingles).
+    * word tokenization is meaningless.
     */
   def nearDupPairsByChars(
       df: DataFrame,
@@ -65,7 +66,8 @@ object JaccardDedup {
       textCol: String,
       nChars: Int = 3,
       threshold: Double = 0.3): DataFrame =
-    nearDupPairsBy(df, idCol, Text.charShingles(col(textCol), nChars), threshold, None)
+    nearDupPairsByHashes(df, idCol,
+      graft.functions.NativeHash.charShingleHashes(col(textCol), nChars), threshold, None)
 
   /** Guard band against fp rounding of t·n products in pruning bounds
     * (e.g. 0.07·100 = 7.000000000000001 → ceil 8 would shrink a prefix
@@ -117,49 +119,72 @@ object JaccardDedup {
       .distinct()
   }
 
-  /** Core: exact Jaccard over any shingle-array expression. */
+  /** Core: exact Jaccard over any shingle-array expression. Generic
+    * string-shingle hatch — hashes and sorts per doc (interpreted HOF),
+    * then delegates; the text/char entry points above use the native
+    * codegen'd shingle-hash expressions instead.
+    */
   def nearDupPairsBy(
       df: DataFrame,
       idCol: String,
       shingleExpr: Column,
       threshold: Double,
-      maxDocFreq: Option[Long]): DataFrame = {
+      maxDocFreq: Option[Long]): DataFrame =
+    nearDupPairsByHashes(df, idCol,
+      sort_array(transform(array_distinct(shingleExpr), s => xxhash64(s))),
+      threshold, maxDocFreq)
+
+  /** Core over a SORTED-distinct-hash-array expression (array<long>,
+    * ascending — what NativeHash.shingleHashes/charShingleHashes emit).
+    * Indexing on 64-bit hashes instead of shingle strings means joins
+    * shuffle fixed-width longs; a collision (≈2⁻⁶⁴ per pair) could only
+    * merge two shingle identities — far below the result's 6-decimal
+    * resolution.
+    */
+  def nearDupPairsByHashes(
+      df: DataFrame,
+      idCol: String,
+      hashArrExpr: Column,
+      threshold: Double,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (candidate generation relies on a shared shingle)")
-    val sh = Par.widen(df)
-      .select(col(idCol), array_distinct(shingleExpr).as("sh"))
-      // index on the 64-bit shingle hash, not the string: joins shuffle
-      // fixed-width long keys instead of variable-length strings; a
-      // 64-bit collision (≈2⁻⁶⁴ per shingle pair) could only merge two
-      // shingle identities — far below the result's 6-decimal resolution
-      .select(col(idCol), explode(col("sh")).as("s0"), size(col("sh")).as("n"))
-      .select(col(idCol), xxhash64(col("s0")).as("s"), col("n"))
-      // the index feeds the df count, the prefix join and both verify
-      // sides; persist so the tokenize/shingle/explode pass runs once
+    // one persisted doc table carries the sorted hash array; it feeds
+    // the exploded index (df count + prefix join) AND both verify sides
+    // — the shingling pass runs once per document
+    val docs = Par.widen(df)
+      .select(col(idCol), hashArrExpr.as("__sh"))
+      .select(col(idCol), col("__sh"), size(col("__sh")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val index = maxDocFreq.fold(sh) { cap =>
+    val full = docs.select(col(idCol), explode(col("__sh")).as("s"), col("n"))
+    val index = maxDocFreq.fold(full) { cap =>
       // OPTIONAL document-frequency cap (can lose pairs — off by
       // default; prefix filtering below already bounds the fan-out
       // losslessly): broadcast anti-join of the tiny hot tail
-      val hot = sh.groupBy("s").count().filter(col("count") > cap).select("s")
-      sh.join(broadcast(hot), Seq("s"), "left_anti")
+      val hot = full.groupBy("s").count().filter(col("count") > cap).select("s")
+      full.join(broadcast(hot), Seq("s"), "left_anti")
     }
-    // verification: exact intersection count per candidate pair over
-    // per-doc hash ARRAYS, not by re-joining pairs through the exploded
-    // index. The join-through-index alternative expands to
+    // capped mode verifies over the capped shingle set (c excludes
+    // capped shingles, n keeps the original size — J underestimates,
+    // matching the cap's documented lossy contract); the default path
+    // reuses the persisted doc arrays directly
+    val verifyDocs = maxDocFreq.fold(docs) { _ =>
+      index.groupBy(col(idCol))
+        .agg(sort_array(collect_list(col("s"))).as("__sh"), first(col("n")).as("n"))
+    }
+    // verification: exact intersection count per candidate pair over the
+    // per-doc sorted hash arrays — a codegen'd merge walk per row. The
+    // re-join-through-the-exploded-index alternative expands to
     // Σ_cand n_a rows and then hash-aggregates them (at sf0.1's
     // adversarial tiny-vocab corpus: 6.2M candidates → 375M rows into a
     // 6.2M-group aggregate — that WAS 90% of the query's runtime); the
     // array form shuffles each doc's ~n×8-byte hash array per pair side
-    // — comparable bytes — and replaces the giant aggregate with a
-    // codegen'd per-row set intersection. No broadcast hint: AQE
-    // broadcasts the doc-array table while it fits (a few MB here) and
-    // falls back to shuffled joins at corpus scale.
-    val docArr = index.groupBy(col(idCol))
-      .agg(collect_list(col("s")).as("__sh"), first(col("n")).as("__n"))
+    // — comparable bytes — with no giant aggregate. No broadcast hint:
+    // AQE broadcasts the doc-array table while it fits (a few MB here)
+    // and falls back to shuffled joins at corpus scale.
     prefixCandidates(index, idCol, threshold)
-      .join(docArr.select(col(idCol).as("id_a"), col("__sh").as("__sha"), col("__n").as("n_a")), Seq("id_a"))
-      .join(docArr.select(col(idCol).as("id_b"), col("__sh").as("__shb"), col("__n").as("n_b")), Seq("id_b"))
-      .withColumn("c", size(array_intersect(col("__sha"), col("__shb"))))
+      .join(verifyDocs.select(col(idCol).as("id_a"), col("__sh").as("__sha"), col("n").as("n_a")), Seq("id_a"))
+      .join(verifyDocs.select(col(idCol).as("id_b"), col("__sh").as("__shb"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("c", graft.functions.NativeHash.sortedIntersectCount(col("__sha"), col("__shb")))
       .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -188,9 +213,9 @@ object JaccardDedup {
       threshold: Double = 0.3): DataFrame = {
     require(threshold > 0, "threshold must be > 0")
     def indexOf(df: DataFrame, idCol: String, outId: String) = df
-      .select(col(idCol).as(outId), array_distinct(Text.shingles(Text.tokens(col(textCol)), nGram)).as("sh"))
-      .select(col(outId), explode(col("sh")).as("s0"), size(col("sh")).as(s"n_$outId"))
-      .select(col(outId), xxhash64(col("s0")).as("s"), col(s"n_$outId"))
+      .select(col(idCol).as(outId),
+        graft.functions.NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram).as("sh"))
+      .select(col(outId), explode(col("sh")).as("s"), size(col("sh")).as(s"n_$outId"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val li = indexOf(Par.widen(left), leftId, "left_id")
     val ri = indexOf(Par.widen(right), rightId, "right_id")
