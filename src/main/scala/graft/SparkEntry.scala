@@ -419,6 +419,25 @@ object SparkEntry {
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // ---- curation: split / sample / pack (operators/Curate.scala) ----
+    // all content-keyed on an md5 bucket — deterministic across runs,
+    // partitionings, and engines (the oracle reproduces every
+    // assignment byte-for-byte)
+    "split_assign" -> ((s, dir) =>
+      Curate.splitAssign(docs(s, dir), "doc_id", testPct = 0.1, valPct = 0.1)
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+
+    "sample_stratified" -> ((s, dir) =>
+      Curate.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 0.25), defaultRate = 0.75)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    "pack_sequences" -> ((s, dir) =>
+      Curate.packSequences(docs(s, dir), "doc_id", "text", budget = 2048, shards = 8)
+        .orderBy("doc_id")),
+
     // ---- similarity search ----
     "ann_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -804,6 +823,36 @@ object SparkEntry {
         |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token_count,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_count
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // curation: the md5 bucket is CAST(('0x' || hex4) AS INTEGER) in
+    // DuckDB and conv(hex4, 16, 10) in Spark — same 16-bit integer
+    "split_assign" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 6553 THEN 'test'
+        |       WHEN bucket < 13107 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 16384 ELSE 49152 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |FROM toks ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
