@@ -112,6 +112,24 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("native shingle hashing preserves exact Jaccard of the string pipeline") =
+    forAll(
+      Gen.listOfN(5, Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" "))),
+      Gen.choose(1, 3)) { (docTexts, n) =>
+      import graft.functions.{NativeHash, Text}
+      val df = docTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val both = df.select(col("id"),
+        NativeHash.shingleHashes(Text.tokens(col("text")), n).as("nw"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), n)).as("old"))
+      val bad = both.as("a").crossJoin(both.as("b")).filter(col("a.id") < col("b.id"))
+        .filter(
+          NativeHash.sortedIntersectCount(col("a.nw"), col("b.nw")) =!=
+            size(array_intersect(col("a.old"), col("b.old"))) ||
+          size(col("a.nw")) =!= size(col("a.old")))
+        .count()
+      bad == 0L
+    }
+
   property("hive-text encodeRow never yields NULL and keeps the field count") =
     forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 99L), Gen.option(Gen.alphaNumStr.map(_.take(8)))))) {
       rows =>

@@ -74,6 +74,75 @@ class NativeHashSpec extends AnyFunSuite {
     rows.foreach { case (nw, old) => assert(nw == old) }
   }
 
+  test("shingle_hashes has the same set structure as the string-shingle pipeline") {
+    // the native path replaced transform(concat_ws(slice))+array_distinct
+    // +xxhash64: hash VALUES differ by design, but sizes and pairwise
+    // intersection counts — everything the Jaccard operators consume —
+    // must agree exactly
+    import graft.functions.Text
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "a a a a a"), // repeated shingles: distinctness must hold
+      (4L, "one"), // fewer tokens than n -> empty
+      (5L, "")
+    ).toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val both = texts.select(
+        col("id"),
+        NativeHash.shingleHashes(Text.tokens(col("text")), n).as("nw"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), n)).as("old"))
+        .persist()
+      assert(both.filter(size(col("nw")) =!= size(col("old"))).count() == 0, s"size mismatch n=$n")
+      // sorted ascending (the merge-walk contract)
+      assert(both.filter(col("nw") =!= sort_array(col("nw"))).count() == 0)
+      val pairs = both.as("a").crossJoin(both.as("b")).filter(col("a.id") < col("b.id"))
+        .select(
+          NativeHash.sortedIntersectCount(col("a.nw"), col("b.nw")).as("cNew"),
+          size(array_intersect(col("a.old"), col("b.old"))).as("cOld"))
+      assert(pairs.filter(col("cNew") =!= col("cOld")).count() == 0, s"intersect mismatch n=$n")
+      both.unpersist()
+    }
+  }
+
+  test("char_shingle_hashes matches the substr pipeline's set structure") {
+    import graft.functions.Text
+    val texts = Seq((1L, "abcabc"), (2L, "abcd"), (3L, "ab"), (4L, "机器学习机器")).toDF("id", "text")
+    val both = texts.select(
+      col("id"),
+      NativeHash.charShingleHashes(col("text"), 3).as("nw"),
+      array_distinct(Text.charShingles(col("text"), 3)).as("old"))
+      .persist()
+    assert(both.filter(size(col("nw")) =!= size(col("old"))).count() == 0)
+    val pairs = both.as("a").crossJoin(both.as("b")).filter(col("a.id") < col("b.id"))
+      .select(
+        NativeHash.sortedIntersectCount(col("a.nw"), col("b.nw")).as("cNew"),
+        size(array_intersect(col("a.old"), col("b.old"))).as("cOld"))
+    assert(pairs.filter(col("cNew") =!= col("cOld")).count() == 0)
+    both.unpersist()
+  }
+
+  test("sorted_intersect_count equals array_intersect size on sorted long arrays") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L), 2),
+      (Seq.empty[Long], Seq(1L), 0),
+      (Seq(7L), Seq(7L), 1),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L), 0)
+    ).toDF("a", "b", "want")
+    assert(df.filter(NativeHash.sortedIntersectCount(col("a"), col("b")) =!= col("want")).count() == 0)
+  }
+
+  test("SQL surface: shingle_hashes / char_shingle_hashes / sorted_intersect_count resolve") {
+    Seq((Seq("a", "b", "c"), "xyzw")).toDF("toks", "s").createOrReplaceTempView("nh_sh")
+    val r = spark.sql(
+      """SELECT size(shingle_hashes(toks, 2)) AS ns,
+        |       size(char_shingle_hashes(s, 2)) AS nc,
+        |       sorted_intersect_count(shingle_hashes(toks, 2), shingle_hashes(toks, 2)) AS c
+        |FROM nh_sh""".stripMargin)
+      .as[(Int, Int, Int)].head()
+    assert(r == ((2, 3, 2)))
+  }
+
   test("SQL surface: minhash_sig and simhash64 resolve via GraftExtensions") {
     docs.createOrReplaceTempView("nh_docs")
     val r = spark.sql(
