@@ -438,6 +438,28 @@ object SparkEntry {
       Curate.packSequences(docs(s, dir), "doc_id", "text", budget = 2048, shards = 8)
         .orderBy("doc_id")),
 
+    // incremental ingest dedup: new docs (doc_id >= 400) probe the band
+    // index of the existing corpus (doc_id < 400) — corpus signatures
+    // precomputed once, corpus text re-read only for bucket-sharing
+    // candidates. Same 0.8-above-the-knee threshold discipline as
+    // dedup_minhash; the DedupSpec margin test covers cross-set pairs too
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") < 400).select(col("doc_id").as("corpus_id"), col("text"))
+      val fresh = d.filter(col("doc_id") >= 400).select(col("doc_id").as("new_id"), col("text"))
+      val idx = MinHashDedup.bandIndex(corpus, "corpus_id", "text", nGram = 2)
+      MinHashDedup.incrementalPairs(idx, corpus, fresh, "corpus_id", "new_id", "text",
+          nGram = 2, threshold = 0.8)
+        .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("new_id", "corpus_id")
+    }),
+
+    // Okapi BM25 keyword relevance over the corpus (operators/TextSearch)
+    "bm25_search" -> ((s, dir) =>
+      TextSearch.bm25(docs(s, dir), "doc_id", "text", Seq("join", "vector", "merge"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")),
+
     // ---- similarity search ----
     "ann_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -853,6 +875,50 @@ object SparkEntry {
         |SELECT doc_id, shard, n_tokens,
         |  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens) / 2048.0) AS BIGINT) AS pack_id
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // exact cross-set shingle Jaccard — the incremental path must reach
+    // full recall on this corpus to hash-match (threshold 0.8 sits above
+    // the b=16/r=4 banding knee; fixture pairs are all J >= 0.909)
+    "dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
+        |      i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
+        |           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
+        |  FROM documents)
+        |SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < 400 AND b.doc_id >= 400
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
+        |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // BM25 with the same tokenizer; ln() is the natural log both sides,
+    // round(6) absorbs summation-order last-bit drift
+    "bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('join', 'vector', 'merge') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  round(SUM(
+        |    ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |    (tf.tf * (1.2 + 1)) /
+        |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / stats.avgdl))), 6) AS score
+        |FROM tf
+        |JOIN dfreq USING (term)
+        |JOIN dl USING (doc_id)
+        |CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY tf.doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,

@@ -69,16 +69,13 @@ object MinHashDedup {
     // persisted — one tokenize/shingle pass total. At corpus scale this
     // is the standard materialize-the-shingle-table step of a dedup
     // pipeline; MEMORY_AND_DISK spills instead of OOMing.
-    val shingled = Par.widen(df)
-      .select(col(idCol), Text.shingles(Text.tokens(col(textCol)), nGram).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sh", array_distinct(col("sh")))
+    val shingleTab = shingled(df, idCol, textCol, nGram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate generation ships ONLY (band, bucket, id): a pair hitting
     // k bands appears k times here but is deduped BEFORE the (expensive)
     // exact-Jaccard verify, and the shingle arrays are re-joined only for
     // the surviving distinct pairs — verify runs exactly once per pair.
-    val buckets = shingled
+    val buckets = shingleTab
       .select(col(idCol),
         posexplode(bandBuckets(col("sh"), numHashes, numBands)).as(Seq("band", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides
@@ -88,8 +85,8 @@ object MinHashDedup {
       .select("id_a", "id_b")
       .distinct()
     cand
-      .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shingleTab.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingleTab.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -99,5 +96,71 @@ object MinHashDedup {
     val losers = nearDupPairs(df, idCol, textCol, threshold = threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  private def shingled(df: DataFrame, idCol: String, textCol: String, nGram: Int) =
+    Par.widen(df)
+      .select(col(idCol), Text.shingles(Text.tokens(col(textCol)), nGram).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sh", array_distinct(col("sh")))
+
+  /** Persistent band-bucket index of a corpus: (idCol, band, bucket).
+    * Build once, write to a table, reuse across ingests — the signatures
+    * of the existing corpus are never recomputed (incrementalPairs).
+    */
+  def bandIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      seed: Long = 42L): DataFrame =
+    shingled(df, idCol, textCol, nGram)
+      .select(col(idCol),
+        posexplode(bandBuckets(col("sh"), numHashes, numBands, seed)).as(Seq("band", "bucket")))
+
+  /** Incremental near-dup check — the daily-ingest pattern: NEW docs
+    * probe an EXISTING corpus band index. Only the new batch is shingled
+    * and signed; the corpus side contributes its precomputed (id, band,
+    * bucket) rows, and corpus TEXT is re-read only for the docs that
+    * actually share a bucket with a new doc (semi-join pruned before the
+    * shingle pass). At 100 TB the corpus index is a bucket-partitioned
+    * table and this probe touches one partition per new-doc bucket.
+    *
+    * `newId` and `corpusId` must differ (the output carries both).
+    * Output: (newId, corpusId, jaccard ≥ threshold).
+    */
+  def incrementalPairs(
+      corpusIndex: DataFrame, // (corpusId, band, bucket) — bandIndex output
+      corpus: DataFrame, // (corpusId, textCol) — for verification only
+      newDocs: DataFrame, // (newId, textCol)
+      corpusId: String,
+      newId: String,
+      textCol: String,
+      nGram: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.8,
+      seed: Long = 42L): DataFrame = {
+    require(newId != corpusId, s"newId and corpusId must differ (both '$newId')")
+    val newSh = shingled(newDocs, newId, textCol, nGram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // buckets + verify side
+    val newBuckets = newSh.select(col(newId),
+      posexplode(bandBuckets(col("sh"), numHashes, numBands, seed)).as(Seq("band", "bucket")))
+    val cand = newBuckets
+      .join(corpusIndex.select(col(corpusId), col("band"), col("bucket")), Seq("band", "bucket"))
+      .select(col(newId), col(corpusId))
+      .distinct()
+    // shingle only the corpus docs that are candidates
+    val corpusSh = shingled(
+      corpus.join(cand.select(col(corpusId)).distinct(), Seq(corpusId), "left_semi"),
+      corpusId, textCol, nGram)
+    cand
+      .join(newSh.select(col(newId), col("sh").as("sh_new")), Seq(newId))
+      .join(corpusSh.select(col(corpusId), col("sh").as("sh_corpus")), Seq(corpusId))
+      .select(col(newId), col(corpusId),
+        Text.jaccard(col("sh_new"), col("sh_corpus")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 }

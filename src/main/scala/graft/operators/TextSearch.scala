@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Lexical relevance scoring over the document corpus: Okapi BM25
+  * (Robertson & Walker, TREC-3) — the standard keyword-retrieval score
+  * and the usual "find training docs about X" tool in data curation.
+  *
+  * Scale shape: the only corpus-sized work is one tokenize+explode pass
+  * that is FILTERED TO THE QUERY TERMS map-side before any exchange —
+  * the (doc, term, tf) shuffle carries a handful of rows per matching
+  * doc, never the corpus vocabulary. Corpus stats (N, avgdl) are a
+  * one-row aggregate cross-joined back as a broadcast; per-term document
+  * frequencies are a |query|-row broadcast. Nothing driver-side.
+  */
+object TextSearch {
+
+  /** Per-document BM25 scores for `queryTerms` (docs sharing no term are
+    * absent). Output: (idCol, score).
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // tokenized docs feed both the corpus stats and the tf pass — one
+    // persisted tokenization
+    val docToks = Par.widen(docs)
+      .select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = docToks.agg(count(lit(1)).as("n_docs"), avg("len").as("avgdl"))
+    val tf = docToks
+      .select(col(idCol), col("len"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*)) // map-side: only query terms shuffle
+      .groupBy(col(idCol), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df")) // one row per (doc, term) above
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum("w").as("score"))
+  }
+}

@@ -65,6 +65,22 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.contains(1L) && kept.contains(2L) && kept.contains(3L))
   }
 
+  test("incremental minhash probe finds cross-set near-dups without recomputing the corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running fast"),
+      (2L, "completely different content about columnar storage engines today")
+    ).toDF("corpus_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and keeps running far"),
+      (11L, "unrelated text on streaming watermarks and session windows here")
+    ).toDF("new_id", "text")
+    val idx = MinHashDedup.bandIndex(corpus, "corpus_id", "text", nGram = 2)
+    val pairs = MinHashDedup.incrementalPairs(idx, corpus, fresh, "corpus_id", "new_id", "text",
+        nGram = 2, threshold = 0.8)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L)), s"expected only (10,1), got $pairs")
+  }
+
   test("simhash finds identical pair within small hamming distance") {
     val pairs = SimHashDedup.nearDupPairs(fixture, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
