@@ -44,16 +44,31 @@ object NativeHash {
       while (i < n) {
         val s = arr.getUTF8String(i)
         val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        val h = ((h0 % M31) + M31) % M31
-        var j = 0
-        while (j < k) {
-          val v = (h * as(j) + bs(j)) % P // operands positive: no pmod fixup needed
-          if (v < sig(j)) sig(j) = v
-          j += 1
-        }
+        update(sig, h0)
         i += 1
       }
       new GenericArrayData(sig)
+    }
+    /** Same permutation family over PRE-HASHED shingles (array<long>,
+      * e.g. shingle_hashes output) — skips the per-shingle string hash;
+      * signature values differ from the string path (different h0) but
+      * the minhash collision property is hash-family-independent.
+      */
+    def computeLongs(arr: ArrayData): ArrayData = {
+      val sig = Array.fill(k)(Long.MaxValue)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) { update(sig, arr.getLong(i)); i += 1 }
+      new GenericArrayData(sig)
+    }
+    private def update(sig: Array[Long], h0: Long): Unit = {
+      val h = ((h0 % M31) + M31) % M31
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % P // operands positive: no pmod fixup needed
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
     }
   }
 
@@ -82,8 +97,9 @@ object NativeHash {
   final class MinHashBandsHelper(k: Int, bands: Int, seed: Long) extends Serializable {
     private val base = new MinHashHelper(k, seed)
     private val r = k / bands
-    def compute(arr: ArrayData): ArrayData = {
-      val sig = base.compute(arr)
+    def compute(arr: ArrayData): ArrayData = fold(base.compute(arr))
+    def computeLongs(arr: ArrayData): ArrayData = fold(base.computeLongs(arr))
+    private def fold(sig: ArrayData): ArrayData = {
       val out = new Array[Long](bands)
       var b = 0
       while (b < bands) {
@@ -111,6 +127,25 @@ object NativeHash {
     override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpr =
       copy(child = newChild)
     override def prettyName: String = "minhash_band_buckets"
+  }
+
+  /** Band buckets over PRE-HASHED shingles (shingle_hashes output) —
+    * the string hash is already paid, so signature+banding is pure long
+    * arithmetic per row.
+    */
+  case class MinHashBandsHashExpr(child: Expression, numHashes: Int, numBands: Int, seed: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val helper = new MinHashBandsHelper(numHashes, numBands, seed)
+    override def nullSafeEval(input: Any): Any = helper.computeLongs(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("minhashBandsHashHelper", helper, classOf[MinHashBandsHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.computeLongs($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashBandsHashExpr =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_band_buckets_hashed"
   }
 
   // ---- simhash ----
@@ -192,6 +227,85 @@ object NativeHash {
     override protected def withNewChildInternal(newChild: Expression): SrpBitsExpr =
       copy(child = newChild)
     override def prettyName: String = "srp_bits"
+  }
+
+  // ---- SRP band buckets (fused bits + fold) ----
+
+  /** L bucket ids of r bits each in ONE compiled pass over the plane
+    * pool — same plane order and same bit-fold arithmetic as
+    * srpBits + Vectors.srpFoldBuckets (bucket_t = Σ bit(t·r+i)·2^i), so
+    * bucket VALUES are identical to that chain; this just removes the
+    * intermediate bits array column and the interpreted fold.
+    */
+  final class SrpBucketsHelper(dim: Int, bitsPerTable: Int, tables: Int, seed: Long)
+      extends Serializable {
+    private val base = new SrpHelper(dim, bitsPerTable * tables, seed)
+    def compute(vec: ArrayData): ArrayData = {
+      val bits = base.compute(vec)
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var b = 0L
+        var i = 0
+        while (i < bitsPerTable) { b += bits.getLong(t * bitsPerTable + i) << i; i += 1 }
+        out(t) = b
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  case class SrpBucketsExpr(child: Expression, dim: Int, bitsPerTable: Int, tables: Int, seed: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val helper = new SrpBucketsHelper(dim, bitsPerTable, tables, seed)
+    override def nullSafeEval(input: Any): Any = helper.compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("srpBucketsHelper", helper, classOf[SrpBucketsHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.compute($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): SrpBucketsExpr =
+      copy(child = newChild)
+    override def prettyName: String = "srp_band_buckets"
+  }
+
+  // ---- cosine similarity ----
+
+  /** Cosine of two float vectors in one fused loop (dot and both square
+    * norms together, doubles, ascending index — the same sequential
+    * summation order as the HOF `aggregate` formula and DuckDB's
+    * list_cosine_similarity). 0.0 when either norm is 0.
+    */
+  final class CosineHelper extends Serializable {
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  case class CosineExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    @transient private lazy val helper = new CosineHelper
+    override def nullSafeEval(a: Any, b: Any): Any =
+      helper.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("cosineHelper", helper, classOf[CosineHelper].getName)
+      defineCodeGen(ctx, ev, (a, b) => s"$h.compute($a, $b)")
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineExpr =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "cosine_sim"
   }
 
   // ---- shingle hashes ----
@@ -344,11 +458,20 @@ object NativeHash {
   def minhashBandBuckets(arr: Column, numHashes: Int, numBands: Int, seed: Long = 42L): Column =
     Shims.column(MinHashBandsExpr(Shims.expression(arr), numHashes, numBands, seed))
 
+  def minhashBandBucketsHashed(arr: Column, numHashes: Int, numBands: Int, seed: Long = 42L): Column =
+    Shims.column(MinHashBandsHashExpr(Shims.expression(arr), numHashes, numBands, seed))
+
   def simhash64(tokens: Column): Column =
     Shims.column(SimHash64Expr(Shims.expression(tokens)))
 
   def srpBits(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column =
     Shims.column(SrpBitsExpr(Shims.expression(vec), dim, nPlanes, seed))
+
+  def srpBuckets(vec: Column, dim: Int, bitsPerTable: Int, tables: Int, seed: Long = 42L): Column =
+    Shims.column(SrpBucketsExpr(Shims.expression(vec), dim, bitsPerTable, tables, seed))
+
+  def cosine(a: Column, b: Column): Column =
+    Shims.column(CosineExpr(Shims.expression(a), Shims.expression(b)))
 
   def shingleHashes(tokens: Column, n: Int): Column =
     Shims.column(ShingleHashExpr(Shims.expression(tokens), n))

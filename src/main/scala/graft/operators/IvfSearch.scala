@@ -104,7 +104,7 @@ object IvfSearch {
     val probes = queries
       .withColumn("list", explode(nearestCentroids(col("qvec"), cents, nProbe)))
     val scored = assigned.join(broadcast(probes), Seq("list"))
-      .select(col("qid"), col("id"), Vectors.cosine(col("qvec"), col("vec")).as("score"))
+      .select(col("qid"), col("id"), graft.functions.NativeHash.cosine(col("qvec"), col("vec")).as("score"))
       .groupBy("qid", "id").agg(max("score").as("score")) // a pair can meet in ≤nProbe lists
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

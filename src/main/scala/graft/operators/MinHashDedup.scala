@@ -77,7 +77,8 @@ object MinHashDedup {
     // the surviving distinct pairs — verify runs exactly once per pair.
     val buckets = shingleTab
       .select(col(idCol),
-        posexplode(bandBuckets(col("sh"), numHashes, numBands)).as(Seq("band", "bucket")))
+        posexplode(graft.functions.NativeHash.minhashBandBucketsHashed(
+          col("sh"), numHashes, numBands)).as(Seq("band", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides
     val cand = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
       .join(buckets.select(col("band"), col("bucket"), col(idCol).as("id_b")), Seq("band", "bucket"))
@@ -87,8 +88,10 @@ object MinHashDedup {
     cand
       .join(shingleTab.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingleTab.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .withColumn("c", graft.functions.NativeHash.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Dedup: drop every doc that near-dups an earlier (lower-id) doc. */
@@ -98,11 +101,17 @@ object MinHashDedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Per-doc sorted distinct shingle HASHES (array<long>) — the native
+    * one-pass expression; no shingle strings are materialized. Signature
+    * values under the hashed band expression differ from the
+    * string-input path, but minhash's collision property (P[min match]
+    * = J) is hash-family-independent, and verification is exact.
+    */
   private def shingled(df: DataFrame, idCol: String, textCol: String, nGram: Int) =
     Par.widen(df)
-      .select(col(idCol), Text.shingles(Text.tokens(col(textCol)), nGram).as("sh"))
+      .select(col(idCol),
+        graft.functions.NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sh", array_distinct(col("sh")))
 
   /** Persistent band-bucket index of a corpus: (idCol, band, bucket).
     * Build once, write to a table, reuse across ingests — the signatures
@@ -118,7 +127,8 @@ object MinHashDedup {
       seed: Long = 42L): DataFrame =
     shingled(df, idCol, textCol, nGram)
       .select(col(idCol),
-        posexplode(bandBuckets(col("sh"), numHashes, numBands, seed)).as(Seq("band", "bucket")))
+        posexplode(graft.functions.NativeHash.minhashBandBucketsHashed(
+          col("sh"), numHashes, numBands, seed)).as(Seq("band", "bucket")))
 
   /** Incremental near-dup check — the daily-ingest pattern: NEW docs
     * probe an EXISTING corpus band index. Only the new batch is shingled
@@ -147,7 +157,8 @@ object MinHashDedup {
     val newSh = shingled(newDocs, newId, textCol, nGram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // buckets + verify side
     val newBuckets = newSh.select(col(newId),
-      posexplode(bandBuckets(col("sh"), numHashes, numBands, seed)).as(Seq("band", "bucket")))
+      posexplode(graft.functions.NativeHash.minhashBandBucketsHashed(
+        col("sh"), numHashes, numBands, seed)).as(Seq("band", "bucket")))
     val cand = newBuckets
       .join(corpusIndex.select(col(corpusId), col("band"), col("bucket")), Seq("band", "bucket"))
       .select(col(newId), col(corpusId))
@@ -159,8 +170,9 @@ object MinHashDedup {
     cand
       .join(newSh.select(col(newId), col("sh").as("sh_new")), Seq(newId))
       .join(corpusSh.select(col(corpusId), col("sh").as("sh_corpus")), Seq(corpusId))
-      .select(col(newId), col(corpusId),
-        Text.jaccard(col("sh_new"), col("sh_corpus")).as("jaccard"))
+      .withColumn("c", graft.functions.NativeHash.sortedIntersectCount(col("sh_new"), col("sh_corpus")))
+      .withColumn("jaccard", col("c") / (size(col("sh_new")) + size(col("sh_corpus")) - col("c")))
       .filter(col("jaccard") >= threshold)
+      .select(col(newId), col(corpusId), col("jaccard"))
   }
 }

@@ -29,7 +29,7 @@ object SimilaritySearch {
       k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col("qid"), col("id"),
-        Vectors.cosine(col("qvec"), col("vec")).as("score"))
+        graft.functions.NativeHash.cosine(col("qvec"), col("vec")).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -73,21 +73,19 @@ object SimilaritySearch {
         math.max(2, 64 - java.lang.Long.numberOfLeadingZeros(n - 1) - 5)
       }
     def index(df: DataFrame, vecCol: String, idCol: String) = df
-      // bits bound as their own column BEFORE the interpreted bucket
-      // fold — HOFs have no CSE, an inline srpBits would re-run all
-      // plane dots once per table
-      .withColumn("__bits",
-        graft.functions.NativeHash.srpBits(col(vecCol), dim, bits * tables, seed))
+      // fused native expression: plane dots + per-table bucket fold in
+      // one compiled pass (bucket values identical to the former
+      // srpBits + interpreted srpFoldBuckets chain)
       .select(col(idCol),
-        explode(Vectors.srpFoldBuckets(col("__bits"), bits, tables)).as("bb"))
-      .select(col(idCol), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+        posexplode(graft.functions.NativeHash.srpBuckets(col(vecCol), dim, bits, tables, seed))
+          .as(Seq("tbl", "bucket")))
     val cand = index(corpus, "vec", "id")
       .join(broadcast(index(queries, "qvec", "qid")), Seq("tbl", "bucket"))
       .select("qid", "id").distinct() // a pair meeting in j tables scores once
     val scored = cand
       .join(corpus, Seq("id"))
       .join(broadcast(queries), Seq("qid"))
-      .select(col("qid"), col("id"), Vectors.cosine(col("qvec"), col("vec")).as("score"))
+      .select(col("qid"), col("id"), graft.functions.NativeHash.cosine(col("qvec"), col("vec")).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -113,14 +111,11 @@ object SimilaritySearch {
       tables: Int = 96,
       seed: Long = 42L): DataFrame = {
     val sigs = Par.widen(corpus)
-      // plane bits via the native codegen'd expression (one compiled
-      // L·r×dim loop per row), projected as their own column before the
-      // interpreted bucket fold so they evaluate once
-      .withColumn("bits",
-        graft.functions.NativeHash.srpBits(col("vec"), dim, bitsPerTable * tables, seed))
+      // fused native expression: L·r plane dots + per-table bucket fold
+      // in one compiled pass per row
       .select(col("id"),
-        explode(Vectors.srpFoldBuckets(col("bits"), bitsPerTable, tables)).as("bb"))
-      .select(col("id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+        posexplode(graft.functions.NativeHash.srpBuckets(
+          col("vec"), dim, bitsPerTable, tables, seed)).as(Seq("tbl", "bucket")))
       // both candidate-join sides read the signature index; persist so
       // the L·r plane dots run once per vector
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -129,20 +124,14 @@ object SimilaritySearch {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    // pre-normalize once per vector so the per-pair verify is a single
-    // dot product instead of dot + two norms (3x fewer flops on the
-    // candidate set, which dwarfs the corpus). The norm is bound as its
-    // own column first — referencing norm(vec) inside the transform
-    // lambda would re-evaluate it per element (no CSE in HOFs).
-    val normed = corpus
-      .withColumn("nrm", Vectors.norm(col("vec")))
-      .select(col("id"),
-        when(col("nrm") === 0, transform(col("vec"), x => x.cast("double")))
-          .otherwise(transform(col("vec"), x => x.cast("double") / col("nrm"))).as("vn"))
+    // verify: one fused native cosine per surviving pair (dot and both
+    // norms in a single compiled loop — no per-pair HOF interpretation,
+    // no pre-normalized vector table to join)
     cand
-      .join(normed.select(col("id").as("id_a"), col("vn").as("vn_a")), Seq("id_a"))
-      .join(normed.select(col("id").as("id_b"), col("vn").as("vn_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), Vectors.dot(col("vn_a"), col("vn_b")).as("cos"))
+      .join(corpus.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(corpus.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.NativeHash.cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
