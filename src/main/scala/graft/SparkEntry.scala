@@ -419,6 +419,18 @@ object SparkEntry {
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // batch face of the streaming sessionize gap rule (StreamOps
+    // .sessionizeBatch): oracle-checkable, must agree with the stateful
+    // streaming path on any replayable input
+    "sessionize_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionizeBatch(
+          events(s, dir).select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("value")),
+          "user_id", "us", "event_id", "value", gapUs = 30L * 60 * 1000000)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"), col("start_us"), col("end_us"))
+        .orderBy("user_id", "session_id")),
+
     // ---- curation: split / sample / pack (operators/Curate.scala) ----
     // all content-keyed on an md5 bucket — deterministic across runs,
     // partitionings, and engines (the oracle reproduces every
@@ -436,6 +448,11 @@ object SparkEntry {
 
     "pack_sequences" -> ((s, dir) =>
       Curate.packSequences(docs(s, dir), "doc_id", "text", budget = 2048, shards = 8)
+        .orderBy("doc_id")),
+
+    "sample_k_per_group" -> ((s, dir) =>
+      Curate.sampleKPerGroup(docs(s, dir), "doc_id", "lang", 20)
+        .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
     // incremental ingest dedup: new docs (doc_id >= 400) probe the band
@@ -845,6 +862,36 @@ object SparkEntry {
         |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token_count,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_count
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // batch sessionize: session starts where the in-user gap is NULL or
+    // exceeds 30 min; running sum numbers sessions. SUM() over window is
+    // HUGEINT in DuckDB -> CAST BIGINT (same trap as session_count)
+    "sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, us, value,
+        |    CASE WHEN us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) IS NULL
+        |           OR us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "sample_k_per_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
     // curation: the md5 bucket is CAST(('0x' || hex4) AS INTEGER) in
     // DuckDB and conv(hex4, 16, 10) in Spark — same 16-bit integer

@@ -61,6 +61,20 @@ object Curate {
     df.filter(b < ub)
   }
 
+  /** Uniform k-per-group sample: the k rows with the smallest md5 of
+    * their id within each group (ties broken by id) — a deterministic
+    * stand-in for per-group reservoir sampling. Balanced per-language
+    * subsets, eval slices, etc.; same content-keyed stability story as
+    * the operators above.
+    */
+  def sampleKPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Concat-and-chunk sequence packing (the GPT-style pretraining
     * layout): documents are laid end-to-end in a deterministic order and
     * cut into `budget`-token context windows; a document's `pack_id` is

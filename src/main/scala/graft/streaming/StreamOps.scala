@@ -69,6 +69,36 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** BATCH sessionization with the same gap rule as the streaming
+    * `sessionize` below (a session ends after `gapUs` microseconds of
+    * event-time silence): one window pass marks session starts
+    * (gap NULL or > gapUs), a running sum numbers them, a groupBy rolls
+    * them up. Output: (userCol, session_id, n_events, sum_value,
+    * start_us, end_us). This is the oracle-checkable face of the gap
+    * semantics the streaming path implements with state + timeouts —
+    * both must agree on any replayable input.
+    */
+  def sessionizeBatch(
+      events: DataFrame,
+      userCol: String,
+      usCol: String, // event time, microseconds (long)
+      tieCol: String, // deterministic order within equal timestamps
+      valueCol: String,
+      gapUs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(usCol).asc, col(tieCol).asc)
+    events
+      .withColumn("__gap", col(usCol) - lag(usCol, 1).over(w))
+      .withColumn("__new", when(col("__gap").isNull || col("__gap") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("__new").over(w))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(valueCol).as("sum_value"),
+        min(usCol).as("start_us"),
+        max(usCol).as("end_us"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long, sum_value: Double)
   // public: the state encoder's generated (Janino) code must reach the

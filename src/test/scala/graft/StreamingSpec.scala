@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, unix_micros}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamOps
@@ -134,6 +135,45 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("fcsv").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     } finally q.stop()
+  }
+
+  test("sessionizeBatch agrees with the streaming sessionize on a replayed input") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val gapMs = 30 * 60 * 1000L
+    // two users, multiple sessions; a far-future sentinel per user pushes
+    // the watermark past every real session's timeout so streaming closes
+    // them all (the sentinels' own sessions stay open and are excluded)
+    val real = Seq(
+      Event(1L, ts(1000), "a", 1.0), Event(1L, ts(1300), "a", 2.0), // session 1
+      Event(1L, ts(20000), "a", 3.0), // session 2 (gap > 30 min)
+      Event(2L, ts(500), "b", 5.0) // session 1
+    )
+    val sentinelSec = 1000000L
+    val sentinels = Seq(Event(1L, ts(sentinelSec), "x", 0.0), Event(2L, ts(sentinelSec), "x", 0.0))
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapMs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_agree").outputMode("append").start()
+    val streamed =
+      try {
+        in.addData(real: _*)
+        q.processAllAvailable()
+        in.addData(sentinels: _*)
+        q.processAllAvailable()
+        spark.table("sess_agree").as[StreamOps.Session].collect()
+          .map(s => (s.user_id, s.start.getTime * 1000, s.end.getTime * 1000, s.n_events, s.sum_value))
+          .toSet
+      } finally q.stop()
+    val batch = StreamOps.sessionizeBatch(
+        (real ++ sentinels).toDF()
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("value")),
+        "user_id", "us", "event_type", "value", gapUs = gapMs * 1000)
+      .filter(col("start_us") < sentinelSec * 1000000L) // drop sentinel-only sessions
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"), col("sum_value"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch, s"stream $streamed\nbatch $batch")
+    assert(streamed.size == 3)
   }
 
   test("sessionize splits on gap inline when a late-gap event arrives for the same user") {
