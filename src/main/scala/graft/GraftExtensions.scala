@@ -64,6 +64,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "sorted_intersect_count(array<bigint>, array<bigint>) expects 2 arguments")
       }))
     ext.injectFunction((
+      FunctionIdentifier("minhash_band_buckets_hashed"),
+      new ExpressionInfo(classOf[NativeHash.MinHashBandsHashExpr].getName, "minhash_band_buckets_hashed"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, Literal(k: Int, IntegerType), Literal(b: Int, IntegerType)) =>
+          NativeHash.MinHashBandsHashExpr(e, k, b, 42L)
+        case _ => throw new IllegalArgumentException(
+          "minhash_band_buckets_hashed(array<bigint>, numHashes, numBands) expects literal int sizes")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("srp_band_buckets"),
+      new ExpressionInfo(classOf[NativeHash.SrpBucketsExpr].getName, "srp_band_buckets"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, Literal(dim: Int, IntegerType), Literal(r: Int, IntegerType), Literal(l: Int, IntegerType)) =>
+          NativeHash.SrpBucketsExpr(e, dim, r, l, 42L)
+        case _ => throw new IllegalArgumentException(
+          "srp_band_buckets(array<float>, dim, bitsPerTable, tables) expects literal int sizes")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[NativeHash.CosineExpr].getName, "cosine_sim"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => NativeHash.CosineExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "cosine_sim(array<float>, array<float>) expects 2 arguments")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("srp_bits"),
       new ExpressionInfo(classOf[NativeHash.SrpBitsExpr].getName, "srp_bits"),
       (args: Seq[Expression]) => args match {

@@ -431,6 +431,18 @@ object SparkEntry {
           round(col("sum_value"), 6).as("sum_value"), col("start_us"), col("end_us"))
         .orderBy("user_id", "session_id")),
 
+    // PII scrub (Text.redactPii): the corpus itself is synthetic and
+    // PII-free, so the query PLANTS deterministic per-row PII (email,
+    // phone, IPv4) and the redaction must strip exactly that
+    "text_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Text.redactPii(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 (555) 123-4567 at 10.0.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"))).as("clean"))
+        .orderBy("doc_id")),
+
     // ---- curation: split / sample / pack (operators/Curate.scala) ----
     // all content-keyed on an md5 bucket — deterministic across runs,
     // partitionings, and engines (the oracle reproduces every
@@ -861,6 +873,20 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token_count,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same plant + same RE2-compatible patterns; DuckDB needs the 'g'
+    // flag (its regexp_replace is first-match by default, Spark's is all)
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |          '@example.com or +1 (555) 123-4567 at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // batch sessionize: session starts where the in-user gap is NULL or

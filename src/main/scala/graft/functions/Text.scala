@@ -96,6 +96,23 @@ object Text {
     "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "mit", "von"),
     "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
 
+  /** PII redaction: replace email addresses, phone-like digit runs, and
+    * IPv4 literals with typed placeholder tokens — the standard cheap
+    * scrub pass before corpus publication. Regex-only (deterministic,
+    * SQL-expressible, oracle-checked); a production pipeline can layer an
+    * NER model on top via mapInPandas, but the regex tier is what runs
+    * over every byte at 100 TB. Order matters: emails first (their local
+    * part would otherwise partially match the phone pattern).
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "\\+?\\d[\\d ()-]{7,}\\d", "<PHONE>")
+  }
+
   /** Document fingerprint: polynomial rolling hash over the text's
     * codepoints, mod a 30-bit prime (no overflow at long width). One pass,
     * pure codegen. Equal texts ⟹ equal fingerprints; used for cheap
