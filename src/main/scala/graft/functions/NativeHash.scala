@@ -97,8 +97,18 @@ object NativeHash {
   final class MinHashBandsHelper(k: Int, bands: Int, seed: Long) extends Serializable {
     private val base = new MinHashHelper(k, seed)
     private val r = k / bands
-    def compute(arr: ArrayData): ArrayData = fold(base.compute(arr))
-    def computeLongs(arr: ArrayData): ArrayData = fold(base.computeLongs(arr))
+    // An empty shingle set yields NO band buckets (empty array): an
+    // empty doc can never be a near-dup, and emitting its (degenerate,
+    // identical) buckets would pair every empty doc with every other.
+    // Handling it here also lets callers drop their filter(size > 0) —
+    // which the optimizer used to push below Par.widen's exchange,
+    // re-evaluating the whole shingle expression on the narrow scan.
+    def compute(arr: ArrayData): ArrayData =
+      if (arr.numElements() == 0) new GenericArrayData(Array.emptyLongArray)
+      else fold(base.compute(arr))
+    def computeLongs(arr: ArrayData): ArrayData =
+      if (arr.numElements() == 0) new GenericArrayData(Array.emptyLongArray)
+      else fold(base.computeLongs(arr))
     private def fold(sig: ArrayData): ArrayData = {
       val out = new Array[Long](bands)
       var b = 0

@@ -106,12 +106,17 @@ object MinHashDedup {
     * values under the hashed band expression differ from the
     * string-input path, but minhash's collision property (P[min match]
     * = J) is hash-family-independent, and verification is exact.
+    *
+    * No filter(size > 0) here — the optimizer would push it (and the
+    * whole shingle expression with it) below Par.widen's exchange onto
+    * the narrow scan, shingling every doc twice. Empty shingle sets are
+    * instead dropped at the band expression (zero buckets) and can never
+    * surface as candidates.
     */
   private def shingled(df: DataFrame, idCol: String, textCol: String, nGram: Int) =
     Par.widen(df)
       .select(col(idCol),
         graft.functions.NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram).as("sh"))
-      .filter(size(col("sh")) > 0)
 
   /** Persistent band-bucket index of a corpus: (idCol, band, bucket).
     * Build once, write to a table, reuse across ingests — the signatures
