@@ -84,6 +84,52 @@ object Sink {
   /** K10 — null sink (benchmarking): forces full computation, writes
     * nothing.
     */
+  /** Range-clustered parquet write: repartitionByRange on the cluster
+    * key + in-partition sort + (optionally) maxRecordsPerFile. Each
+    * output file then covers a DISJOINT range of the key, so parquet
+    * min/max footer stats prune whole files for range/equality
+    * predicates — the data-layout lever that makes scan cost track a
+    * predicate's selectivity instead of table size at 100 TB.
+    * `partitions = 0` lets AQE/defaultParallelism choose.
+    */
+  def clusteredParquet(
+      df: DataFrame,
+      path: String,
+      clusterCols: Seq[String],
+      partitions: Int = 0,
+      maxRecordsPerFile: Long = 0): Unit = {
+    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
+    val ranged =
+      if (partitions > 0) df.repartitionByRange(partitions, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    val writer = ranged.sortWithinPartitions(cols: _*).write.mode(SaveMode.Overwrite)
+    val bounded =
+      if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      else writer
+    bounded.parquet(path)
+  }
+
+  /** Compact a parquet directory's many small files into `target`
+    * right-sized ones — the maintenance remedy for streaming-sink and
+    * over-parallel-writer output. Staged like the Loader's swap: the
+    * rewrite lands in `<path>__compacting`, then swaps in atomically
+    * (old data is live until the instant of the rename).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String, target: Int): Unit = {
+    require(target > 0, "target file count must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(staging, true); fs.delete(old, true)
+    spark.read.parquet(path).coalesce(target)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (!fs.rename(p, old)) sys.error(s"compact: cannot stage-out $path")
+    if (!fs.rename(staging, p)) { fs.rename(old, p); sys.error(s"compact: swap failed for $path") }
+    fs.delete(old, true)
+  }
+
   def noop(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).format("noop").save()
 }

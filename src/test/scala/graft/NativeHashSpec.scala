@@ -143,6 +143,26 @@ class NativeHashSpec extends AnyFunSuite {
     assert(r == ((2, 3, 2)))
   }
 
+  test("SQL surface: hashed-band, srp-band, and cosine functions resolve") {
+    docs.createOrReplaceTempView("nh_docs3")
+    // hashed-input band buckets match the Column API on the same hashes
+    val viaSql = spark.sql(
+      "SELECT minhash_band_buckets_hashed(shingle_hashes(sh, 1), 64, 16) AS bb FROM nh_docs3")
+      .as[Seq[Long]].collect().toSeq
+    val viaCol = docs.select(
+      NativeHash.minhashBandBucketsHashed(NativeHash.shingleHashes(col("sh"), 1), 64, 16).as("bb"))
+      .as[Seq[Long]].collect().toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.head.size == 16 && viaSql.last.isEmpty) // empty doc -> zero buckets
+
+    Seq((Seq(1f, -2f, 0.5f, 3f), Seq(1f, -2f, 0.5f, 3f))).toDF("a", "b")
+      .createOrReplaceTempView("nh_vecs2")
+    val (buckets, cos) = spark.sql(
+      "SELECT srp_band_buckets(a, 4, 4, 8) AS bb, cosine_sim(a, b) AS c FROM nh_vecs2")
+      .as[(Seq[Long], Double)].head()
+    assert(buckets.size == 8 && math.abs(cos - 1.0) < 1e-12)
+  }
+
   test("SQL surface: minhash_sig and simhash64 resolve via GraftExtensions") {
     docs.createOrReplaceTempView("nh_docs")
     val r = spark.sql(
