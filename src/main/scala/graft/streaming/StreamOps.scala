@@ -69,6 +69,67 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Watermarked stream-stream INNER join: rows match when their keys
+    * are equal and the right event time falls within
+    * [left time + lowerBound, left time + upperBound]. Both sides carry
+    * watermarks and the time-range condition bounds the join state —
+    * without it Spark must buffer both streams forever; with it, rows
+    * older than watermark + bound are evicted. The canonical enrich
+    * pattern (events ⋈ recent reference updates) at unbounded scale.
+    */
+  def intervalJoin(
+      left: DataFrame, leftTs: String, leftWatermark: String,
+      right: DataFrame, rightTs: String, rightWatermark: String,
+      keys: Seq[String],
+      lowerBound: String, upperBound: String): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val r = right.withWatermark(rightTs, rightWatermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val range =
+      r(rightTs) >= l(leftTs) + expr(s"INTERVAL $lowerBound") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperBound")
+    l.join(r, keyCond && range)
+  }
+
+  /** Streaming upsert sink: merge each micro-batch into a parquet
+    * "table" directory by key (latest batch row wins per key) — the
+    * streaming face of the reference's load/merge protocol
+    * (`hive_loader.py` merge mode), built on foreachBatch +
+    * Merge.upsert + an atomic directory swap. The checkpoint makes
+    * batch replay idempotent: re-merging an already-applied batch is a
+    * no-op because upsert is.
+    */
+  def upsertSink(
+      df: DataFrame,
+      tablePath: String,
+      checkpoint: String,
+      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(tablePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dedupedBatch = graft.operators.Dedup.byRank(batch, keys) // key-unique staging
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(tablePath)))
+            graft.operators.Merge.upsert(spark.read.parquet(tablePath), dedupedBatch, keys)
+          else dedupedBatch
+        val staging = tablePath + "__merging"
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+        val old = new org.apache.hadoop.fs.Path(tablePath + "__old")
+        fs.delete(old, true)
+        val target = new org.apache.hadoop.fs.Path(tablePath)
+        if (fs.exists(target) && !fs.rename(target, old)) sys.error(s"upsertSink: stage-out failed")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(staging), target)) {
+          fs.rename(old, target); sys.error(s"upsertSink: swap failed")
+        }
+        fs.delete(old, true)
+        ()
+      }
+      .start()
+
   /** BATCH sessionization with the same gap rule as the streaming
     * `sessionize` below (a session ends after `gapUs` microseconds of
     * event-time silence): one window pass marks session starts

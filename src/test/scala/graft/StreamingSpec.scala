@@ -137,6 +137,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin matches only rows inside the event-time range") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val buys = MemoryStream[(Timestamp, Long, String)]
+    val joined = StreamOps.intervalJoin(
+        clicks.toDF().toDF("cts", "user_id", "page"), "cts", "1 hour",
+        buys.toDF().toDF("bts", "user_id", "item"), "bts", "1 hour",
+        Seq("user_id"), lowerBound = "0 seconds", upperBound = "30 minutes")
+      .select(col("page"), col("item"))
+    val q = joined.writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      clicks.addData((ts(1000), 1L, "home"), (ts(1000), 2L, "search"))
+      buys.addData(
+        (ts(1300), 1L, "book"), // 5 min after click -> match
+        (ts(500), 1L, "early"), // before the click -> no match
+        (ts(4000), 2L, "late")) // 50 min after -> outside 30-min bound
+      q.processAllAvailable()
+      val rows = spark.table("ij").as[(String, String)].collect().toSet
+      assert(rows == Set(("home", "book")), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("upsertSink merges each micro-batch into the parquet table by key") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val (tab, chk) = (s"$root/tab", s"$root/chk")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.upsertSink(in.toDF().toDF("k", "v"), tab, chk, Seq("k"))
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(tab).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b")))
+      in.addData((2L, "B"), (3L, "c")) // update + insert
+      q.processAllAvailable()
+      assert(spark.read.parquet(tab).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "B"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch agrees with the streaming sessionize on a replayed input") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
