@@ -31,7 +31,14 @@ object Loader {
       partition: Map[String, String] = Map.empty,
       preSql: Seq[String] = Nil,   // R7 (string form: Loader.sqlList)
       postSql: Seq[String] = Nil,  // R7
-      analyze: Boolean = true)     // R8
+      analyze: Boolean = true,     // R8
+      // range-cluster the written files on these columns (see
+      // Sink.clusteredParquet): each file covers a disjoint key range,
+      // so footer stats prune whole files for predicates on the key.
+      // clusterParts > 0 pins the file count (bypasses AQE coalescing);
+      // 0 lets AQE size the ranges from the data
+      clusterBy: Seq[String] = Nil,
+      clusterParts: Int = 0)
 
   /** R9 string form — the reference accepts pre/post SQL as either a
     * list or one `;`-separated string (`utils/__init__.py:55-63`); this
@@ -62,7 +69,16 @@ object Loader {
     cfg.preSql.foreach(spark.sql(_))
 
     val deduped = cfg.dedup.fold(staging0)(d => Dedup.byRank(staging0, d.uniqKeys, d.orderBy))
-    val staged = cfg.partition.foldLeft(deduped) { case (df, (k, v)) => df.withColumn(k, lit(v)) }
+    val partitioned = cfg.partition.foldLeft(deduped) { case (df, (k, v)) => df.withColumn(k, lit(v)) }
+    val staged =
+      if (cfg.clusterBy.isEmpty) partitioned
+      else {
+        val cols = cfg.clusterBy.map(col)
+        val ranged =
+          if (cfg.clusterParts > 0) partitioned.repartitionByRange(cfg.clusterParts, cols: _*)
+          else partitioned.repartitionByRange(cols: _*)
+        ranged.sortWithinPartitions(cols: _*)
+      }
 
     cfg.mode match {
       case Overwrite =>

@@ -27,6 +27,23 @@ class LoaderSpec extends AnyFunSuite {
     assert(spark.table("lt_o").as[(Int, String)].collect().toSet == Set((2, "b"), (3, "c")))
   }
 
+  test("clusterBy publishes range-disjoint files under the table") {
+    drop("lt_cl")
+    Loader.load(spark, (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(8),
+      Loader.LoadConfig("lt_cl", Loader.Overwrite, clusterBy = Seq("k"), clusterParts = 4))
+    assert(spark.table("lt_cl").count() == 2000)
+    // the written files cover disjoint k ranges (footer-stat prunable)
+    val loc = spark.sql("DESCRIBE EXTENDED lt_cl").filter(col("col_name") === "Location")
+      .select("data_type").as[String].head().stripPrefix("file:")
+    val parts = new java.io.File(loc).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.length > 1, "expected multiple clustered files")
+    val ranges = parts.map(f =>
+        spark.read.parquet(f.getPath).agg(min("k"), max("k")).as[(Long, Long)].head())
+      .sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo) }
+    drop("lt_cl")
+  }
+
   test("Append adds rows; creates table when absent (R6)") {
     drop("lt_a")
     Loader.load(spark, Seq((1, "a")).toDF("k", "v"), Loader.LoadConfig("lt_a", Loader.Append))
