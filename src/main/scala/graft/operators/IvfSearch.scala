@@ -89,24 +89,41 @@ object IvfSearch {
       .select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
 
-  /** Top-k by cosine among the probed inverted lists.
-    * corpus: (id, vec array<float>), queries: (qid, qvec array<float>).
+  /** Materialized IVF index: the coarse quantizer plus the corpus's list
+    * assignment. Build ONCE per corpus snapshot (persist `assigned` as a
+    * list-partitioned table in production), then `probe` arbitrarily
+    * many query batches without rescanning or reassigning the corpus —
+    * the serving-path analog of MinHashDedup.bandIndex.
+    */
+  final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame)
+
+  def buildIndex(corpus: DataFrame, nLists: Int = 64): IvfIndex = {
+    val cents = trainCentroids(corpus, nLists)
+    val assigned = Par.widen(corpus)
+      .withColumn("list", element_at(nearestCentroids(col("vec"), cents, 1), 1))
+    IvfIndex(cents, assigned)
+  }
+
+  /** Top-k by cosine among the probed inverted lists of a built index. */
+  def probe(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 8): DataFrame = {
+    val probes = queries
+      .withColumn("list", explode(nearestCentroids(col("qvec"), index.centroids, nProbe)))
+    val scored = index.assigned.join(broadcast(probes), Seq("list"))
+      .select(col("qid"), col("id"), graft.functions.NativeHash.cosine(col("qvec"), col("vec")).as("score"))
+      .groupBy("qid", "id").agg(max("score").as("score")) // a pair can meet in ≤nProbe lists
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Top-k by cosine among the probed inverted lists (one-shot: builds
+    * the index inline). corpus: (id, vec array<float>), queries:
+    * (qid, qvec array<float>).
     */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       nLists: Int = 64,
-      nProbe: Int = 8): DataFrame = {
-    val cents = trainCentroids(corpus, nLists)
-    val assigned = Par.widen(corpus)
-      .withColumn("list", element_at(nearestCentroids(col("vec"), cents, 1), 1))
-    val probes = queries
-      .withColumn("list", explode(nearestCentroids(col("qvec"), cents, nProbe)))
-    val scored = assigned.join(broadcast(probes), Seq("list"))
-      .select(col("qid"), col("id"), graft.functions.NativeHash.cosine(col("qvec"), col("vec")).as("score"))
-      .groupBy("qid", "id").agg(max("score").as("score")) // a pair can meet in ≤nProbe lists
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+      nProbe: Int = 8): DataFrame =
+    probe(buildIndex(corpus, nLists), queries, k, nProbe)
 }

@@ -114,6 +114,23 @@ class SimilaritySpec extends AnyFunSuite {
       s"ivf recall ${(ivf & bf).size}/${bf.size} below 0.9")
   }
 
+  test("a built IVF index serves repeated query batches identically to the one-shot path") {
+    assume(new java.io.File(sfDir).isDirectory)
+    import graft.operators.IvfSearch
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def queries(lo: Long, hi: Long) = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val idx = IvfSearch.buildIndex(corpus, nLists = 32)
+    for ((lo, hi) <- Seq((0L, 3L), (3L, 6L))) {
+      val viaIndex = IvfSearch.probe(idx, queries(lo, hi), k = 5, nProbe = 28)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      val oneShot = IvfSearch.ivfTopK(corpus, queries(lo, hi), k = 5, nLists = 32, nProbe = 28)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      assert(viaIndex == oneShot && viaIndex.nonEmpty)
+    }
+  }
+
   test("cosineNearDupPairs at a looser threshold keeps within-cluster pairs only") {
     val pairs = SimilaritySearch.cosineNearDupPairs(corpus, dim = 8, threshold = 0.9,
         bitsPerTable = 4, tables = 16)
