@@ -467,6 +467,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // the whole curation pipeline COMPOSED end-to-end: quality filter →
+    // exact dedup (keep lowest id per identical text) → train split →
+    // sequence packing. Single-op queries prove each stage; this one
+    // proves the stages compose (column contracts, determinism through
+    // four operators)
+    "pipeline_curate" -> ((s, dir) => {
+      val kept = docs(s, dir).filter(Text.qualityScore(col("text")) >= 0.55)
+      val deduped = Dedup.byRank(kept, Seq("text"), Seq(col("doc_id").asc))
+      val train = Curate.splitAssign(deduped, "doc_id")
+        .filter(col("split") === "train")
+        .select("doc_id", "text")
+      Curate.packSequences(train, "doc_id", "text", budget = 2048, shards = 8)
+        .orderBy("doc_id")
+    }),
+
     // incremental ingest dedup: new docs (doc_id >= 400) probe the band
     // index of the existing corpus (doc_id < 400) — corpus signatures
     // precomputed once, corpus text re-read only for bucket-sharing
@@ -918,6 +933,54 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // composed pipeline: quality formula == text_quality oracle, dedup
+    // == row_number per text, split == the md5-bucket train band,
+    // packing == the pack_sequences window — chained in one statement
+    "pipeline_curate" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, len, nonspace, alpha, punct,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','are','was',
+        |       'it','that','this','for','on','with','as','at','by','be'], x))) AS DOUBLE) AS stop
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    round(
+        |      least(len / 1000.0, 1.0) * 0.3 +
+        |      (CASE WHEN nonspace > 0 THEN alpha / nonspace ELSE 0.0 END) * 0.3 +
+        |      (CASE WHEN nonspace > 0 THEN greatest(0.0, 1.0 - punct * 10.0 / nonspace)
+        |            ELSE 1.0 END) * 0.1 +
+        |      (CASE WHEN ntok > 0 THEN stop / ntok ELSE 0.0 END) * 0.2 +
+        |      (CASE WHEN ntok > 0 AND nonspace / ntok >= 3 AND nonspace / ntok <= 10
+        |            THEN 1.0 ELSE 0.5 END) * 0.1
+        |    , 6) AS quality
+        |  FROM s),
+        |kept AS (SELECT doc_id, text FROM q WHERE quality >= 0.55),
+        |dd AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |tr AS (
+        |  SELECT doc_id, text FROM dd
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) >= 13107),
+        |toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM tr)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |FROM toks ORDER BY doc_id""".stripMargin,
 
     // curation: the md5 bucket is CAST(('0x' || hex4) AS INTEGER) in
     // DuckDB and conv(hex4, 16, 10) in Spark — same 16-bit integer
