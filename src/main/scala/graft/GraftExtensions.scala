@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.NativeHash
+import graft.functions.{NativeHash, Text}
+import org.apache.spark.sql.graft.Shims
 
 /** SparkSessionExtensions entry point: exposes the engine's native
   * sketch expressions to SQL (`SELECT minhash_sig(shingles), …`).
@@ -13,7 +14,30 @@ import graft.functions.NativeHash
   * (GraftSession sets it by default).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Register a 1-arg Column-composite function (graft.functions.Text
+    * et al) under a SQL name: the builder lifts the argument expression
+    * to a Column, applies the composition, and lowers the result back —
+    * the SQL surface then covers the whole text-analysis family, not
+    * just the native expressions.
+    */
+  private def column1(ext: SparkSessionExtensions, name: String)(
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[Text.type].getName, name),
+      (args: Seq[Expression]) => args match {
+        case Seq(e) => Shims.catalystExpression(f(Shims.column(e)))
+        case _ => throw new IllegalArgumentException(s"$name(expr) expects 1 argument")
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    column1(ext, "quality_score")(Text.qualityScore)
+    column1(ext, "lang_id")(Text.langId)
+    column1(ext, "token_count")(Text.tokenCount)
+    column1(ext, "bpeish_token_count")(Text.bpeishTokenCount)
+    column1(ext, "redact_pii")(Text.redactPii)
+    column1(ext, "doc_fingerprint")(Text.fingerprint)
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[NativeHash.MinHashSigExpr].getName, "minhash_sig"),

@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a composed Column into a real Catalyst tree. The
+    * lazy wrapper `expression` returns is a LEAF to the analyzer — fine
+    * inside Dataset transformations (the classic API converts it), but
+    * an expression returned from a FunctionRegistry builder would keep
+    * its UnresolvedFunction children hidden and never resolve. This
+    * variant runs the node converter up front so the analyzer can
+    * recurse normally (used by GraftExtensions' SQL registrations of
+    * Column-composite functions).
+    */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

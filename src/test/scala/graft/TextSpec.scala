@@ -30,4 +30,20 @@ class TextSpec extends AnyFunSuite {
     assert(redact("row batch scan 123 ok") == "row batch scan 123 ok")
     assert(redact("version 1.2.3 is not an ip") == "version 1.2.3 is not an ip")
   }
+
+  test("SQL surface: text-analysis functions resolve via GraftExtensions") {
+    Seq((1L, "the quick brown fox and a dog run to the barn")).toDF("id", "t")
+      .createOrReplaceTempView("tx_docs")
+    val r = spark.sql(
+      """SELECT token_count(t) AS n, bpeish_token_count(t) AS nb,
+        |       quality_score(t) AS q, lang_id(t) AS lang,
+        |       redact_pii(t) AS clean, doc_fingerprint(t) AS fp
+        |FROM tx_docs""".stripMargin).collect().head
+    assert(r.getAs[Int]("n") == 11 && r.getAs[String]("lang") == "en")
+    assert(r.getAs[Double]("q") > 0 && r.getAs[String]("clean").contains("fox"))
+    // SQL and Column paths agree on the fingerprint
+    val viaCol = Seq("the quick brown fox and a dog run to the barn").toDF("t")
+      .select(Text.fingerprint(col("t"))).as[Long].head()
+    assert(r.getAs[Long]("fp") == viaCol)
+  }
 }
