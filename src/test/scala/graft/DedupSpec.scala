@@ -123,6 +123,19 @@ class DedupSpec extends AnyFunSuite {
     assert(clean == Set(2L), s"expected only doc 2 to survive, got $clean")
   }
 
+  test("generic string-shingle hatch agrees with the native hashed path") {
+    // nearDupPairsBy (arbitrary string-shingle expression, interpreted
+    // hash+sort) must produce identical pairs and jaccard values to the
+    // native shingle_hashes pipeline on the same shingling
+    import graft.functions.Text
+    val viaHatch = JaccardDedup.nearDupPairsBy(fixture, "doc_id",
+        Text.shingles(Text.tokens(col("text")), 2), threshold = 0.3, maxDocFreq = None)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaNative = JaccardDedup.nearDupPairs(fixture, "doc_id", "text", nGram = 2, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaHatch == viaNative && viaHatch.nonEmpty)
+  }
+
   test("jaccard candidate generation is lossless at low thresholds") {
     // docs sharing exactly one shingle: candidate must still be generated
     val df = Seq(
