@@ -27,6 +27,10 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    // a typo'd name silently shrinking the run would print a valid-looking
+    // (and spectacular) total that round-over-round tooling would ingest
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
 

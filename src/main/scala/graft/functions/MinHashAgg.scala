@@ -24,6 +24,7 @@ object MinHashAgg {
   final class UnionSketch(k: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
     override def reduce(b: Array[Long], row: Seq[Long]): Array[Long] = {
+      if (row == null) return b // null text ⇒ null signature: skip, don't NPE the group
       var i = 0
       while (i < k && i < row.length) { if (row(i) < b(i)) b(i) = row(i); i += 1 }
       b

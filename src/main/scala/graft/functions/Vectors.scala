@@ -49,16 +49,19 @@ object Vectors {
   // codegen'd expression; the HOF formulation was interpreted and paid
   // a per-plane re-evaluation tax.)
 
-  /** Fold a 0/1 bit array into `tables` LSH bucket ids of `bitsPerTable`
-    * bits each: `array<struct<tbl:int, bucket:bigint>>` — explode and
-    * equi-join on (tbl, bucket) for candidate generation. A pair at
-    * cosine θ shares a bucket in one table with p = (1 − arccos(θ)/π)^r;
-    * recall across L tables is 1 − (1 − p)^L. Raise `bitsPerTable`
-    * (≈ log2 corpus size) to keep random collisions sub-quadratic, raise
-    * `tables` to buy recall back.
+  /** REFERENCE IMPLEMENTATION (production paths use the fused
+    * NativeHash.srpBuckets expression; NativeHashSpec pins the two
+    * bit-identical): fold a 0/1 bit array into `tables` LSH bucket ids
+    * of `bitsPerTable` bits each,
+    * `array<struct<tbl:int, bucket:bigint>>` — explode and equi-join on
+    * (tbl, bucket) for candidate generation. A pair at cosine θ shares
+    * a bucket in one table with p = (1 − arccos(θ)/π)^r; recall across
+    * L tables is 1 − (1 − p)^L. Raise `bitsPerTable` (≈ log2 corpus
+    * size) to keep random collisions sub-quadratic, raise `tables` to
+    * buy recall back.
     *
-    * IMPORTANT: pass the bits as their own projected column (not the
-    * srpBits expression inline) — interpreted HOFs have no common-
+    * If used directly: pass the bits as their own projected column (not
+    * the srpBits expression inline) — interpreted HOFs have no common-
     * subexpression elimination, so an inline expression would recompute
     * every dot product once per table.
     */

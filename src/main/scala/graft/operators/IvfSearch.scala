@@ -101,6 +101,11 @@ object IvfSearch {
     val cents = trainCentroids(corpus, nLists)
     val assigned = Par.widen(corpus)
       .withColumn("list", element_at(nearestCentroids(col("vec"), cents, 1), 1))
+      // the index's whole point is probe-many-times: without this every
+      // probe would rescan the corpus and re-run the nLists×dim
+      // assignment loop per row (production: write it out list-
+      // partitioned instead and read that back)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(cents, assigned)
   }
 

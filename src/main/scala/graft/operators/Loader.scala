@@ -72,13 +72,7 @@ object Loader {
     val partitioned = cfg.partition.foldLeft(deduped) { case (df, (k, v)) => df.withColumn(k, lit(v)) }
     val staged =
       if (cfg.clusterBy.isEmpty) partitioned
-      else {
-        val cols = cfg.clusterBy.map(col)
-        val ranged =
-          if (cfg.clusterParts > 0) partitioned.repartitionByRange(cfg.clusterParts, cols: _*)
-          else partitioned.repartitionByRange(cols: _*)
-        ranged.sortWithinPartitions(cols: _*)
-      }
+      else graft.sinks.Sink.rangeCluster(partitioned, cfg.clusterBy, cfg.clusterParts)
 
     cfg.mode match {
       case Overwrite =>

@@ -168,6 +168,11 @@ object MinHashDedup {
       .join(corpusIndex.select(col(corpusId), col("band"), col("bucket")), Seq("band", "bucket"))
       .select(col(newId), col(corpusId))
       .distinct()
+      // consumed twice (corpus semi-join + the final pair join): without
+      // a persist the probe join — and the corpusIndex lineage under it —
+      // would re-run per consumer, recomputing the very signatures this
+      // API promises never to recompute
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingle only the corpus docs that are candidates
     val corpusSh = shingled(
       corpus.join(cand.select(col(corpusId)).distinct(), Seq(corpusId), "left_semi"),

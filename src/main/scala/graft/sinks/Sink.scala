@@ -84,13 +84,25 @@ object Sink {
   /** K10 — null sink (benchmarking): forces full computation, writes
     * nothing.
     */
-  /** Range-clustered parquet write: repartitionByRange on the cluster
-    * key + in-partition sort + (optionally) maxRecordsPerFile. Each
-    * output file then covers a DISJOINT range of the key, so parquet
-    * min/max footer stats prune whole files for range/equality
-    * predicates — the data-layout lever that makes scan cost track a
-    * predicate's selectivity instead of table size at 100 TB.
-    * `partitions = 0` lets AQE/defaultParallelism choose.
+  /** The range-clustering policy shared by clusteredParquet and
+    * Loader's clusterBy publish: repartitionByRange + in-partition sort
+    * on the cluster key. `partitions > 0` pins the partition count
+    * (bypasses AQE coalescing); 0 lets AQE size the ranges.
+    */
+  def rangeCluster(df: DataFrame, clusterCols: Seq[String], partitions: Int = 0): DataFrame = {
+    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
+    val ranged =
+      if (partitions > 0) df.repartitionByRange(partitions, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    ranged.sortWithinPartitions(cols: _*)
+  }
+
+  /** Range-clustered parquet write: each output file covers a DISJOINT
+    * range of the cluster key (rangeCluster + optional
+    * maxRecordsPerFile), so parquet min/max footer stats prune whole
+    * files for range/equality predicates — the data-layout lever that
+    * makes scan cost track a predicate's selectivity instead of table
+    * size at 100 TB.
     */
   def clusteredParquet(
       df: DataFrame,
@@ -98,36 +110,56 @@ object Sink {
       clusterCols: Seq[String],
       partitions: Int = 0,
       maxRecordsPerFile: Long = 0): Unit = {
-    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
-    val ranged =
-      if (partitions > 0) df.repartitionByRange(partitions, cols: _*)
-      else df.repartitionByRange(cols: _*)
-    val writer = ranged.sortWithinPartitions(cols: _*).write.mode(SaveMode.Overwrite)
+    val writer = rangeCluster(df, clusterCols, partitions).write.mode(SaveMode.Overwrite)
     val bounded =
       if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile.toString)
       else writer
     bounded.parquet(path)
   }
 
+  /** Swap a fully-written staging directory into place of `target`,
+    * RECOVERABLY (not atomically — a filesystem has no two-directory
+    * atomic swap): target → __old, staging → target, drop __old. A
+    * crash between the two renames leaves the data parked at
+    * `<target>__old`; the recovery preamble here (and in any later
+    * call) restores it before proceeding, so the table is never lost —
+    * only briefly absent. This is the same contract as the Loader's
+    * reference-parity table swap (`hive_loader.py:176-178`).
+    */
+  def swapInDir(fs: org.apache.hadoop.fs.FileSystem, stagingPath: String, targetPath: String): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(stagingPath)
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
+    // recovery: a previous crash between renames left target missing
+    if (!fs.exists(target) && fs.exists(old) && !fs.exists(staging))
+      sys.error(s"swapInDir: $targetPath missing with stranded ${old} — restore it (rename) first")
+    if (!fs.exists(target) && fs.exists(old) && fs.exists(staging)) fs.rename(old, target)
+    fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      sys.error(s"swapInDir: cannot stage-out $targetPath")
+    if (!fs.rename(staging, target)) {
+      fs.rename(old, target)
+      sys.error(s"swapInDir: swap failed for $targetPath")
+    }
+    fs.delete(old, true)
+  }
+
   /** Compact a parquet directory's many small files into `target`
     * right-sized ones — the maintenance remedy for streaming-sink and
-    * over-parallel-writer output. Staged like the Loader's swap: the
-    * rewrite lands in `<path>__compacting`, then swaps in atomically
-    * (old data is live until the instant of the rename).
+    * over-parallel-writer output. The rewrite lands in
+    * `<path>__compacting`, then swaps in via swapInDir (recoverable,
+    * see its contract; readers racing the swap window should go through
+    * a catalog table, where the Loader's RENAME-based publish applies).
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String, target: Int): Unit = {
     require(target > 0, "target file count must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
-    fs.delete(staging, true); fs.delete(old, true)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val staging = path + "__compacting"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     spark.read.parquet(path).coalesce(target)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    if (!fs.rename(p, old)) sys.error(s"compact: cannot stage-out $path")
-    if (!fs.rename(staging, p)) { fs.rename(old, p); sys.error(s"compact: swap failed for $path") }
-    fs.delete(old, true)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    swapInDir(fs, staging, path)
   }
 
   def noop(df: DataFrame): Unit =

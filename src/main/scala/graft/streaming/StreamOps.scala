@@ -92,18 +92,25 @@ object StreamOps {
   }
 
   /** Streaming upsert sink: merge each micro-batch into a parquet
-    * "table" directory by key (latest batch row wins per key) — the
-    * streaming face of the reference's load/merge protocol
-    * (`hive_loader.py` merge mode), built on foreachBatch +
-    * Merge.upsert + an atomic directory swap. The checkpoint makes
-    * batch replay idempotent: re-merging an already-applied batch is a
-    * no-op because upsert is.
+    * "table" directory by key — the streaming face of the reference's
+    * load/merge protocol (`hive_loader.py` merge mode), built on
+    * foreachBatch + Merge.upsert + the recoverable rename swap
+    * (Sink.swapInDir).
+    *
+    * `orderBy` picks the winner when a micro-batch carries several rows
+    * for one key (e.g. `Seq(col("version").desc)` = latest wins). It
+    * must be DETERMINISTIC over the batch's contents: the checkpoint
+    * makes crash-replay idempotent only if re-merging the recomputed
+    * batch reproduces the same surviving rows — a partition-order tie
+    * (the Dedup.byRank default) could break the other way on replay and
+    * leave the table in a different state than before the crash.
     */
   def upsertSink(
       df: DataFrame,
       tablePath: String,
       checkpoint: String,
-      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+      keys: Seq[String],
+      orderBy: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update())
@@ -111,21 +118,14 @@ object StreamOps {
         val spark = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(tablePath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val dedupedBatch = graft.operators.Dedup.byRank(batch, keys) // key-unique staging
+        val dedupedBatch = graft.operators.Dedup.byRank(batch, keys, orderBy) // key-unique staging
         val merged =
           if (fs.exists(new org.apache.hadoop.fs.Path(tablePath)))
             graft.operators.Merge.upsert(spark.read.parquet(tablePath), dedupedBatch, keys)
           else dedupedBatch
         val staging = tablePath + "__merging"
         merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-        val old = new org.apache.hadoop.fs.Path(tablePath + "__old")
-        fs.delete(old, true)
-        val target = new org.apache.hadoop.fs.Path(tablePath)
-        if (fs.exists(target) && !fs.rename(target, old)) sys.error(s"upsertSink: stage-out failed")
-        if (!fs.rename(new org.apache.hadoop.fs.Path(staging), target)) {
-          fs.rename(old, target); sys.error(s"upsertSink: swap failed")
-        }
-        fs.delete(old, true)
+        graft.sinks.Sink.swapInDir(fs, staging, tablePath)
         ()
       }
       .start()

@@ -74,6 +74,22 @@ class NativeHashSpec extends AnyFunSuite {
     rows.foreach { case (nw, old) => assert(nw == old) }
   }
 
+  test("fused srp_band_buckets equals the srpBits + srpFoldBuckets reference chain") {
+    import graft.functions.Vectors
+    val dim = 8; val bits = 4; val tables = 6; val seed = 9L
+    val vecs = Seq(Seq(1f, 0f, -1f, 2f, 0.5f, 0f, 0f, 3f), Seq(0.1f, -0.2f, 0.3f, -0.4f, 0.5f, -0.6f, 0.7f, -0.8f))
+      .toDF("vec")
+    val fused = vecs
+      .select(posexplode(NativeHash.srpBuckets(col("vec"), dim, bits, tables, seed))
+        .as(Seq("tbl", "bucket")))
+      .as[(Int, Long)].collect().toSeq
+    val reference = vecs
+      .withColumn("__bits", NativeHash.srpBits(col("vec"), dim, bits * tables, seed))
+      .select(explode(Vectors.srpFoldBuckets(col("__bits"), bits, tables)).as("bb"))
+      .select(col("bb.tbl"), col("bb.bucket")).as[(Int, Long)].collect().toSeq
+    assert(fused == reference)
+  }
+
   test("shingle_hashes has the same set structure as the string-shingle pipeline") {
     // the native path replaced transform(concat_ws(slice))+array_distinct
     // +xxhash64: hash VALUES differ by design, but sizes and pairwise

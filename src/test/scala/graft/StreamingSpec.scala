@@ -160,22 +160,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("upsertSink merges each micro-batch into the parquet table by key") {
+  test("upsertSink merges each micro-batch into the parquet table by key, latest version wins") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val (tab, chk) = (s"$root/tab", s"$root/chk")
-    val in = MemoryStream[(Long, String)]
-    val q = StreamOps.upsertSink(in.toDF().toDF("k", "v"), tab, chk, Seq("k"))
+    val in = MemoryStream[(Long, Long, String)]
+    val q = StreamOps.upsertSink(in.toDF().toDF("k", "ver", "v"), tab, chk, Seq("k"),
+      orderBy = Seq(col("ver").desc))
     try {
-      in.addData((1L, "a"), (2L, "b"))
+      // within-batch duplicate key: the higher version must win
+      // deterministically (not partition order)
+      in.addData((1L, 1L, "a-old"), (1L, 2L, "a"), (2L, 1L, "b"))
       q.processAllAvailable()
-      assert(spark.read.parquet(tab).as[(Long, String)].collect().toSet ==
-        Set((1L, "a"), (2L, "b")))
-      in.addData((2L, "B"), (3L, "c")) // update + insert
+      assert(spark.read.parquet(tab).as[(Long, Long, String)].collect().toSet ==
+        Set((1L, 2L, "a"), (2L, 1L, "b")))
+      in.addData((2L, 2L, "B"), (3L, 1L, "c")) // update + insert
       q.processAllAvailable()
-      assert(spark.read.parquet(tab).as[(Long, String)].collect().toSet ==
-        Set((1L, "a"), (2L, "B"), (3L, "c")))
+      assert(spark.read.parquet(tab).as[(Long, Long, String)].collect().toSet ==
+        Set((1L, 2L, "a"), (2L, 2L, "B"), (3L, 1L, "c")))
     } finally q.stop()
   }
 
