@@ -31,6 +31,23 @@ object Source {
     if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*)
   }
 
+  /** Batch file read over csv/json/parquet/orc/avro directories — the
+    * batch face of StreamOps.fromFiles and the intake for the
+    * reference's staged-CSV handoff (`handler/csv_handler.py:50-52`).
+    * Pass an explicit schema for csv/json so the scan stays
+    * projection-prunable and free of an inference pre-pass (a schema
+    * inference job reads the whole input once before the real one).
+    */
+  def files(
+      spark: SparkSession,
+      path: String,
+      format: String = "parquet",
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.read.format(format).options(options)
+    schema.fold(reader)(reader.schema).load(path)
+  }
+
   /** S3 — arbitrary SQL over registered temp views. */
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 

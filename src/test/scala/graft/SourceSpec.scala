@@ -54,4 +54,18 @@ class SourceSpec extends AnyFunSuite {
     val plan = Source.dryRun(Source.table(spark, dir, "t", Seq("id"), Some("x > 15")))
     assert(plan.contains("PushedFilters") && plan.toLowerCase.contains("scan parquet"))
   }
+
+  test("files reads csv and json directories with an explicit schema") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_src_files").toString
+    val data = Seq((1L, "x"), (2L, "y"))
+    data.toDF("id", "v").write.csv(s"$root/c")
+    data.toDF("id", "v").write.json(s"$root/j")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    for (fmt <- Seq("csv", "json")) {
+      val back = Source.files(spark, s"$root/${fmt.head}", fmt, Some(schema))
+        .as[(Long, String)].collect().toSet
+      assert(back == data.toSet, s"$fmt round trip")
+    }
+  }
 }
