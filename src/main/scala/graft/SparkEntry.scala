@@ -498,6 +498,20 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // intra-doc repetition (Gopher-style duplicate-3-gram ratio) — the
+    // boilerplate/spam signal of corpus quality rules
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), round(Text.repetitionRatio(col("text"), 3), 6).as("dup3_ratio"))
+        .orderBy("doc_id")),
+
+    // unigram cross-entropy vs the corpus's own token distribution —
+    // the cheap LM-style fluency/outlier score
+    "text_logppl" -> ((s, dir) =>
+      TextSearch.unigramLogPerplexity(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), round(col("logppl"), 6).as("logppl"))
+        .orderBy("doc_id")),
+
     // Okapi BM25 keyword relevance over the corpus (operators/TextSearch)
     "bm25_search" -> ((s, dir) =>
       TextSearch.bm25(docs(s, dir), "doc_id", "text", Seq("join", "vector", "merge"))
@@ -1030,6 +1044,35 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
         |ORDER BY new_id, corpus_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3
+        |         THEN list_transform(range(0, len(tk) - 2),
+        |                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+        |         ELSE []::VARCHAR[] END AS all3
+        |  FROM toks)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(all3) > 0
+        |             THEN 1.0 - CAST(len(list_distinct(all3)) AS DOUBLE) / len(all3)
+        |             ELSE 0.0 END, 6) AS dup3_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "text_logppl" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(-ln(cnt / total)), 6) AS logppl
+        |FROM toks JOIN freq USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // BM25 with the same tokenizer; ln() is the natural log both sides,
     // round(6) absorbs summation-order last-bit drift

@@ -96,6 +96,17 @@ object Text {
     "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "mit", "von"),
     "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
 
+  /** Intra-document repetition: fraction of n-gram OCCURRENCES that are
+    * duplicates of an earlier one, 1 − distinct/total (0 when the doc
+    * has fewer than n tokens). The standard boilerplate/spam signal in
+    * corpus quality rules: high values mean the doc repeats itself.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val all = shingles(tokens(text), n)
+    val total = size(all).cast("double")
+    when(total > 0, lit(1.0) - size(array_distinct(all)) / total).otherwise(0.0)
+  }
+
   /** PII redaction: replace email addresses, phone-like digit runs, and
     * IPv4 literals with typed placeholder tokens — the standard cheap
     * scrub pass before corpus publication. Regex-only (deterministic,

@@ -52,4 +52,29 @@ object TextSearch {
       .groupBy(col(idCol))
       .agg(sum("w").as("score"))
   }
+
+  /** Per-doc unigram cross-entropy against the corpus's own token
+    * distribution: mean over the doc's token occurrences of
+    * −ln(count(token)/total) — the cheap KenLM-style fluency/outlier
+    * signal of quality filtering (high = the doc is made of rare
+    * tokens relative to the corpus). Every token occurrence counts (no
+    * dedup), matching the LM view of the text.
+    *
+    * Scale shape: the unigram table is a groupBy over the exploded
+    * corpus — one narrow shuffle of (token-hash, count)-sized rows; the
+    * scoring join is an equi-join on the token that AQE broadcasts
+    * while the vocabulary fits. Output: (idCol, n_tokens, logppl).
+    */
+  def unigramLogPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Par.widen(docs)
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // freq build + scoring
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    toks.join(freq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log(col("cnt") / col("total"))).as("logppl"))
+  }
 }
