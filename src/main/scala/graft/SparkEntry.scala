@@ -518,6 +518,15 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy("doc_id")),
 
+    // per-group embedding centroids (operators/Embeddings): distributed
+    // vector mean via explode -> narrow groupBy, no whole-vector agg state
+    "embedding_centroids" -> ((s, dir) =>
+      Embeddings.centroids(
+          t(s, dir, "embeddings").select(pmod(col("vec_id"), lit(4)).as("grp"), col("embedding").as("vec")),
+          "grp", "vec")
+        .select(col("grp"), transform(col("centroid"), x => round(x, 6)).as("centroid"))
+        .orderBy("grp")),
+
     // ---- similarity search ----
     "ann_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1044,6 +1053,17 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
         |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // per-dimension avg then list(... ORDER BY pos); DuckDB ordinality is
+    // 1-based vs Spark's 0-based posexplode — both sort consistently
+    "embedding_centroids" ->
+      """WITH e AS (
+        |  SELECT vec_id % 4 AS grp, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |a AS (SELECT grp, pos, avg(v) AS m FROM e GROUP BY 1, 2)
+        |SELECT grp, list(round(m, 6) ORDER BY pos) AS centroid
+        |FROM a GROUP BY grp ORDER BY grp""".stripMargin,
 
     "text_repetition" ->
       """WITH toks AS (
