@@ -80,14 +80,39 @@ object IvfSearch {
     Shims.column(NearestCentroidsExpr(Shims.expression(vec), centroids, nProbe))
 
   /** Deterministic coarse quantizer: the `nLists` corpus vectors with the
-    * smallest xxhash64(id) — a seeded uniform sample (k-means would
-    * refine it; the list structure and query path are identical).
+    * smallest xxhash64(id) — a seeded uniform sample (`trainKMeans`
+    * refines it; the list structure and query path are identical).
     */
   def trainCentroids(corpus: DataFrame, nLists: Int): Array[Array[Float]] =
     corpus.withColumn("__h", xxhash64(col("id")))
       .orderBy("__h").limit(nLists)
       .select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
+
+  /** Lloyd-refined quantizer: start from the seeded sample and iterate
+    * assign (native nearest-centroid, map-side) → recompute means
+    * (Embeddings.centroids — a narrow distributed aggregate) → collect
+    * the nLists×dim table (bounded, same size as the sample). Each
+    * iteration is two Spark jobs over the corpus; a handful suffices
+    * for a coarse quantizer. Deterministic: seeded start, deterministic
+    * assignment, exact means. Lists that lose all members keep their
+    * previous centroid (k never shrinks).
+    */
+  def trainKMeans(corpus: DataFrame, nLists: Int, iters: Int = 3): Array[Array[Float]] = {
+    var cents = trainCentroids(corpus, nLists)
+    var it = 0
+    while (it < iters) {
+      val assigned = corpus
+        .select(element_at(nearestCentroids(col("vec"), cents, 1), 1).as("list"), col("vec"))
+      val means = Embeddings.centroids(assigned, "list", "vec")
+        .collect()
+        .map(r => r.getAs[Int]("list") -> r.getSeq[Double](1).map(_.toFloat).toArray)
+        .toMap
+      cents = Array.tabulate(cents.length)(i => means.getOrElse(i, cents(i)))
+      it += 1
+    }
+    cents
+  }
 
   /** Materialized IVF index: the coarse quantizer plus the corpus's list
     * assignment. Build ONCE per corpus snapshot (persist `assigned` as a
@@ -97,8 +122,10 @@ object IvfSearch {
     */
   final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame)
 
-  def buildIndex(corpus: DataFrame, nLists: Int = 64): IvfIndex = {
-    val cents = trainCentroids(corpus, nLists)
+  def buildIndex(corpus: DataFrame, nLists: Int = 64, kmeansIters: Int = 0): IvfIndex = {
+    val cents =
+      if (kmeansIters > 0) trainKMeans(corpus, nLists, kmeansIters)
+      else trainCentroids(corpus, nLists)
     val assigned = Par.widen(corpus)
       .withColumn("list", element_at(nearestCentroids(col("vec"), cents, 1), 1))
       // the index's whole point is probe-many-times: without this every

@@ -114,6 +114,23 @@ class SimilaritySpec extends AnyFunSuite {
       s"ivf recall ${(ivf & bf).size}/${bf.size} below 0.9")
   }
 
+  test("k-means refinement recovers cluster structure: top-1 exact with a single probe") {
+    // On CLUSTERED data (k-means' documented win; on the unclustered sf
+    // fixture refinement is a wash) three Lloyd iterations must pull the
+    // quantizer onto the clusters so nProbe = 1 already finds every
+    // query's true top-1 — the seeded sample quantizer offers no such
+    // guarantee at one probe
+    import graft.operators.IvfSearch
+    val queries = corpus.filter(col("id").isin(0L, 10L, 20L))
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val bf = SimilaritySearch.bruteForceTopK(corpus, queries, 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val idx = IvfSearch.buildIndex(corpus, nLists = 3, kmeansIters = 3)
+    val got = IvfSearch.probe(idx, queries, k = 1, nProbe = 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(got == bf, s"refined ivf top-1 $got != brute force $bf")
+  }
+
   test("a built IVF index serves repeated query batches identically to the one-shot path") {
     assume(new java.io.File(sfDir).isDirectory)
     import graft.operators.IvfSearch
