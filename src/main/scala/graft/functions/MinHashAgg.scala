@@ -25,8 +25,9 @@ object MinHashAgg {
     override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
     override def reduce(b: Array[Long], row: Seq[Long]): Array[Long] = {
       if (row == null) return b // null text ⇒ null signature: skip, don't NPE the group
+      require(row.length == k, s"signature width ${row.length} != aggregator k=$k")
       var i = 0
-      while (i < k && i < row.length) { if (row(i) < b(i)) b(i) = row(i); i += 1 }
+      while (i < k) { if (row(i) < b(i)) b(i) = row(i); i += 1 }
       b
     }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -46,10 +47,14 @@ object MinHashAgg {
     org.apache.spark.sql.functions.udaf(new UnionSketch(k)).apply(sig)
 
   /** Estimated Jaccard of the two sketched sets: matching-coordinate
-    * fraction of equal-length signatures.
+    * fraction of equal-length signatures. Long.MaxValue coordinates are
+    * the untouched empty-set sentinel, NOT hashes — they never count as
+    * matches, so two empty (or all-null-doc) groups estimate 0.0 rather
+    * than a spurious 1.0.
     */
   def estimateJaccard(a: Seq[Long], b: Seq[Long]): Double = {
     require(a.length == b.length && a.nonEmpty, "signatures must be same nonzero length")
-    a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / a.length
+    a.iterator.zip(b.iterator)
+      .count { case (x, y) => x == y && x != Long.MaxValue }.toDouble / a.length
   }
 }

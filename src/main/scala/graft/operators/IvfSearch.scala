@@ -94,9 +94,13 @@ object IvfSearch {
     * (Embeddings.centroids — a narrow distributed aggregate) → collect
     * the nLists×dim table (bounded, same size as the sample). Each
     * iteration is two Spark jobs over the corpus; a handful suffices
-    * for a coarse quantizer. Deterministic: seeded start, deterministic
-    * assignment, exact means. Lists that lose all members keep their
-    * previous centroid (k never shrinks).
+    * for a coarse quantizer. Seeded start and deterministic assignment;
+    * the distributed means are exact up to floating-point summation
+    * order (double addition is non-associative across partitions), so a
+    * vector near-equidistant between centroids can in principle flip
+    * lists between runs — irrelevant for a coarse quantizer, but do not
+    * expect bit-identical centroids across builds. Lists that lose all
+    * members keep their previous centroid (k never shrinks).
     */
   def trainKMeans(corpus: DataFrame, nLists: Int, iters: Int = 3): Array[Array[Float]] = {
     var cents = trainCentroids(corpus, nLists)
@@ -118,22 +122,30 @@ object IvfSearch {
     * assignment. Build ONCE per corpus snapshot (persist `assigned` as a
     * list-partitioned table in production), then `probe` arbitrarily
     * many query batches without rescanning or reassigning the corpus —
-    * the serving-path analog of MinHashDedup.bandIndex.
+    * the serving-path analog of MinHashDedup.bandIndex. The cached
+    * assignment is corpus-sized: call `release()` when done with the
+    * index or the block manager holds it for the session's lifetime.
     */
-  final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame)
+  final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame) {
+    def release(): Unit = { assigned.unpersist(); () }
+  }
 
-  def buildIndex(corpus: DataFrame, nLists: Int = 64, kmeansIters: Int = 0): IvfIndex = {
+  def buildIndex(corpus: DataFrame, nLists: Int = 64, kmeansIters: Int = 0): IvfIndex =
+    buildIndexInternal(corpus, nLists, kmeansIters, cache = true)
+
+  private def buildIndexInternal(
+      corpus: DataFrame, nLists: Int, kmeansIters: Int, cache: Boolean): IvfIndex = {
     val cents =
       if (kmeansIters > 0) trainKMeans(corpus, nLists, kmeansIters)
       else trainCentroids(corpus, nLists)
     val assigned = Par.widen(corpus)
       .withColumn("list", element_at(nearestCentroids(col("vec"), cents, 1), 1))
-      // the index's whole point is probe-many-times: without this every
-      // probe would rescan the corpus and re-run the nLists×dim
-      // assignment loop per row (production: write it out list-
-      // partitioned instead and read that back)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    IvfIndex(cents, assigned)
+    // probe-many-times is the index's point — cache the assignment (the
+    // one-shot ivfTopK path skips it: a single consumer would only leak
+    // a corpus-sized cache entry per call)
+    IvfIndex(cents,
+      if (cache) assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else assigned)
   }
 
   /** Top-k by cosine among the probed inverted lists of a built index. */
@@ -157,5 +169,5 @@ object IvfSearch {
       k: Int,
       nLists: Int = 64,
       nProbe: Int = 8): DataFrame =
-    probe(buildIndex(corpus, nLists), queries, k, nProbe)
+    probe(buildIndexInternal(corpus, nLists, kmeansIters = 0, cache = false), queries, k, nProbe)
 }

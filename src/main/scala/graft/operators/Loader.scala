@@ -35,6 +35,9 @@ object Loader {
       // range-cluster the written files on these columns (see
       // Sink.clusteredParquet): each file covers a disjoint key range,
       // so footer stats prune whole files for predicates on the key.
+      // Overwrite/Merge rewrite the whole table, so the disjointness
+      // holds table-wide; Append can only cluster the files IT writes
+      // (their ranges may overlap previously-appended files).
       // clusterParts > 0 pins the file count (bypasses AQE coalescing);
       // 0 lets AQE size the ranges from the data
       clusterBy: Seq[String] = Nil,
@@ -91,7 +94,14 @@ object Loader {
           // reconcile→target, drop bak. A failure at ANY point leaves a
           // recoverable table — the target never ceases to exist without
           // a fully-built replacement already in the catalog.
-          val merged = Merge.upsert(spark.table(cfg.target), staged, keys)
+          // the reconcile write rewrites the WHOLE table — exactly when
+          // re-clustering is free; without this, merge mode would drop
+          // the clusterBy contract (upsert's anti-join union does not
+          // preserve the staged clustering)
+          val merged0 = Merge.upsert(spark.table(cfg.target), staged, keys)
+          val merged =
+            if (cfg.clusterBy.isEmpty) merged0
+            else graft.sinks.Sink.rangeCluster(merged0, cfg.clusterBy, cfg.clusterParts)
           val reconcile = s"${cfg.target}__graft_reconcile"
           val bak = s"${cfg.target}__graft_bak"
           // R10 quoting on every catalog statement

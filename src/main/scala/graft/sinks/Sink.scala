@@ -117,44 +117,62 @@ object Sink {
     bounded.parquet(path)
   }
 
+  /** Restore a table directory stranded by a crash between swapInDir's
+    * two renames: if `target` is missing and `<target>__old` exists,
+    * rename it back. MUST run before anything READS the target (the
+    * swap-based writers here call it first; long-lived services should
+    * call it once at startup for each swap-managed directory). Errors
+    * loudly — it never deletes anything.
+    */
+  def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, targetPath: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
+    if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target))
+      sys.error(s"recoverSwap: could not restore $targetPath from ${old} — data intact there, fix manually")
+  }
+
   /** Swap a fully-written staging directory into place of `target`,
     * RECOVERABLY (not atomically — a filesystem has no two-directory
     * atomic swap): target → __old, staging → target, drop __old. A
     * crash between the two renames leaves the data parked at
-    * `<target>__old`; the recovery preamble here (and in any later
-    * call) restores it before proceeding, so the table is never lost —
-    * only briefly absent. This is the same contract as the Loader's
-    * reference-parity table swap (`hive_loader.py:176-178`).
+    * `<target>__old`; recoverSwap (run here and by every swap-based
+    * writer before it reads the target) restores it, so the data is
+    * never lost — the table is only briefly absent. Same contract as
+    * the Loader's reference-parity table swap (`hive_loader.py:
+    * 176-178`). The `__old` backup is only ever deleted when `target`
+    * verifiably exists.
     */
   def swapInDir(fs: org.apache.hadoop.fs.FileSystem, stagingPath: String, targetPath: String): Unit = {
     val staging = new org.apache.hadoop.fs.Path(stagingPath)
     val target = new org.apache.hadoop.fs.Path(targetPath)
     val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
-    // recovery: a previous crash between renames left target missing
-    if (!fs.exists(target) && fs.exists(old) && !fs.exists(staging))
-      sys.error(s"swapInDir: $targetPath missing with stranded ${old} — restore it (rename) first")
-    if (!fs.exists(target) && fs.exists(old) && fs.exists(staging)) fs.rename(old, target)
-    fs.delete(old, true)
+    recoverSwap(fs, targetPath)
+    // any __old surviving past recovery is a stale backup from a crash
+    // AFTER a completed swap (target exists) — safe to clear
+    if (fs.exists(target) && fs.exists(old)) fs.delete(old, true)
     if (fs.exists(target) && !fs.rename(target, old))
       sys.error(s"swapInDir: cannot stage-out $targetPath")
     if (!fs.rename(staging, target)) {
-      fs.rename(old, target)
-      sys.error(s"swapInDir: swap failed for $targetPath")
+      if (!fs.rename(old, target))
+        sys.error(s"swapInDir: swap AND rollback failed — data intact at ${old}")
+      sys.error(s"swapInDir: swap failed for $targetPath (rolled back)")
     }
     fs.delete(old, true)
   }
 
   /** Compact a parquet directory's many small files into `target`
     * right-sized ones — the maintenance remedy for streaming-sink and
-    * over-parallel-writer output. The rewrite lands in
-    * `<path>__compacting`, then swaps in via swapInDir (recoverable,
-    * see its contract; readers racing the swap window should go through
-    * a catalog table, where the Loader's RENAME-based publish applies).
+    * over-parallel-writer output. Runs recoverSwap first (a previous
+    * mid-swap crash must be healed before the directory is read), then
+    * rewrites into `<path>__compacting` and swaps in via swapInDir.
+    * Readers racing the brief swap window should go through a catalog
+    * table, where the Loader's RENAME-based publish applies.
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String, target: Int): Unit = {
     require(target > 0, "target file count must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    recoverSwap(fs, path)
     val staging = path + "__compacting"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     spark.read.parquet(path).coalesce(target)

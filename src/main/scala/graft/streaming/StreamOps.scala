@@ -118,6 +118,11 @@ object StreamOps {
         val spark = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(tablePath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // heal a mid-swap crash BEFORE deciding whether the table exists:
+        // replaying a batch against a target stranded at __old would
+        // otherwise skip the merge and install batch-only rows as the
+        // whole table (permanent loss of every other key)
+        graft.sinks.Sink.recoverSwap(fs, tablePath)
         val dedupedBatch = graft.operators.Dedup.byRank(batch, keys, orderBy) // key-unique staging
         val merged =
           if (fs.exists(new org.apache.hadoop.fs.Path(tablePath)))
