@@ -193,6 +193,39 @@ object SparkEntry {
         .orderBy(col("total_spend").desc, col("o_custkey").asc)
         .limit(10)),
 
+    // RANGE-interval frame (event-time rolling window, not row-count):
+    // per user, events and value-sum in the trailing 7 days
+    "window_rolling_7d" -> ((s, dir) => {
+      val day7 = 7L * 24 * 3600 * 1000000
+      val w = Window.partitionBy("user_id").orderBy(col("us")).rangeBetween(-day7, 0)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("sum_7d", round(sum("value").over(w), 6))
+        .select("user_id", "event_id", "n_7d", "sum_7d")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // decile assignment by total customer spend (ntile; ties broken by
+    // key so the bucketing is deterministic)
+    "ntile_spend" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(28,6)")).as("spend"))
+      val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+      spend.withColumn("decile", ntile(10).over(w))
+        .select(col("o_custkey"), col("spend").cast("double").as("spend"), col("decile"))
+        .orderBy("o_custkey")
+    }),
+
+    // pivot: doc counts by source x lang (missing combos filled 0 to
+    // match the oracle's FILTER counts)
+    "pivot_lang" -> ((s, dir) =>
+      docs(s, dir).groupBy("source")
+        .pivot("lang", Seq("en", "zh", "es", "de", "fr"))
+        .count()
+        .na.fill(0)
+        .orderBy("source")),
+
     "window_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
       t(s, dir, "orders")
@@ -956,6 +989,34 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "window_rolling_7d" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
+        |SELECT user_id, event_id,
+        |  count(*) OVER w AS n_7d,
+        |  round(sum(value) OVER w, 6) AS sum_7d
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "ntile_spend" ->
+      """WITH s AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, CAST(spend AS DOUBLE) AS spend,
+        |  ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+        |FROM s ORDER BY o_custkey""".stripMargin,
+
+    "pivot_lang" ->
+      """SELECT source,
+        |  count(*) FILTER (lang = 'en') AS en,
+        |  count(*) FILTER (lang = 'zh') AS zh,
+        |  count(*) FILTER (lang = 'es') AS es,
+        |  count(*) FILTER (lang = 'de') AS de,
+        |  count(*) FILTER (lang = 'fr') AS fr
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // composed pipeline: quality formula == text_quality oracle, dedup
     // == row_number per text, split == the md5-bucket train band,
