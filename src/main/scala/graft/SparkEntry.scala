@@ -177,6 +177,33 @@ object SparkEntry {
     // ---- joins / agg / windows / set ops (SURVEY §2.5 gap list) ----
     "join_multihop" -> ((s, dir) => nationRevenue(s, dir)),
 
+    // explicit LEFT SEMI / LEFT ANTI surface: every customer tagged by
+    // order existence (semi = EXISTS, anti = NOT EXISTS)
+    "join_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("side"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("side"))
+      semi.union(anti).orderBy("c_custkey")
+    }),
+
+    // scalar date/time battery over o_orderdate (dow aligned: Spark
+    // dayofweek is 1=Sunday, DuckDB dayofweek is 0=Sunday -> +1)
+    "datetime_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          date_add(col("o_orderdate"), 30).as("plus30"),
+          last_day(col("o_orderdate")).as("eom"))
+        .orderBy("o_orderkey")),
+
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem").filter(col("l_shipdate") <= lit("2026-01-01"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -989,6 +1016,24 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "join_semi_anti" ->
+      """SELECT c_custkey,
+        |  CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |       THEN 'has_orders' ELSE 'no_orders' END AS side
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
+
+    "datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  last_day(o_orderdate) AS eom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "window_rolling_7d" ->
       """WITH e AS (
