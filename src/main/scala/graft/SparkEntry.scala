@@ -234,7 +234,11 @@ object SparkEntry {
     }),
 
     // decile assignment by total customer spend (ntile; ties broken by
-    // key so the bucketing is deterministic)
+    // key so the bucketing is deterministic). A global ntile is
+    // inherently a single total order — Spark runs the unpartitioned
+    // window in one task, fine for the post-aggregation customer table
+    // (one row per customer); at extreme cardinality switch to the
+    // approx-percentile cut-point pattern (quantiles_approx) instead
     "ntile_spend" -> ((s, dir) => {
       val spend = t(s, dir, "orders").groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(28,6)")).as("spend"))
