@@ -59,6 +59,36 @@ class StorageSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "__old").exists && !new java.io.File(dir + "__compacting").exists)
   }
 
+  test("recoverSwap heals a mid-swap crash before the next compaction reads the table") {
+    val root = Files.createTempDirectory("graft_swapcrash").toString
+    val dir = s"$root/t"
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    df.write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between swapInDir's two renames: table is gone,
+    // data parked at __old
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(dir + "__old")))
+    // the next maintenance call must restore before reading — not throw
+    // path-not-found, not install a partial table
+    Sink.compactParquet(spark, dir, target = 1)
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(!new java.io.File(dir + "__old").exists && !new java.io.File(dir + "__compacting").exists)
+  }
+
+  test("swapInDir clears a stale __old backup from a post-swap crash") {
+    val root = Files.createTempDirectory("graft_swapstale").toString
+    val dir = s"$root/t"
+    (1 to 10).map(i => (i.toLong, "cur")).toDF("k", "v").write.parquet(dir)
+    (1 to 10).map(i => (i.toLong, "stale")).toDF("k", "v").write.parquet(dir + "__old")
+    (1 to 10).map(i => (i.toLong, "next")).toDF("k", "v").write.parquet(dir + "__staging")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Sink.swapInDir(fs, dir + "__staging", dir)
+    assert(spark.read.parquet(dir).select("v").as[String].head() == "next")
+    assert(!new java.io.File(dir + "__old").exists)
+  }
+
   test("aggregation on the bucket key plans zero exchanges") {
     spark.sql("DROP TABLE IF EXISTS bk_g")
     Sink.bucketTable((1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v"),
