@@ -177,6 +177,20 @@ object SparkEntry {
     // ---- joins / agg / windows / set ops (SURVEY §2.5 gap list) ----
     "join_multihop" -> ((s, dir) => nationRevenue(s, dir)),
 
+    // salted hot-key join under the exact-oracle gate: the salted plan
+    // must be multiset-identical to the plain join the oracle runs
+    // (salting spreads a hot key over `salts` reducers; correctness is
+    // the thing being proven, AQE covers the moderate-skew case for free)
+    "join_salted" -> ((s, dir) =>
+      SkewJoin.saltedEquiJoin(
+          t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          Seq("o_orderkey"), salts = 8)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(28,6)")).cast("double").as("qty"))
+        .orderBy("o_custkey")),
+
     // explicit LEFT SEMI / LEFT ANTI surface: every customer tagged by
     // order existence (semi = EXISTS, anti = NOT EXISTS)
     "join_semi_anti" -> ((s, dir) => {
@@ -1020,6 +1034,12 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "join_salted" ->
+      """SELECT o_custkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "join_semi_anti" ->
       """SELECT c_custkey,
