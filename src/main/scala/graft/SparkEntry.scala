@@ -177,6 +177,22 @@ object SparkEntry {
     // ---- joins / agg / windows / set ops (SURVEY §2.5 gap list) ----
     "join_multihop" -> ((s, dir) => nationRevenue(s, dir)),
 
+    // subquery planning surface: scalar subquery (global average) +
+    // correlated EXISTS with an inner predicate, through the SQL parser
+    "subquery_spend" -> ((s, dir) => {
+      Source.registerAll(s, dir, Seq("orders", "customer"))
+      s.sql("""SELECT c_custkey,
+               |  CAST(spend AS DOUBLE) AS spend
+               |FROM (
+               |  SELECT c_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
+               |  FROM customer JOIN orders ON o_custkey = c_custkey
+               |  GROUP BY c_custkey)
+               |WHERE spend > (SELECT AVG(CAST(o_totalprice AS DECIMAL(28,6))) * 12 FROM orders)
+               |  AND EXISTS (SELECT 1 FROM orders o
+               |              WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT')
+               |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // salted hot-key join under the exact-oracle gate: the salted plan
     // must be multiset-identical to the plain join the oracle runs
     // (salting spreads a hot key over `salts` reducers; correctness is
@@ -1034,6 +1050,17 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "subquery_spend" ->
+      """SELECT c_custkey, CAST(spend AS DOUBLE) AS spend
+        |FROM (
+        |  SELECT c_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey)
+        |WHERE spend > (SELECT AVG(CAST(o_totalprice AS DECIMAL(28,6))) * 12 FROM orders)
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
 
     "join_salted" ->
       """SELECT o_custkey, count(*) AS n_lines,
