@@ -613,13 +613,15 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // per-group embedding centroids (operators/Embeddings): distributed
-    // vector mean via explode -> narrow groupBy, no whole-vector agg state
+    // vector mean via explode -> narrow groupBy, no whole-vector agg state.
+    // Long form (grp, pos, value) — scalar columns so the driver's
+    // pandas-based compare can sort/hash them (arrays are unhashable there)
     "embedding_centroids" -> ((s, dir) =>
-      Embeddings.centroids(
+      Embeddings.centroidDims(
           t(s, dir, "embeddings").select(pmod(col("vec_id"), lit(4)).as("grp"), col("embedding").as("vec")),
           "grp", "vec")
-        .select(col("grp"), transform(col("centroid"), x => round(x, 6)).as("centroid"))
-        .orderBy("grp")),
+        .select(col("grp"), col("pos"), round(col("value"), 6).as("value"))
+        .orderBy("grp", "pos")),
 
     // ---- similarity search ----
     "ann_bruteforce" -> ((s, dir) => {
@@ -1211,16 +1213,15 @@ object SparkEntry {
         |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
         |ORDER BY new_id, corpus_id""".stripMargin,
 
-    // per-dimension avg then list(... ORDER BY pos); DuckDB ordinality is
-    // 1-based vs Spark's 0-based posexplode — both sort consistently
+    // long form (grp, pos, value): DuckDB generate_subscripts is 1-based
+    // vs Spark's 0-based posexplode, hence pos - 1
     "embedding_centroids" ->
       """WITH e AS (
         |  SELECT vec_id % 4 AS grp, unnest(embedding) AS v,
         |         generate_subscripts(embedding, 1) AS pos
-        |  FROM embeddings),
-        |a AS (SELECT grp, pos, avg(v) AS m FROM e GROUP BY 1, 2)
-        |SELECT grp, list(round(m, 6) ORDER BY pos) AS centroid
-        |FROM a GROUP BY grp ORDER BY grp""".stripMargin,
+        |  FROM embeddings)
+        |SELECT grp, pos - 1 AS pos, round(avg(v), 6) AS value
+        |FROM e GROUP BY grp, pos - 1 ORDER BY grp, pos""".stripMargin,
 
     "text_repetition" ->
       """WITH toks AS (

@@ -20,11 +20,18 @@ object Embeddings {
     * centroid array<double>), dimensions averaged independently.
     */
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
-    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__d", "__v")))
-      .groupBy(col(groupCol), col("__d"))
-      .agg(avg(col("__v")).as("__m"))
+    centroidDims(df, groupCol, vecCol)
       .groupBy(col(groupCol))
-      .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__dm"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("value")))).as("__dm"))
       .select(col(groupCol),
-        transform(col("__dm"), x => x.getField("__m")).as("centroid"))
+        transform(col("__dm"), x => x.getField("value")).as("centroid"))
+
+  /** Per-group per-dimension mean as scalar rows (groupCol, pos, value)
+    * — the shuffle-friendly long form; `centroids` re-assembles it.
+    * 0-based `pos` matches Spark's `posexplode`.
+    */
+  def centroidDims(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("__v")).as("value"))
 }
