@@ -481,6 +481,35 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // duplicate CLUSTERS: near-dup pairs are edges, a duplicate group is
+    // a connected component (operators/Components, alternating
+    // large-star/small-star) — every document labeled with the min
+    // doc_id reachable through the pair graph
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = JaccardDedup.nearDupPairs(d, "doc_id", "text",
+        nGram = 2, threshold = 0.3)
+      Components.connectedComponents(pairs, "id_a", "id_b",
+          Some(d.select(col("doc_id"))))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // canonical selection on top of the clusters: keep exactly the
+    // cluster-minimum document — the deduplicated corpus a training
+    // pipeline actually emits downstream
+    "dedup_canonical" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = JaccardDedup.nearDupPairs(d, "doc_id", "text",
+        nGram = 2, threshold = 0.3)
+      val cc = Components.connectedComponents(pairs, "id_a", "id_b",
+        Some(d.select(col("doc_id"))))
+      d.join(cc.where(col("id") === col("component"))
+          .select(col("id").as("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // cross-corpus decontamination: the doc_id % 10 == 0 slice plays the
     // benchmark set; train docs with >= 0.5 bigram jaccard against it
     // are contaminated (excluding a doc matching itself in both roles)
@@ -954,6 +983,53 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // components oracle: same exact-Jaccard pair set as
+    // dedup_ngram_jaccard, then min reachable label via recursive CTE
+    // (UNION dedups, so the fixpoint terminates)
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
+        |      i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
+        |           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3),
+        |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |r AS (
+        |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT e.b AS id, r.lbl FROM r JOIN e ON e.a = r.id)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id
+        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_canonical" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
+        |      i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
+        |           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3),
+        |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |r AS (
+        |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT e.b AS id, r.lbl FROM r JOIN e ON e.a = r.id),
+        |c AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN c ON d.doc_id = c.id AND d.doc_id = c.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // EXACT ground truth for the LSH path (same shingle definition as
     // dedup_ngram_jaccard, threshold at the banding design point): the

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Components
+
+/** Connected components (large-star/small-star): cluster = min reachable
+  * id. The long-path case forces multiple alternation rounds; the oracle
+  * for the driver gate is a DuckDB recursive CTE (SparkEntry).
+  */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)],
+                 vertices: Option[Seq[Long]] = None): Map[Long, Long] =
+    Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b",
+        vertices.map(_.toDF("id")))
+      .as[(Long, Long)].collect().toMap
+
+  test("two components resolve to their minimum ids") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a 40-node path converges to a single min-rooted star") {
+    val path = (0L until 39L).map(i => (i + 1, i + 2)) // 1-2-3-...-40
+    val got = cc(path)
+    assert(got.size == 40 && got.values.forall(_ == 1L))
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    val got = cc(Seq((5L, 5L), (4L, 7L), (7L, 4L), (4L, 7L)))
+    assert(got == Map(5L -> 5L, 4L -> 4L, 7L -> 4L))
+  }
+
+  test("isolated vertices map to themselves") {
+    val got = cc(Seq((1L, 2L)), Some(Seq(1L, 2L, 99L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 99L -> 99L))
+  }
+
+  test("matches a brute-force union-find on a random-ish graph") {
+    // deterministic pseudo-random edges over 60 nodes
+    val edges = (0 until 80).map { i =>
+      val a = (i * 37 + 11) % 60; val b = (i * 53 + 29) % 60
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }
+    // driver-side union-find oracle
+    val parent = Array.tabulate(60)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until 60).map { v =>
+      // component label = min node in component
+      val r = find(v)
+      val m = (0 until 60).filter(u => find(u) == r).min
+      v.toLong -> m.toLong
+    }.toMap
+    val got = cc(edges, Some((0L until 60L).toSeq))
+    assert(got == want)
+  }
+}
