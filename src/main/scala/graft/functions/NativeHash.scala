@@ -422,6 +422,61 @@ object NativeHash {
     override def prettyName: String = "char_shingle_hashes"
   }
 
+  /** Duplicate-n-gram ratio 1 − distinct/total over the token windows,
+    * fused into one compiled pass (the HOF formulation materializes the
+    * n-gram *strings* twice — once for size, once for array_distinct —
+    * both interpreted). Distinctness is judged on the same xxhash64
+    * window hashes as `shingle_hashes` (collision ~2⁻⁶⁴, preserves
+    * counts).
+    */
+  final class ShingleDupRatioHelper(n: Int) extends Serializable {
+    def compute(arr: ArrayData): Double = {
+      val m = arr.numElements()
+      if (m < n) return 0.0
+      val th = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val s = arr.getUTF8String(i)
+        th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        i += 1
+      }
+      val cnt = m - n + 1
+      val out = new Array[Long](cnt)
+      i = 0
+      while (i < cnt) {
+        var h = 42L
+        var j = i
+        val end = i + n
+        while (j < end) { h = XXH64.hashLong(th(j), h); j += 1 }
+        out(i) = h
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      var distinct = 0
+      i = 0
+      while (i < cnt) {
+        if (i == 0 || out(i) != out(i - 1)) distinct += 1
+        i += 1
+      }
+      1.0 - distinct.toDouble / cnt.toDouble
+    }
+  }
+
+  case class ShingleDupRatioExpr(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = DoubleType
+    @transient private lazy val helper = new ShingleDupRatioHelper(n)
+    override def nullSafeEval(input: Any): Any = helper.compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("shingleDupRatioHelper", helper, classOf[ShingleDupRatioHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.compute($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): ShingleDupRatioExpr =
+      copy(child = newChild)
+    override def prettyName: String = "shingle_dup_ratio"
+  }
+
   // ---- sorted intersection count ----
 
   /** |a ∩ b| for two SORTED long arrays by a single merge walk — zero
@@ -491,4 +546,7 @@ object NativeHash {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     Shims.column(SortedIntersectCountExpr(Shims.expression(a), Shims.expression(b)))
+
+  def shingleDupRatio(tokens: Column, n: Int): Column =
+    Shims.column(ShingleDupRatioExpr(Shims.expression(tokens), n))
 }

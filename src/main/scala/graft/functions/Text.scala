@@ -101,11 +101,8 @@ object Text {
     * has fewer than n tokens). The standard boilerplate/spam signal in
     * corpus quality rules: high values mean the doc repeats itself.
     */
-  def repetitionRatio(text: Column, n: Int): Column = {
-    val all = shingles(tokens(text), n)
-    val total = size(all).cast("double")
-    when(total > 0, lit(1.0) - size(array_distinct(all)) / total).otherwise(0.0)
-  }
+  def repetitionRatio(text: Column, n: Int): Column =
+    NativeHash.shingleDupRatio(tokens(text), n)
 
   /** PII redaction: replace email addresses, phone-like digit runs, and
     * IPv4 literals with typed placeholder tokens — the standard cheap

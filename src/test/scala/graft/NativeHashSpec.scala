@@ -148,6 +148,29 @@ class NativeHashSpec extends AnyFunSuite {
     assert(df.filter(NativeHash.sortedIntersectCount(col("a"), col("b")) =!= col("want")).count() == 0)
   }
 
+  test("shingle_dup_ratio matches the HOF 1 - distinct/total formula") {
+    import graft.functions.Text
+    val texts = Seq(
+      (1L, "a b a b a b"),           // 3-grams: aba bab aba bab -> 2/4 dup
+      (2L, "a a a a a"),             // all windows identical
+      (3L, "one two three four"),    // no repeats
+      (4L, "one two"),               // fewer tokens than n -> 0.0
+      (5L, "")
+    ).toDF("id", "text")
+    val both = texts.select(
+      col("id"),
+      NativeHash.shingleDupRatio(Text.tokens(col("text")), 3).as("nw"),
+      {
+        val all = Text.shingles(Text.tokens(col("text")), 3)
+        val total = size(all).cast("double")
+        when(total > 0, lit(1.0) - size(array_distinct(all)) / total)
+          .otherwise(0.0).as("old")
+      })
+    assert(both.filter(abs(col("nw") - col("old")) > 1e-12).count() == 0)
+    val m = both.as[(Long, Double, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(m(1L) == 0.5 && m(2L) == 1.0 - 1.0 / 3.0 && m(3L) == 0.0 && m(4L) == 0.0 && m(5L) == 0.0)
+  }
+
   test("SQL surface: shingle_hashes / char_shingle_hashes / sorted_intersect_count resolve") {
     Seq((Seq("a", "b", "c"), "xyzw")).toDF("toks", "s").createOrReplaceTempView("nh_sh")
     val r = spark.sql(
