@@ -590,6 +590,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // weighted Bernoulli keep: longer docs proportionally likelier to
+    // survive (weight = min(1, len/2000)); same md5 bucket determinism
+    // as split_assign, weight arithmetic identical IEEE ops both engines
+    "sample_weighted" -> ((s, dir) =>
+      Curate.weightedSample(docs(s, dir), "doc_id",
+          least(lit(1.0), length(col("text")) / 2000.0))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // corpus bigram frequency table, top 20 — contamination probes /
+    // boilerplate discovery (operators/TextSearch.ngramCounts)
+    "ngram_counts" -> ((s, dir) =>
+      TextSearch.ngramCounts(docs(s, dir), "text", n = 2, topK = 20)
+        .orderBy(col("n").desc, col("ngram").asc)),
+
+    // doc-length histogram in 20-token buckets — the length-distribution
+    // health check run before/after every curation stage
+    "token_histogram" -> ((s, dir) =>
+      docs(s, dir)
+        .select((floor(Text.tokenCount(col("text")).cast("double") / 20.0).cast("long") * 20)
+          .as("bucket_lo"))
+        .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket_lo")),
+
     // the whole curation pipeline COMPOSED end-to-end: quality filter →
     // exact dedup (keep lowest id per identical text) → train split →
     // sequence packing. Single-op queries prove each stage; this one
@@ -1128,6 +1152,30 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+        |      < CAST(floor(65536 * least(1.0, length(text) / 2000.0)) AS INTEGER)
+        |ORDER BY doc_id""".stripMargin,
+
+    "ngram_counts" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |n AS (
+        |  SELECT unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(range(0, len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])
+        |    ELSE []::VARCHAR[] END) AS ngram
+        |  FROM toks)
+        |SELECT ngram, COUNT(*) AS n FROM n
+        |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
+
+    "token_histogram" ->
+      """SELECT CAST(floor(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                         x -> x <> '')) AS DOUBLE) / 20.0) AS BIGINT) * 20 AS bucket_lo,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "subquery_spend" ->
       """SELECT c_custkey, CAST(spend AS DOUBLE) AS spend

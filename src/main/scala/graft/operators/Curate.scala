@@ -61,6 +61,19 @@ object Curate {
     df.filter(b < ub)
   }
 
+  /** Weighted Bernoulli sample: keep a row with probability `weight`
+    * (a per-row Column in [0,1], clamped) — quality-weighted corpus
+    * downsampling, temperature-style language re-balancing, etc. Same
+    * content-keyed bucket as splitAssign, so membership is deterministic
+    * and engine-reproducible; the weight expression must itself be
+    * deterministic for the oracle to agree.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val ub = floor(lit(65536) * least(lit(1.0), greatest(lit(0.0), weight)))
+      .cast("int")
+    df.filter(hashBucket(col(idCol)) < ub)
+  }
+
   /** Uniform k-per-group sample: the k rows with the smallest md5 of
     * their id within each group (ties broken by id) — a deterministic
     * stand-in for per-group reservoir sampling. Balanced per-language

@@ -77,4 +77,16 @@ object TextSearch {
       .agg(count(lit(1)).as("n_tokens"),
         avg(-log(col("cnt") / col("total"))).as("logppl"))
   }
+
+  /** Corpus-level n-gram occurrence counts, top `topK` by (count desc,
+    * n-gram asc) — the frequency table behind contamination probes and
+    * boilerplate discovery. One explode + one narrow groupBy; the sort
+    * runs on the aggregated table (vocabulary-sized, not corpus-sized).
+    */
+  def ngramCounts(docs: DataFrame, textCol: String, n: Int, topK: Int): DataFrame =
+    Par.widen(docs)
+      .select(explode(Text.shingles(Text.tokens(col(textCol)), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(topK)
 }
