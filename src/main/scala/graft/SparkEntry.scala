@@ -380,6 +380,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ordered funnel over the event stream: view -> click -> purchase,
+    // each step strictly after the previous completed (operators/Funnel;
+    // one shuffle, stacked windows)
+    "funnel_steps" -> ((s, dir) =>
+      Funnel.progression(events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("step1_ts")).as("s1_us"),
+          unix_micros(col("step2_ts")).as("s2_us"),
+          unix_micros(col("step3_ts")).as("s3_us"),
+          col("steps_completed"))
+        .orderBy("user_id")),
+
+    // weekly cohort retention triangle over the event stream
+    // (operators/Cohort): distinct user-weeks joined to first-seen week
+    "cohort_retention" -> ((s, dir) =>
+      Cohort.weeklyRetention(events(s, dir), "user_id", "ts")
+        .select(col("cohort_week"), col("week_offset"), col("n_active"),
+          col("n_cohort"), col("retention"))
+        .orderBy("cohort_week", "week_offset")),
+
     "range_join" -> ((s, dir) => {
       // histogram-style interval match: orders priced into region-keyed
       // price bands [k*100000, (k+1)*100000)
@@ -930,6 +951,60 @@ object SparkEntry {
         |SELECT user_id,
         |       CAST(SUM(CASE WHEN gap > 30 * 60 * 1000000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // both engines truncate weeks to Monday; offsets are exact
+    // multiples of 7 days so the /7 division is exact
+    "cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        |  FROM events),
+        |fw AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+        |cs AS (SELECT cohort_week, count(*) AS n_cohort FROM fw GROUP BY cohort_week),
+        |aw AS (SELECT DISTINCT user_id, week FROM e),
+        |act AS (
+        |  SELECT fw.cohort_week,
+        |    CAST(floor(date_diff('day', fw.cohort_week, aw.week) / 7.0) AS INTEGER) AS week_offset,
+        |    count(*) AS n_active
+        |  FROM aw JOIN fw ON aw.user_id = fw.user_id
+        |  GROUP BY 1, 2)
+        |SELECT act.cohort_week AS cohort_week, week_offset, n_active, n_cohort,
+        |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+        |FROM act JOIN cs ON act.cohort_week = cs.cohort_week
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // ns→µs truncation matches the Spark reader; the strict p<ts
+    // comparisons make tie ordering inside the ROWS frame irrelevant
+    "funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |w1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p1
+        |  FROM e),
+        |w2 AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN event_type = 'view' THEN ts END AS s1h,
+        |    CASE WHEN event_type = 'click' AND p1 < ts THEN ts END AS s2h
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT user_id, ts, event_type, s1h, s2h,
+        |    min(s2h) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p2
+        |  FROM w2),
+        |w4 AS (
+        |  SELECT user_id, s1h, s2h,
+        |    CASE WHEN event_type = 'purchase' AND p2 < ts THEN ts END AS s3h
+        |  FROM w3),
+        |a AS (
+        |  SELECT user_id, min(s1h) AS s1, min(s2h) AS s2, min(s3h) AS s3
+        |  FROM w4 GROUP BY user_id)
+        |SELECT user_id, epoch_us(s1) AS s1_us, epoch_us(s2) AS s2_us,
+        |  epoch_us(s3) AS s3_us,
+        |  CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2
+        |       WHEN s1 IS NOT NULL THEN 1 ELSE 0 END AS steps_completed
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "asof_join" ->
       """WITH ro AS (
