@@ -154,6 +154,17 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")),
 
+    // same extraction through Spark 4's VariantType: parse once to the
+    // binary variant encoding, then typed path access — the
+    // semi-structured scale path (no per-access string re-parse; a real
+    // pipeline parses at ingest and stores the variant column)
+    "t3_variant_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "int").as("k"))
+        .orderBy("event_id")),
+
     // T4: error-tolerant transform — rows whose transform throws are
     // quarantined (logged-and-skipped in the reference,
     // handler/base.py:32-44); the good side must equal the oracle's
@@ -611,6 +622,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // sliding-window chunking: 256-token windows every 128 tokens —
+    // boundaries as token indices, no text duplicated (Curate.chunkDocs)
+    "chunk_documents" -> ((s, dir) =>
+      Curate.chunkDocs(docs(s, dir), "doc_id", "text", window = 256, stride = 128)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // α=0.3 temperature language weights (the multilingual rebalancing
+    // table a sampler consumes; Curate.temperatureWeights)
+    "lang_weights" -> ((s, dir) =>
+      Curate.temperatureWeights(docs(s, dir), "lang", alpha = 0.3)
+        .select(col("lang"), col("n_docs"),
+          round(col("p"), 6).as("p"), round(col("q"), 6).as("q"))
+        .orderBy("lang")),
+
     // weighted Bernoulli keep: longer docs proportionally likelier to
     // survive (weight = min(1, len/2000)); same md5 bucket determinism
     // as split_assign, weight arithmetic identical IEEE ops both engines
@@ -845,6 +870,10 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "t3_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "t3_variant_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
         |ORDER BY event_id""".stripMargin,
 
@@ -1227,6 +1256,29 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // DuckDB range(0,n,128) = Spark sequence(0,n-1,128) for n>0;
+    // generate_subscripts is 1-based vs posexplode 0-based
+    "chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    unnest(range(0, n, 128)) AS start_tok,
+        |    generate_subscripts(range(0, n, 128), 1) - 1 AS chunk_idx
+        |  FROM t WHERE n > 0)
+        |SELECT doc_id, chunk_idx, start_tok, least(256, n - start_tok) AS chunk_len
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "lang_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_docs) AS n FROM c),
+        |p AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / n AS p FROM c, t),
+        |z AS (SELECT sum(pow(p, 0.3)) AS zsum FROM p)
+        |SELECT lang, n_docs, round(p, 6) AS p, round(pow(p, 0.3) / zsum, 6) AS q
+        |FROM p, z ORDER BY lang""".stripMargin,
 
     "sample_weighted" ->
       """SELECT doc_id, lang FROM documents

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -23,13 +25,26 @@ object Components {
   /** (id, component) for every vertex, component = min id reachable.
     * `vertices` (single id column, any name) adds isolated nodes that
     * appear in no edge — they map to themselves.
+    *
+    * Adaptive execution (same idea as AQE's broadcast threshold): when
+    * the deduped edge set fits `localThreshold` rows (default 2²⁰ ≈
+    * ~16 MB of id pairs — a bounded driver collect, like the IVF
+    * centroid sample), a driver union-find labels it in one pass
+    * instead of paying several distributed alternation rounds. Dedup
+    * pair graphs are usually corpus-tiny; the distributed path is the
+    * 100 TB posture and is what larger graphs get automatically.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      vertices: Option[DataFrame] = None, maxIter: Int = 25): DataFrame = {
+      vertices: Option[DataFrame] = None, maxIter: Int = 25,
+      localThreshold: Long = 1L << 20): DataFrame = {
     val idT = edges.schema(srcCol).dataType
+    // the edge input is often an expensive subtree (e.g. a near-dup
+    // pair pipeline); persist so normalization and vertex extraction
+    // evaluate it exactly once
+    val in = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // normalize: undirected, deduped, self-loops dropped
-    var e = edges
+    var e = in
       .select(least(col(srcCol), col(dstCol)).cast(idT).as("dst"),
               greatest(col(srcCol), col(dstCol)).cast(idT).as("src"))
       .where(col("src") =!= col("dst"))
@@ -37,28 +52,67 @@ object Components {
       .localCheckpoint(true)
 
     var prev = checksum(e)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val cur = checksum(next)
-      e.unpersist()
-      e = next
-      converged = cur == prev
-      prev = cur
-      iter += 1
-    }
-
-    // at the fixpoint every non-root points straight at its component
-    // min; groupBy(min) also makes pre-convergence output well-defined
-    val labels = e.groupBy(col("src").as("id")).agg(min("dst").as("component"))
+    val labels =
+      if (prev._1 <= localThreshold) localLabels(e, idT)
+      else {
+        var iter = 0
+        var converged = false
+        while (!converged && iter < maxIter) {
+          val next = smallStar(largeStar(e)).localCheckpoint(true)
+          val cur = checksum(next)
+          e.unpersist()
+          e = next
+          converged = cur == prev
+          prev = cur
+          iter += 1
+        }
+        // at the fixpoint every non-root points straight at its component
+        // min; groupBy(min) also makes pre-convergence output well-defined
+        e.groupBy(col("src").as("id")).agg(min("dst").as("component"))
+      }
     val vs = {
-      val fromEdges = edges.select(col(srcCol).as("id"))
-        .union(edges.select(col(dstCol).as("id")))
+      // one pass over the cached input (a union of two selects would
+      // re-scan it twice); raw edges, so self-loop-only nodes survive
+      val fromEdges = in.select(
+        explode(array(col(srcCol).cast(idT), col(dstCol).cast(idT))).as("id"))
       vertices.map(v => fromEdges.union(v.toDF("id"))).getOrElse(fromEdges)
-    }.distinct()
+    }.distinct().localCheckpoint(true)
+    in.unpersist()
     vs.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Driver union-find over a bounded edge list. Union-by-min with path
+    * compression: the smaller id always stays root, so each final root
+    * IS its component's minimum.
+    */
+  private def localLabels(e: DataFrame, idT: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = e.sparkSession
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    @inline def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    e.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      } else parent.getOrElseUpdate(a, a) // ensure singletons registered
+    }
+    val rows = parent.keysIterator.map(x =>
+      org.apache.spark.sql.Row(x, find(x))).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idT),
+      org.apache.spark.sql.types.StructField("component", idT)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), schema)
   }
 
   /** Large-star: every node u links each strictly-larger neighbor to

@@ -88,6 +88,46 @@ object Curate {
       .drop("__rn")
   }
 
+  /** Sliding-window document chunking (RAG / long-context preprocessing):
+    * each doc yields windows of `window` tokens starting every `stride`
+    * tokens; the final windows are truncated at the doc end, and docs
+    * with zero tokens yield no chunks. Pure generator shape — sequence +
+    * posexplode, no shuffle at all; chunk boundaries are token INDICES
+    * (the downstream tokenizer slices the text), so no text is duplicated
+    * through the exchange.
+    * Output: (idCol, chunk_idx, start_tok, chunk_len).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val n = Text.tokenCount(col(textCol))
+    df.select(col(idCol), n.as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(window), col("__n") - col("start_tok")).cast("long").as("chunk_len"))
+  }
+
+  /** Temperature-resampled language weights (the mC4/XLM-R α-sampling
+    * scheme): language l with corpus share p_l is sampled with
+    * probability q_l ∝ p_l^α — α < 1 upsamples the long tail. Output:
+    * (strataCol, n_docs, p, q). Two tiny aggregates; nothing here
+    * touches the corpus twice.
+    */
+  def temperatureWeights(df: DataFrame, strataCol: String, alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_docs").as("__N"))
+    val withP = counts.crossJoin(broadcast(total))
+      .withColumn("p", col("n_docs").cast("double") / col("__N"))
+    val z = withP.agg(sum(pow(col("p"), alpha)).as("__Z"))
+    withP.crossJoin(broadcast(z))
+      .select(col(strataCol), col("n_docs"), col("p"),
+        (pow(col("p"), alpha) / col("__Z")).as("q"))
+  }
+
   /** Concat-and-chunk sequence packing (the GPT-style pretraining
     * layout): documents are laid end-to-end in a deterministic order and
     * cut into `budget`-token context windows; a document's `pack_id` is

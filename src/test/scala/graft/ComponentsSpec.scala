@@ -12,12 +12,21 @@ class ComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // every case runs BOTH execution paths: threshold 0 forces the
+  // distributed large/small-star alternation, the default takes the
+  // bounded driver union-find
   private def cc(edges: Seq[(Long, Long)],
-                 vertices: Option[Seq[Long]] = None): Map[Long, Long] =
-    Components.connectedComponents(
-        edges.toDF("a", "b"), "a", "b",
-        vertices.map(_.toDF("id")))
+                 vertices: Option[Seq[Long]] = None): Map[Long, Long] = {
+    val local = Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", vertices.map(_.toDF("id")))
       .as[(Long, Long)].collect().toMap
+    val dist = Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", vertices.map(_.toDF("id")),
+        localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, "driver union-find and distributed alternation disagree")
+    local
+  }
 
   test("two components resolve to their minimum ids") {
     val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))

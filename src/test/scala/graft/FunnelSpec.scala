@@ -53,4 +53,13 @@ class FunnelSpec extends AnyFunSuite {
     val got = run(Seq((5L, 10L, "click"), (5L, 20L, "purchase")))
     assert(got(5L) == ((None, None, None, 0)))
   }
+
+  test("the whole funnel plans a SINGLE shuffle (stacked windows + rollup share it)") {
+    val df = (1 to 100).map(i => (i.toLong % 10, i.toLong, if (i % 3 == 0) "view" else "click"))
+      .toDF("user_id", "t", "event_type")
+    val plan = Funnel.progression(df, "user_id", "t", "event_type", steps)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
 }
