@@ -622,6 +622,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // single-scan column profile of a freshly-ingested table
+    // (operators/Profile): nulls, exact distincts, numeric ranges
+    "profile_table" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "orders")).orderBy("col_name")),
+
+    // SCD Type-2 batch apply (Merge.scd2): customers as the v1 history,
+    // a mixed batch (changed / unchanged / brand-new keys) effective
+    // 2024-06-01 — changed rows close and re-open, unchanged rows
+    // survive untouched (idempotent replay)
+    "scd2_apply" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val hist = c.select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        to_date(lit("2020-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val upd = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), (col("c_acctbal") + 100.0).as("bal"))
+        .unionByName(c.filter(col("c_custkey") % 5 === 1 && col("c_custkey") % 3 =!= 0)
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("bal")))
+        .unionByName(c.filter(col("c_custkey") % 7 === 2)
+          .select((col("c_custkey") + 10000000L).as("k"), col("c_acctbal").as("bal")))
+      Merge.scd2(hist, upd, Seq("k"), Seq("bal"), to_date(lit("2024-06-01")))
+        .orderBy("k", "valid_from")
+    }),
+
     // sliding-window chunking: 256-token windows every 128 tokens —
     // boundaries as token indices, no text duplicated (Curate.chunkDocs)
     "chunk_documents" -> ((s, dir) =>
@@ -1256,6 +1280,49 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // mirrors Merge.scd2 classes: kept (unmatched-or-unchanged), closed
+    // (matched+changed, old attrs, valid_to = eff), opened (changed or
+    // new key, valid_from = eff)
+    "scd2_apply" ->
+      """WITH hist AS (
+        |  SELECT c_custkey AS k, c_acctbal AS bal,
+        |         DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS k, c_acctbal + 100.0 AS bal FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 5 = 1 AND c_custkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_acctbal FROM customer WHERE c_custkey % 7 = 2),
+        |j AS (
+        |  SELECT coalesce(hist.k, upd.k) AS k, hist.bal AS bal, upd.bal AS nbal,
+        |         hist.k IS NOT NULL AS curp, upd.k IS NOT NULL AS updp,
+        |         hist.valid_from AS vf
+        |  FROM hist FULL OUTER JOIN upd ON hist.k = upd.k)
+        |SELECT k, bal, vf AS valid_from, CAST(NULL AS DATE) AS valid_to
+        |FROM j WHERE curp AND (NOT updp OR bal IS NOT DISTINCT FROM nbal)
+        |UNION ALL
+        |SELECT k, bal, vf, DATE '2024-06-01'
+        |FROM j WHERE curp AND updp AND bal IS DISTINCT FROM nbal
+        |UNION ALL
+        |SELECT k, nbal, DATE '2024-06-01', CAST(NULL AS DATE)
+        |FROM j WHERE updp AND (NOT curp OR bal IS DISTINCT FROM nbal)
+        |ORDER BY k, valid_from""".stripMargin,
+
+    "profile_table" -> {
+      def num(c: String) =
+        s"SELECT '$c' AS col_name, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct, CAST(min($c) AS DOUBLE) AS min_num, " +
+          s"CAST(max($c) AS DOUBLE) AS max_num FROM orders"
+      def other(c: String) =
+        s"SELECT '$c' AS col_name, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct, CAST(NULL AS DOUBLE) AS min_num, " +
+          s"CAST(NULL AS DOUBLE) AS max_num FROM orders"
+      (Seq(num("o_orderkey"), num("o_custkey"), other("o_orderstatus"),
+        num("o_totalprice"), other("o_orderdate"), other("o_orderpriority"))
+        .mkString("", "\nUNION ALL ", "\nORDER BY col_name"))
+    },
 
     // DuckDB range(0,n,128) = Spark sequence(0,n-1,128) for n>0;
     // generate_subscripts is 1-based vs posexplode 0-based

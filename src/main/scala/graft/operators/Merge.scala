@@ -33,4 +33,54 @@ object Merge {
     require(keys.nonEmpty, "merge requires primary keys")
     target.join(broadcast(staging), keys, "left_anti").unionByName(staging)
   }
+
+  /** SCD Type-2 apply — dimension history with full audit trail. The
+    * history table carries (keys…, attrs…, validFrom, validTo) where a
+    * null validTo marks the current version. One batch of updates
+    * (keys…, attrs…, all rows effective at `effective`) is applied as:
+    *   - matched + any attr changed (null-safe): current row closes at
+    *     `effective`, a new version opens at `effective`
+    *   - matched + unchanged: current row kept as-is (idempotent replay)
+    *   - unmatched update key: a first version opens
+    *   - already-closed rows are never touched
+    *
+    * Scale shape: ONE full-outer equi-join of current rows against the
+    * batch on the keys (closed history is a filter, not a join side),
+    * three projections over it, union — same single-shuffle posture as
+    * `upsert`, with AQE free to broadcast the delta. Updates must be
+    * key-unique (pre-aggregate otherwise).
+    */
+  def scd2(
+      history: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      attrs: Seq[String],
+      effective: org.apache.spark.sql.Column,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    require(keys.nonEmpty, "scd2 requires keys")
+    require(attrs.nonEmpty, "scd2 requires tracked attribute columns")
+    val closed = history.filter(col(validTo).isNotNull)
+    val current = history.filter(col(validTo).isNull)
+    val u = updates.select(
+      keys.map(col) ++ attrs.map(c => col(c).as(s"__u_$c")) :+
+        effective.as("__eff"): _*)
+    val j = current.join(u, keys, "full_outer")
+    val curPresent = col(validFrom).isNotNull
+    val updPresent = col("__eff").isNotNull
+    val changed = attrs.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
+    val histCols = history.columns.toSeq
+    val kept = j.filter(curPresent && (!updPresent || !changed))
+      .select(histCols.map(col): _*)
+    val closedNow = j.filter(curPresent && updPresent && changed)
+      .select(histCols.map(c => if (c == validTo) col("__eff").as(validTo) else col(c)): _*)
+    val opened = j.filter(updPresent && (!curPresent || changed))
+      .select(histCols.map {
+        case c if c == validFrom => col("__eff").as(validFrom)
+        case c if c == validTo => lit(null).cast(history.schema(validTo).dataType).as(validTo)
+        case c if attrs.contains(c) => col(s"__u_$c").as(c)
+        case c => col(c)
+      }: _*)
+    closed.unionByName(kept).unionByName(closedNow).unionByName(opened)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import graft.functions.HiveText
 
 /** Sink surface — SURVEY.md §2.2 (K1-K10).
@@ -111,6 +111,65 @@ object Sink {
       partitions: Int = 0,
       maxRecordsPerFile: Long = 0): Unit = {
     val writer = rangeCluster(df, clusterCols, partitions).write.mode(SaveMode.Overwrite)
+    val bounded =
+      if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      else writer
+    bounded.parquet(path)
+  }
+
+  /** Morton z-value: the two columns are normalized to a `bits`-bit
+    * lattice over [lo, hi] and their bits interleaved (a on even
+    * positions, b on odd). Nearby (a, b) points get nearby z-values, so
+    * range-clustering on z bounds EVERY file in BOTH dimensions — the
+    * multi-column data-skipping layout range clustering on one key
+    * cannot provide. Pure codegen'd integer arithmetic.
+    */
+  def zValue(a: Column, b: Column,
+      aLo: Double, aHi: Double, bLo: Double, bHi: Double,
+      bits: Int = 16): Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val scale = (1L << bits) - 1
+    def norm(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else round((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(scale.toDouble))
+        .cast("long")
+    val na = norm(a, aLo, aHi)
+    val nb = norm(b, bLo, bHi)
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(na, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(nb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-order-clustered parquet write: bounds for both columns come from
+    * one bounded min/max probe (4 scalars to the driver), rows are
+    * range-partitioned and sorted on the interleaved z-value, so each
+    * output file's parquet footer carries TIGHT min/max on BOTH columns
+    * — predicates on either prune files. The standard lakehouse layout
+    * (Delta/Iceberg OPTIMIZE ZORDER) expressed as a plain Spark write.
+    */
+  def zOrderParquet(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      partitions: Int = 0,
+      maxRecordsPerFile: Long = 0): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    if (r.isNullAt(0)) { // empty or all-null input: nothing to cluster
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    val z = zValue(col(colA), col(colB),
+      r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val writer = rangeCluster(df.withColumn("__z", z), Seq("__z"), partitions)
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
     val bounded =
       if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile.toString)
       else writer

@@ -61,4 +61,56 @@ class MergeSpec extends AnyFunSuite {
     assert(Merge.upsert(target, staging, Seq("k")).collect().toSet ==
       Merge.upsertSmallDelta(target, staging, Seq("k")).collect().toSet)
   }
+
+  // --- SCD Type-2 ---
+
+  private def scd2Set(hist: Seq[(Int, Option[String], Int, Option[Int])],
+                      upd: Seq[(Int, Option[String])],
+                      eff: Int): Set[(Int, Option[String], Int, Option[Int])] = {
+    val h = hist.toDF("k", "v", "valid_from", "valid_to")
+    val u = upd.toDF("k", "v")
+    Merge.scd2(h, u, Seq("k"), Seq("v"), lit(eff))
+      .as[(Int, Option[String], Int, Option[Int])].collect().toSet
+  }
+
+  test("scd2: changed attr closes the current row and opens a new version") {
+    val got = scd2Set(
+      hist = Seq((1, Some("a"), 100, None)),
+      upd = Seq((1, Some("b"))), eff = 200)
+    assert(got == Set((1, Some("a"), 100, Some(200)), (1, Some("b"), 200, None)))
+  }
+
+  test("scd2: unchanged attr keeps the row untouched (idempotent replay)") {
+    val hist = Seq((1, Some("a"), 100, None))
+    val once = scd2Set(hist, Seq((1, Some("a"))), 200)
+    assert(once == hist.toSet)
+  }
+
+  test("scd2: a brand-new key opens its first version; closed history never changes") {
+    val got = scd2Set(
+      hist = Seq((1, Some("old"), 50, Some(100)), (1, Some("a"), 100, None)),
+      upd = Seq((2, Some("x"))), eff = 200)
+    assert(got == Set(
+      (1, Some("old"), 50, Some(100)), (1, Some("a"), 100, None),
+      (2, Some("x"), 200, None)))
+  }
+
+  test("scd2: null-to-value and value-to-null transitions count as changes") {
+    val got = scd2Set(
+      hist = Seq((1, None, 100, None), (2, Some("a"), 100, None)),
+      upd = Seq((1, Some("v")), (2, None)), eff = 200)
+    assert(got == Set(
+      (1, None, 100, Some(200)), (1, Some("v"), 200, None),
+      (2, Some("a"), 100, Some(200)), (2, None, 200, None)))
+  }
+
+  test("scd2: applying the same batch twice equals applying it once") {
+    val h = Seq[(Int, Option[String], Int, Option[Int])](
+        (1, Some("a"), 100, None), (3, Some("c"), 100, None))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val u = Seq[(Int, Option[String])]((1, Some("b")), (2, Some("n"))).toDF("k", "v")
+    val once = Merge.scd2(h, u, Seq("k"), Seq("v"), lit(200))
+    val twice = Merge.scd2(once, u, Seq("k"), Seq("v"), lit(200))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
 }

@@ -100,6 +100,45 @@ class StorageSpec extends AnyFunSuite {
     spark.sql("DROP TABLE bk_g")
   }
 
+  test("zValue interleaves bits exactly (a on even positions, b on odd)") {
+    // a=3 (011) -> positions 0,2 = 5; b=5 (101) -> positions 1,5 = 34
+    val got = Seq((3L, 5L)).toDF("a", "b")
+      .select(Sink.zValue(col("a"), col("b"), 0, 7, 0, 7, bits = 3).as("z"))
+      .as[Long].head()
+    assert(got == 39L)
+  }
+
+  test("zOrderParquet bounds every file in BOTH dimensions; 1D clustering does not") {
+    // 64x64 grid; z-order into 16 files vs range-cluster on x alone
+    val grid = (0 until 4096).map(i => (i % 64, i / 64)).toDF("x", "y")
+    val zDir = Files.createTempDirectory("graft_z").toString + "/t"
+    val rDir = Files.createTempDirectory("graft_r").toString + "/t"
+    Sink.zOrderParquet(grid, zDir, "x", "y", partitions = 16)
+    Sink.clusteredParquet(grid, rDir, Seq("x"), partitions = 16)
+    def meanBoxArea(dir: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("area"))
+        .as[(String, Int)].collect()
+      assert(spans.length == 16)
+      spans.map(_._2.toDouble).sum / spans.length
+    }
+    val zArea = meanBoxArea(zDir)
+    val rArea = meanBoxArea(rDir)
+    // 16 z-files over a 64x64 grid are 16x16 tiles (area 256); each
+    // x-range file spans all of y (area 4x64 = 256 too BUT prunes
+    // nothing for y predicates) — compare per-dimension spans instead
+    val ySpans = spark.read.parquet(zDir)
+      .groupBy(input_file_name()).agg((max("y") - min("y")).as("ys"))
+      .as[(String, Int)].collect().map(_._2)
+    assert(ySpans.forall(_ <= 31), s"z files should bound y; spans=${ySpans.mkString(",")}")
+    val ySpans1d = spark.read.parquet(rDir)
+      .groupBy(input_file_name()).agg((max("y") - min("y")).as("ys"))
+      .as[(String, Int)].collect().map(_._2)
+    assert(ySpans1d.forall(_ == 63), "x-range files span ALL of y (no y pruning)")
+    assert(zArea <= rArea * 1.5, s"z mean box area $zArea vs 1D $rArea")
+  }
+
   test("partitioned write prunes partitions on read (PartitionFilters)") {
     val dir = Files.createTempDirectory("part").toString + "/t"
     (1 to 100).map(i => (i.toLong, s"2026-0${i % 3 + 1}", i * 1.0)).toDF("id", "month", "x")
