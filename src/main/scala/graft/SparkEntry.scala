@@ -404,6 +404,18 @@ object SparkEntry {
           col("steps_completed"))
         .orderBy("user_id")),
 
+    // DAU/WAU/MAU: distinct active users per day/week/month — three
+    // narrow partial-aggregated count-distincts, unioned
+    "active_users" -> ((s, dir) => {
+      val e = events(s, dir)
+      def per(unit: String) = e
+        .groupBy(date_trunc(unit, col("ts")).cast("date").as("period_start"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .select(lit(unit).as("period"), col("period_start"), col("n_users"))
+      per("day").unionByName(per("week")).unionByName(per("month"))
+        .orderBy("period", "period_start")
+    }),
+
     // weekly cohort retention triangle over the event stream
     // (operators/Cohort): distinct user-weeks joined to first-seen week
     "cohort_retention" -> ((s, dir) =>
@@ -1004,6 +1016,18 @@ object SparkEntry {
         |SELECT user_id,
         |       CAST(SUM(CASE WHEN gap > 30 * 60 * 1000000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "active_users" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT 'day' AS period, CAST(date_trunc('day', ts) AS DATE) AS period_start,
+        |  count(DISTINCT user_id) AS n_users FROM e GROUP BY 2
+        |UNION ALL
+        |SELECT 'week', CAST(date_trunc('week', ts) AS DATE), count(DISTINCT user_id)
+        |FROM e GROUP BY 2
+        |UNION ALL
+        |SELECT 'month', CAST(date_trunc('month', ts) AS DATE), count(DISTINCT user_id)
+        |FROM e GROUP BY 2
+        |ORDER BY period, period_start""".stripMargin,
 
     // both engines truncate weeks to Monday; offsets are exact
     // multiples of 7 days so the /7 division is exact

@@ -46,9 +46,10 @@ object Merge {
     *
     * Scale shape: ONE full-outer equi-join of current rows against the
     * batch on the keys (closed history is a filter, not a join side),
-    * three projections over it, union — same single-shuffle posture as
-    * `upsert`, with AQE free to broadcast the delta. Updates must be
-    * key-unique (pre-aggregate otherwise).
+    * evaluated ONCE — each joined row explodes into its 0–2 output
+    * versions (kept / closed+reopened / first-open), so the join subtree
+    * is not re-planned per output class. AQE is free to broadcast the
+    * delta. Updates must be key-unique (pre-aggregate otherwise).
     */
   def scd2(
       history: DataFrame,
@@ -70,17 +71,21 @@ object Merge {
     val updPresent = col("__eff").isNotNull
     val changed = attrs.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
     val histCols = history.columns.toSeq
-    val kept = j.filter(curPresent && (!updPresent || !changed))
-      .select(histCols.map(col): _*)
-    val closedNow = j.filter(curPresent && updPresent && changed)
-      .select(histCols.map(c => if (c == validTo) col("__eff").as(validTo) else col(c)): _*)
-    val opened = j.filter(updPresent && (!curPresent || changed))
-      .select(histCols.map {
-        case c if c == validFrom => col("__eff").as(validFrom)
-        case c if c == validTo => lit(null).cast(history.schema(validTo).dataType).as(validTo)
-        case c if attrs.contains(c) => col(s"__u_$c").as(c)
-        case c => col(c)
-      }: _*)
-    closed.unionByName(kept).unionByName(closedNow).unionByName(opened)
+    val keptRow = struct(histCols.map(col): _*)
+    val closedRow = struct(histCols.map(c =>
+      if (c == validTo) col("__eff").as(validTo) else col(c)): _*)
+    val openedRow = struct(histCols.map {
+      case c if c == validFrom => col("__eff").as(validFrom)
+      case c if c == validTo =>
+        lit(null).cast(history.schema(validTo).dataType).as(validTo)
+      case c if attrs.contains(c) => col(s"__u_$c").as(c)
+      case c => col(c)
+    }: _*)
+    val versions = array_compact(array(
+      when(curPresent && (!updPresent || !changed), keptRow),
+      when(curPresent && updPresent && changed, closedRow),
+      when(updPresent && (!curPresent || changed), openedRow)))
+    val applied = j.select(explode(versions).as("__r")).select(col("__r.*"))
+    closed.unionByName(applied)
   }
 }
