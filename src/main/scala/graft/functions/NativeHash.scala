@@ -24,6 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NativeHash {
 
+  /** Hash assigned to a null array element. The shingle/token exprs here
+    * never emit nulls, but these helpers are a public surface callable on
+    * arbitrary array<string> columns — a null element hashes to this
+    * sentinel instead of NPEing (mirrors array_distinct treating null as
+    * one more value). Non-null inputs are bit-identical to before.
+    */
+  private val NullElementHash = 0x9E3779B97F4A7C15L
+
   // ---- minhash ----
 
   final class MinHashHelper(k: Int, seed: Long) extends Serializable {
@@ -43,7 +51,8 @@ object NativeHash {
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i)
-        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h0 = if (s == null) NullElementHash
+          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         update(sig, h0)
         i += 1
       }
@@ -167,7 +176,8 @@ object NativeHash {
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = if (s == null) NullElementHash
+          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -339,7 +349,8 @@ object NativeHash {
       var i = 0
       while (i < m) {
         val s = arr.getUTF8String(i)
-        th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        th(i) = if (s == null) NullElementHash
+          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         i += 1
       }
       val cnt = m - n + 1
@@ -437,7 +448,8 @@ object NativeHash {
       var i = 0
       while (i < m) {
         val s = arr.getUTF8String(i)
-        th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        th(i) = if (s == null) NullElementHash
+          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         i += 1
       }
       val cnt = m - n + 1

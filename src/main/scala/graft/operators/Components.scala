@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** (id, component) for every vertex, component = min id reachable.
     * `vertices` (single id column, any name) adds isolated nodes that
     * appear in no edge — they map to themselves.
@@ -53,19 +55,23 @@ object Components {
 
     var prev = checksum(e)
     val labels =
-      if (prev._1 <= localThreshold) localLabels(e, idT)
+      if (prev._1 <= localThreshold) { val l = localLabels(e, idT); freeCheckpoint(e); l }
       else {
         var iter = 0
         var converged = false
         while (!converged && iter < maxIter) {
           val next = smallStar(largeStar(e)).localCheckpoint(true)
           val cur = checksum(next)
-          e.unpersist()
+          freeCheckpoint(e)
           e = next
           converged = cur == prev
           prev = cur
           iter += 1
         }
+        if (!converged)
+          log.warn(s"connectedComponents: edge-set checksum did not converge in $maxIter " +
+            "alternation rounds — labels below are the groupBy-min of the last edge set " +
+            "and may split components; raise maxIter")
         // at the fixpoint every non-root points straight at its component
         // min; groupBy(min) also makes pre-convergence output well-defined
         e.groupBy(col("src").as("id")).agg(min("dst").as("component"))
@@ -78,9 +84,27 @@ object Components {
       vertices.map(v => fromEdges.union(v.toDF("id"))).getOrElse(fromEdges)
     }.distinct().localCheckpoint(true)
     in.unpersist()
-    vs.join(labels, Seq("id"), "left")
+    // materialize the (vertex-sized) result so every intermediate
+    // checkpoint — the per-round edge sets above plus vs and the final
+    // fixpoint — can be freed NOW instead of lingering until RDD GC;
+    // the one surviving checkpoint is the result itself
+    val out = vs.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint(true)
+    freeCheckpoint(vs)
+    freeCheckpoint(e)
+    out
   }
+
+  /** localCheckpoint persists the underlying RDD directly (NOT through
+    * the cache manager), so Dataset.unpersist() does not release its
+    * blocks; pull the RDD out of the LogicalRDD leaf and unpersist it
+    * explicitly. Safe on non-checkpointed frames (no LogicalRDD leaf).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   /** Driver union-find over a bounded edge list. Union-by-min with path
     * compression: the smaller id always stays root, so each final root

@@ -62,13 +62,16 @@ object Merge {
     require(keys.nonEmpty, "scd2 requires keys")
     require(attrs.nonEmpty, "scd2 requires tracked attribute columns")
     val closed = history.filter(col(validTo).isNotNull)
-    val current = history.filter(col(validTo).isNull)
+    // explicit presence markers — inferring presence from a data column
+    // (e.g. validFrom.isNotNull) would silently drop a current row whose
+    // validFrom happens to be null (MergeSpec pins this)
+    val current = history.filter(col(validTo).isNull).withColumn("__cur", lit(true))
     val u = updates.select(
       keys.map(col) ++ attrs.map(c => col(c).as(s"__u_$c")) :+
-        effective.as("__eff"): _*)
+        effective.as("__eff") :+ lit(true).as("__upd"): _*)
     val j = current.join(u, keys, "full_outer")
-    val curPresent = col(validFrom).isNotNull
-    val updPresent = col("__eff").isNotNull
+    val curPresent = col("__cur").isNotNull
+    val updPresent = col("__upd").isNotNull
     val changed = attrs.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
     val histCols = history.columns.toSeq
     val keptRow = struct(histCols.map(col): _*)

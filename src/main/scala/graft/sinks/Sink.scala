@@ -161,7 +161,9 @@ object Sink {
     val r = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    if (r.isNullAt(0)) { // empty or all-null input: nothing to cluster
+    // empty input, or either column entirely null: no usable bounds on
+    // one axis, so nothing to interleave — plain write
+    if ((0 to 3).exists(r.isNullAt)) {
       df.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }

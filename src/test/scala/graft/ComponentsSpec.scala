@@ -49,6 +49,17 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 99L -> 99L))
   }
 
+  test("intermediate checkpoints are released — at most one new persistent RDD survives") {
+    // localCheckpoint persists RDD blocks outside the cache manager;
+    // without explicit release every alternation round leaks one
+    // edge-set's blocks until RDD GC (round-5 advice)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = (0L until 39L).map(i => (i + 1, i + 2)).toDF("a", "b")
+    Components.connectedComponents(edges, "a", "b", localThreshold = 0L).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked persisted RDDs beyond the result checkpoint: $leaked")
+  }
+
   test("matches a brute-force union-find on a random-ish graph") {
     // deterministic pseudo-random edges over 60 nodes
     val edges = (0 until 80).map { i =>

@@ -104,6 +104,21 @@ class MergeSpec extends AnyFunSuite {
       (2, Some("a"), 100, Some(200)), (2, None, 200, None)))
   }
 
+  test("scd2: a current row with NULL valid_from is present (explicit marker, not data inference)") {
+    // presence inferred from valid_from.isNotNull would silently DROP
+    // this row and re-open the key as a first version (round-5 advice)
+    val h = Seq[(Int, Option[String], Option[Int], Option[Int])](
+        (1, Some("a"), None, None), (2, Some("x"), None, None))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val u = Seq[(Int, Option[String])]((1, Some("b")), (2, Some("x"))).toDF("k", "v")
+    val got = Merge.scd2(h, u, Seq("k"), Seq("v"), lit(200))
+      .as[(Int, Option[String], Option[Int], Option[Int])].collect().toSet
+    assert(got == Set(
+      (1, Some("a"), None, Some(200)),   // changed: closed, validFrom stays null
+      (1, Some("b"), Some(200), None),   // new version opened
+      (2, Some("x"), None, None)))       // unchanged: kept as-is
+  }
+
   test("scd2: applying the same batch twice equals applying it once") {
     val h = Seq[(Int, Option[String], Int, Option[Int])](
         (1, Some("a"), 100, None), (3, Some("c"), 100, None))

@@ -171,6 +171,21 @@ class NativeHashSpec extends AnyFunSuite {
     assert(m(1L) == 0.5 && m(2L) == 1.0 - 1.0 / 3.0 && m(3L) == 0.0 && m(4L) == 0.0 && m(5L) == 0.0)
   }
 
+  test("null array elements hash to a sentinel instead of NPEing (public surface)") {
+    // tokens()/shingles() never emit nulls, but these are public
+    // functions over arbitrary array<string> columns (round-5 advice)
+    val df = Seq(Seq("a", null, "a", null)).toDF("sh")
+    val r = df.select(
+      NativeHash.minhashSig(col("sh"), 8, 42L).as("mh"),
+      NativeHash.simhash64(col("sh")).as("sh64"),
+      NativeHash.shingleHashes(col("sh"), 2).as("shh"),
+      NativeHash.shingleDupRatio(col("sh"), 2).as("dup")).head()
+    assert((0 to 3).forall(i => !r.isNullAt(i)))
+    // null is ONE MORE value, not skipped: 2-gram windows are
+    // (a,∅)(∅,a)(a,∅) -> 2 distinct of 3 -> dup ratio 1/3
+    assert(math.abs(r.getDouble(3) - (1.0 - 2.0 / 3.0)) < 1e-12)
+  }
+
   test("SQL surface: shingle_hashes / char_shingle_hashes / sorted_intersect_count resolve") {
     Seq((Seq("a", "b", "c"), "xyzw")).toDF("toks", "s").createOrReplaceTempView("nh_sh")
     val r = spark.sql(

@@ -108,6 +108,16 @@ class StorageSpec extends AnyFunSuite {
     assert(got == 39L)
   }
 
+  test("zOrderParquet falls back to a plain write when either column is all-null") {
+    // a null-heavy second column must not crash the min/max bounds probe
+    // (round-5 advice: r.getDouble on a null primitive)
+    val dir = Files.createTempDirectory("graft_znull").toString + "/t"
+    val df = Seq[(java.lang.Long, java.lang.Double)]((1L, null), (2L, null), (3L, null))
+      .toDF("a", "b")
+    Sink.zOrderParquet(df, dir, "a", "b")
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("zOrderParquet bounds every file in BOTH dimensions; 1D clustering does not") {
     // 64x64 grid; z-order into 16 files vs range-cluster on x alone
     val grid = (0 until 4096).map(i => (i % 64, i / 64)).toDF("x", "y")
