@@ -298,6 +298,16 @@ object SparkEntry {
         .na.fill(0)
         .orderBy("source")),
 
+    // wide -> long melt of the lineitem measures (Dataset.unpivot —
+    // a generator, row-local, no shuffle)
+    "unpivot_metrics" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
     "window_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
       t(s, dir, "orders")
@@ -423,6 +433,30 @@ object SparkEntry {
         .select(col("cohort_week"), col("week_offset"), col("n_active"),
           col("n_cohort"), col("retention"))
         .orderBy("cohort_week", "week_offset")),
+
+    // daily resample + forward fill per user (operators/TimeSeries):
+    // gap days materialize with n_events=0 and the last observed daily
+    // sum carried forward
+    "gap_fill" -> ((s, dir) =>
+      TimeSeries.resampleDailyFill(events(s, dir), "user_id", "ts", "value")
+        .select(col("user_id"), col("day"), col("n_events"),
+          col("day_value"), col("filled_value"))
+        .orderBy("user_id", "day")),
+
+    // event-type transition matrix (Markov counts): lead() per user,
+    // aggregate FIRST, then normalize over the tiny transition matrix —
+    // the second window never sees input-sized data
+    "page_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          round(col("n") / sum(col("n")).over(Window.partitionBy("event_type")), 6))
+        .orderBy("event_type", "next_type")
+    }),
 
     "range_join" -> ((s, dir) => {
       // histogram-style interval match: orders priced into region-keyed
@@ -562,6 +596,19 @@ object SparkEntry {
       val bench = d.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("bench_id"), col("text"))
       JaccardDedup.crossPairs(d, "doc_id", bench, "bench_id", "text",
+          nGram = 2, threshold = 0.5)
+        .filter(col("left_id") =!= col("right_id"))
+        .select(col("left_id"), col("right_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("left_id", "right_id")
+    }),
+
+    // same contamination semantics through the Bloom-pruned train scan
+    // (lossless superset prune + exact verify — identical oracle)
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      JaccardDedup.crossPairsBloom(d, "doc_id", bench, "bench_id", "text",
           nGram = 2, threshold = 0.5)
         .filter(col("left_id") =!= col("right_id"))
         .select(col("left_id"), col("right_id"), round(col("jaccard"), 6).as("jaccard"))
@@ -1049,6 +1096,41 @@ object SparkEntry {
         |FROM act JOIN cs ON act.cohort_week = cs.cohort_week
         |ORDER BY cohort_week, week_offset""".stripMargin,
 
+    // both engines round the daily sum BEFORE the forward fill, so the
+    // carried values match bit-exactly; generate_series is inclusive on
+    // both ends like Spark's sequence()
+    "gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value FROM events),
+        |d AS (
+        |  SELECT user_id, day, count(*) AS n_events, round(sum(value), 6) AS day_value
+        |  FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |g AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM s)
+        |SELECT g.user_id AS user_id, g.day AS day,
+        |  coalesce(d.n_events, 0) AS n_events, d.day_value AS day_value,
+        |  last_value(d.day_value IGNORE NULLS)
+        |    OVER (PARTITION BY g.user_id ORDER BY g.day) AS filled_value
+        |FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY user_id, day""".stripMargin,
+
+    // (ts, event_id) ordering makes lead() deterministic in both engines
+    "page_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |tr AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM e),
+        |c AS (
+        |  SELECT event_type, next_type, count(*) AS n FROM tr
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
+
     // ns→µs truncation matches the Spark reader; the strict p<ts
     // comparisons make tie ordering inside the ROWS frame irrelevant
     "funnel_steps" ->
@@ -1241,6 +1323,23 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
+        |    i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY left_id, right_id""".stripMargin,
+
+    // the Bloom prune is lossless (superset filter + exact verify), so
+    // the oracle is the decontaminate ground truth verbatim
+    "decontaminate_bloom" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
@@ -1457,6 +1556,17 @@ object SparkEntry {
         |  count(*) FILTER (lang = 'de') AS de,
         |  count(*) FILTER (lang = 'fr') AS fr
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "unpivot_metrics" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     // composed pipeline: quality formula == text_quality oracle, dedup
     // == row_number per text, split == the md5-bucket train band,

@@ -234,6 +234,47 @@ object JaccardDedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** crossPairs with a Bloom-filter pre-prune of the (huge) left/train
+    * side. At 100 TB the exact benchmark shingle index is the broadcast
+    * in crossPairs; when even that is uncomfortably large, a Bloom
+    * filter at ~1% fpp costs ~10 bits per shingle (20-60× smaller than
+    * the exact long set) and drops almost every clean train doc in the
+    * scan itself, BEFORE its shingles are exploded into the join.
+    *
+    * The prune is provably lossless: J(a,b) = o/(n_a+n_b−o) with
+    * n_b ≥ o gives J ≤ o/n_a, so J ≥ t requires overlap o ≥ t·n_a —
+    * and Bloom false positives only OVERcount the apparent overlap.
+    * Survivors then run the exact crossPairs verify, so the result is
+    * identical to the unpruned operator (the driver gate pins this
+    * against the same DuckDB oracle as `decontaminate`).
+    */
+  def crossPairsBloom(
+      left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String,
+      textCol: String,
+      nGram: Int = 2,
+      threshold: Double = 0.3,
+      fpp: Double = 0.01): DataFrame = {
+    require(threshold > 0, "threshold must be > 0")
+    val rh = right
+      .select(explode(
+        graft.functions.NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram)).as("s"))
+      .distinct()
+    val nShingles = math.max(rh.count(), 1L) // bounded: benchmark corpus
+    val bf = rh.stat.bloomFilter("s", nShingles, fpp)
+    val bbf = left.sparkSession.sparkContext.broadcast(bf)
+    // one UDF doing count-and-compare so the (expensive) shingle child
+    // evaluates once per row — FilterExec does no subexpression
+    // elimination, so `hits(sh) >= t * size(sh)` would shingle twice.
+    // o ≥ t·n_a, fp-conservative on the product like the PPJoin bounds.
+    val keep = udf((arr: scala.collection.Seq[Long]) => {
+      val b = bbf.value
+      arr.count(b.mightContainLong).toDouble >= threshold * arr.length - 1e-9
+    })
+    val sh = graft.functions.NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram)
+    crossPairs(left.filter(keep(sh)), leftId, right, rightId, textCol, nGram, threshold)
+  }
+
   /** Decontaminate: drop every left (train) doc contaminated by the
     * right (benchmark) corpus at the given similarity.
     */

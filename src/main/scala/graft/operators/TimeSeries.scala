@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an event stream to a fixed daily
+  * grid per key and carry the last observed aggregate forward across
+  * gap days — the standard prep step before per-entity time-series
+  * modeling or window features over sparse activity.
+  *
+  * Scale shape: one shuffle builds the per-(key, day) aggregate; the
+  * per-key spans come from a second partial-aggregated pass over that
+  * (already day-granular, so ~corpus-days-sized) frame, not the raw
+  * input; the day grid explodes from per-key (min, max) spans so it is
+  * OUTPUT-sized; and the forward fill is a single (key, day) window —
+  * the grid join and the window share the same key partitioning, so the
+  * whole tail runs in one exchange.
+  */
+object TimeSeries {
+
+  /** One row per (key, day) of each key's observed [min, max] day span:
+    * `n_events` (0 on gap days), `day_value` (the day's `sum(valueCol)`,
+    * null on gap days), `filled_value` (last non-null `day_value` at or
+    * before the row — forward fill).
+    */
+  def resampleDailyFill(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col(valueCol)), 6).as("day_value"))
+    val spans = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    // sequence on dates steps 1 day by default; spans are bounded by the
+    // corpus' date range, so the explode is grid-sized
+    val grid = spans.select(col(keyCol),
+      explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val w = Window.partitionBy(keyCol).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_value", last(col("day_value"), ignoreNulls = true).over(w))
+  }
+}

@@ -123,6 +123,27 @@ class DedupSpec extends AnyFunSuite {
     assert(clean == Set(2L), s"expected only doc 2 to survive, got $clean")
   }
 
+  test("bloom-pruned crossPairs is identical to the exact operator") {
+    // the prune is a superset filter (J >= t implies overlap >= t*n_a,
+    // bloom fps only overcount) + exact verify -> bit-identical pairs
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated content about columnar storage engines"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "another clean doc with no benchmark overlap at all"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bench_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val exact = JaccardDedup.crossPairs(train, "doc_id", bench, "bench_id", "text",
+          nGram = 2, threshold = t).as[(Long, Long, Double)].collect().toSet
+      val bloomed = JaccardDedup.crossPairsBloom(train, "doc_id", bench, "bench_id", "text",
+          nGram = 2, threshold = t).as[(Long, Long, Double)].collect().toSet
+      assert(bloomed == exact, s"bloom prune changed results at t=$t")
+    }
+  }
+
   test("generic string-shingle hatch agrees with the native hashed path") {
     // nearDupPairsBy (arbitrary string-shingle expression, interpreted
     // hash+sort) must produce identical pairs and jaccard values to the
