@@ -289,6 +289,38 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // rank-function battery on a coarsened order key so real TIES
+    // exercise rank vs dense_rank vs percent_rank vs cume_dist
+    "window_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(floor(col("o_totalprice") / 10000.0))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // RFM segmentation: per-customer recency/frequency/monetary rolled
+    // up, then quartiled. Same global-ntile posture as ntile_spend (the
+    // window input is customer-cardinality, orders of magnitude smaller
+    // than the fact table; swap for approx cut-points at extreme scale)
+    "rfm_segments" -> ((s, dir) => {
+      val rfm = t(s, dir, "orders").groupBy("o_custkey").agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).as("monetary"))
+      def q(c: Column) = ntile(4).over(Window.orderBy(c.desc, col("o_custkey").asc))
+      rfm.select(col("o_custkey"),
+          col("frequency"), col("monetary").cast("double").as("monetary"),
+          q(col("last_order")).as("r_q"),
+          q(col("frequency")).as("f_q"),
+          q(col("monetary")).as("m_q"))
+        .orderBy("o_custkey")
+    }),
+
     // pivot: doc counts by source x lang (missing combos filled 0 to
     // match the oracle's FILTER counts)
     "pivot_lang" -> ((s, dir) =>
@@ -1547,6 +1579,29 @@ object SparkEntry {
         |SELECT o_custkey, CAST(spend AS DOUBLE) AS spend,
         |  ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
         |FROM s ORDER BY o_custkey""".stripMargin,
+
+    "window_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY floor(o_totalprice / 10000.0))
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // ntile tie-break on o_custkey makes the quartiles deterministic in
+    // both engines
+    "rfm_segments" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(28,6))) AS monetary
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, frequency, CAST(monetary AS DOUBLE) AS monetary,
+        |  ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r_q,
+        |  ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_q,
+        |  ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_q
+        |FROM rfm ORDER BY o_custkey""".stripMargin,
 
     "pivot_lang" ->
       """SELECT source,
