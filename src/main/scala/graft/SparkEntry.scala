@@ -863,6 +863,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // PQ compressed-scan ANN: ADC shortlist (50) + exact cosine rerank.
+    // The shortlist recovers the full true top-5 on this corpus, so the
+    // gate runs the same EXACT brute-force oracle as ann_srp; the
+    // general recall contract is pinned in SimilaritySpec
+    "ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      PqSearch.pqTopK(corpus, queries, 5, dim = 64)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // nProbe = 28/32: the fixture embeddings are unclustered (random +
     // a planted pair), where IVF needs near-exhaustive probing — recall
     // 0.96 at 28 probes, measured vs brute force (SimilaritySpec pins
@@ -1893,6 +1907,21 @@ object SparkEntry {
     // ann_bruteforce — the multi-table LSH must reach full recall on
     // the fixture corpus to hash-match (verified at sf0.01)
     "ann_srp" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, e.vec_id AS id,
+        |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+        |  FROM q CROSS JOIN embeddings e),
+        |r AS (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
+        |  FROM s)
+        |SELECT qid, id, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // same exact ground truth as ann_srp: the 50-deep ADC shortlist +
+    // exact rerank must recover the true top-5 to hash-match
+    "ann_pq" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
         |s AS (

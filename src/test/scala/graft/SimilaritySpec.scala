@@ -114,6 +114,16 @@ class SimilaritySpec extends AnyFunSuite {
       s"ivf recall ${(ivf & bf).size}/${bf.size} below 0.9")
   }
 
+  test("recall gate: pqTopK (ADC shortlist + exact rerank) matches brute force exactly on the fixture") {
+    // ann_pq runs under the EXACT oracle at the driver gate, so the
+    // pinned bar here is full agreement, not just >= 0.9
+    assume(new java.io.File(sfDir).isDirectory)
+    import graft.operators.PqSearch
+    val bf = fixtureTopK(5)(SimilaritySearch.bruteForceTopK(_, _, 5))
+    val pq = fixtureTopK(5)(PqSearch.pqTopK(_, _, 5, dim = 64))
+    assert(pq == bf, s"pq missed ${(bf -- pq).size} of ${bf.size} true-top-5 rows")
+  }
+
   test("k-means refinement recovers cluster structure: top-1 exact with a single probe") {
     // On CLUSTERED data (k-means' documented win; on the unclustered sf
     // fixture refinement is a wash) three Lloyd iterations must pull the
