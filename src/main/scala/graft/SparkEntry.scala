@@ -647,6 +647,15 @@ object SparkEntry {
         .orderBy("left_id", "right_id")
     }),
 
+    // exact heavy hitters WITHOUT a full-vocabulary shuffle: Misra-
+    // Gries summary pass (mergeable, O(k) state) -> guaranteed-superset
+    // candidates -> broadcast recount (operators/HeavyHitters)
+    "heavy_hitters" -> ((s, dir) => {
+      val toks = docs(s, dir).select(explode(Text.tokens(col("text"))).as("tok"))
+      HeavyHitters.exact(toks, "tok", frac = 0.002, k = 4096)
+        .orderBy(col("n").desc, col("tok").asc)
+    }),
+
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) =>
       docs(s, dir)
@@ -1533,6 +1542,16 @@ object SparkEntry {
         |  FROM toks)
         |SELECT ngram, COUNT(*) AS n FROM n
         |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
+
+    // ground truth is the plain full count — the MG+recount path must
+    // reproduce it exactly (the sketch only changes the plan shape)
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        |t AS (SELECT CAST(ceil(0.002 * sum(n)) AS BIGINT) AS thr FROM c)
+        |SELECT tok, n FROM c, t WHERE n >= thr ORDER BY n DESC, tok ASC""".stripMargin,
 
     "token_histogram" ->
       """SELECT CAST(floor(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
