@@ -504,6 +504,18 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // collection-aggregate battery: order-insensitive aggregation into
+    // deterministic scalar forms (array outputs are flattened to strings
+    // because the driver compare cannot hash array cells)
+    "collect_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("order_keys"),
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          count_distinct(col("o_orderpriority")).as("n_prio"))
+        .orderBy("o_custkey")),
+
     "quantiles" -> ((s, dir) =>
       // exact percentiles (Spark `percentile`, not approx) - grouped.
       // Small-data parity only: the agg buffer holds EVERY group value,
@@ -1240,6 +1252,13 @@ object SparkEntry {
         |FROM orders JOIN bands
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "collect_funcs" ->
+      """SELECT o_custkey,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  count(DISTINCT o_orderpriority) AS n_prio
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "quantiles" ->
       """SELECT l_returnflag,

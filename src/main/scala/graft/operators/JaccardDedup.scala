@@ -260,8 +260,10 @@ object JaccardDedup {
       .select(explode(
         graft.functions.NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram)).as("s"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nShingles = math.max(rh.count(), 1L) // bounded: benchmark corpus
     val bf = rh.stat.bloomFilter("s", nShingles, fpp)
+    rh.unpersist(false)
     val bbf = left.sparkSession.sparkContext.broadcast(bf)
     // one UDF doing count-and-compare so the (expensive) shingle child
     // evaluates once per row — FilterExec does no subexpression
