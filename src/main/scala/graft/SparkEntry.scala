@@ -884,7 +884,7 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
-    // PQ compressed-scan ANN: ADC shortlist (50) + exact cosine rerank.
+    // PQ compressed-scan ANN: ADC shortlist (100) + exact cosine rerank.
     // The shortlist recovers the full true top-5 on this corpus, so the
     // gate runs the same EXACT brute-force oracle as ann_srp; the
     // general recall contract is pinned in SimilaritySpec
@@ -1957,7 +1957,7 @@ object SparkEntry {
         |  FROM s)
         |SELECT qid, id, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
-    // same exact ground truth as ann_srp: the 50-deep ADC shortlist +
+    // same exact ground truth as ann_srp: the 100-deep ADC shortlist +
     // exact rerank must recover the true top-5 to hash-match
     "ann_pq" ->
       """WITH q AS (

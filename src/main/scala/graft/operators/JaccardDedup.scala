@@ -269,10 +269,18 @@ object JaccardDedup {
     // evaluates once per row — FilterExec does no subexpression
     // elimination, so `hits(sh) >= t * size(sh)` would shingle twice.
     // o ≥ t·n_a, fp-conservative on the product like the PPJoin bounds.
+    // null text ⇒ null shingle array: drop, matching explode() in the
+    // exact path. asNondeterministic keeps the filter ABOVE any
+    // upstream repartition (a deterministic one is pushed below
+    // Par.widen's exchange and shingles the corpus on one core — the
+    // documented round-4 pushdown trap).
     val keep = udf((arr: scala.collection.Seq[Long]) => {
-      val b = bbf.value
-      arr.count(b.mightContainLong).toDouble >= threshold * arr.length - 1e-9
-    })
+      if (arr == null) false
+      else {
+        val b = bbf.value
+        arr.count(b.mightContainLong).toDouble >= threshold * arr.length - 1e-9
+      }
+    }).asNondeterministic()
     val sh = graft.functions.NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram)
     crossPairs(left.filter(keep(sh)), leftId, right, rightId, textCol, nGram, threshold)
   }

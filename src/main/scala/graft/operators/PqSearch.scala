@@ -34,10 +34,13 @@ object PqSearch {
   def train(
       corpus: DataFrame, vecCol: String, dim: Int,
       m: Int = 16, k: Int = 64,
-      sampleCap: Int = 4096, iters: Int = 10, seed: Long = 42L): PqModel = {
+      sampleCap: Int = 4096, iters: Int = 10, seed: Long = 42L,
+      corpusSize: Option[Long] = None): PqModel = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subdim = dim / m
-    val n = corpus.count()
+    // same escape hatch as SimilaritySearch.srpTopK: pass the known
+    // cardinality (table stats / cached count) to skip the count scan
+    val n = corpusSize.getOrElse(corpus.count())
     val base =
       if (n > sampleCap) corpus.sample(sampleCap.toDouble / n, seed) else corpus
     val sample = base.select(vecCol).limit(sampleCap).collect()
@@ -98,8 +101,10 @@ object PqSearch {
   def pqTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       m: Int = 16, kCent: Int = 64, shortlist: Int = 100,
-      model: Option[PqModel] = None, seed: Long = 42L): DataFrame = {
-    val mod = model.getOrElse(train(corpus, "vec", dim, m, kCent, seed = seed))
+      model: Option[PqModel] = None, seed: Long = 42L,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val mod = model.getOrElse(
+      train(corpus, "vec", dim, m, kCent, seed = seed, corpusSize = corpusSize))
     val codec = mod.helper
     val codes = corpus.select(col("id"), Pq.encode(col("vec"), codec).as("codes"))
     val qRows = queries.select("qid", "qvec").collect()

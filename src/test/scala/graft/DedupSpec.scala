@@ -131,7 +131,8 @@ class DedupSpec extends AnyFunSuite {
       (2L, "completely unrelated content about columnar storage engines"),
       (3L, "the quick brown fox jumps over the lazy cat"),
       (4L, "another clean doc with no benchmark overlap at all"),
-      (5L, "")
+      (5L, ""),
+      (6L, null.asInstanceOf[String]) // null text: dropped, not NPE
     ).toDF("doc_id", "text")
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("bench_id", "text")
