@@ -884,6 +884,21 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-PQ composition (faiss IVFPQ shape): probe-pruned candidate
+    // lists scored from PQ codes, exact rerank on the shortlist.
+    // Honestly approximate — recall bounded by the probe pruning like
+    // ann_ivf, so rows-only at the gate; >= 0.9 recall vs brute force
+    // pinned in SimilaritySpec
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      PqSearch.ivfPqTopK(corpus, queries, 5, dim = 64)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // PQ compressed-scan ANN: ADC shortlist (100) + exact cosine rerank.
     // The shortlist recovers the full true top-5 on this corpus, so the
     // gate runs the same EXACT brute-force oracle as ann_srp; the

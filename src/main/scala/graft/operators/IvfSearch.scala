@@ -76,7 +76,7 @@ object IvfSearch {
     override def prettyName: String = "nearest_centroids"
   }
 
-  private def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+  private[operators] def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
     Shims.column(NearestCentroidsExpr(Shims.expression(vec), centroids, nProbe))
 
   /** Deterministic coarse quantizer: the `nLists` corpus vectors with the

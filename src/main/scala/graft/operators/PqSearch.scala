@@ -94,6 +94,62 @@ object PqSearch {
     cents
   }
 
+  /** IVF-PQ: the standard billion-scale composition (faiss IVFPQ shape)
+    * of the two scale paths implemented separately here — the IVF
+    * coarse quantizer prunes each query to `nProbe` inverted lists, the
+    * ADC scan scores ONLY the probed candidates from PQ codes (m
+    * lookups per pair), and full vectors are touched just for the
+    * exact-cosine shortlist rerank. vs `pqTopK` the scored product
+    * shrinks ~nProbe/nLists; vs `IvfSearch.ivfTopK` the probed
+    * candidates are scored from the compressed column, not the
+    * embeddings. Probe selection reuses IvfSearch's CentroidHelper
+    * (same L2 metric, same tie order) driver-side for the bounded
+    * query set.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nLists: Int = 32, nProbe: Int = 28,
+      m: Int = 16, kCent: Int = 64, shortlist: Int = 100,
+      model: Option[PqModel] = None, seed: Long = 42L,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val cents = IvfSearch.trainCentroids(corpus, nLists)
+    val mod = model.getOrElse(
+      train(corpus, "vec", dim, m, kCent, seed = seed, corpusSize = corpusSize))
+    val codec = mod.helper
+    // one corpus scan emits (id, list, codes): coarse assignment and PQ
+    // encoding fused, both codegen'd expressions
+    val codes = corpus.select(col("id"),
+      element_at(IvfSearch.nearestCentroids(col("vec"), cents, 1), 1).as("list"),
+      Pq.encode(col("vec"), codec).as("codes"))
+    val qRows = queries.select("qid", "qvec").collect()
+    val luts = qRows.map { r =>
+      r.getLong(0) -> codec.buildLut(r.getSeq[Float](1).toArray)
+    }.toMap
+    val adc = new Pq.PqAdcHelper(codec, luts)
+    val probeHelper = new IvfSearch.CentroidHelper(cents, nProbe)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probes = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val pl = probeHelper.compute(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        r.getSeq[Float](1).toArray))
+      pl.toIntArray().map(list => (qid, list))
+    }.toSeq.toDF("qid", "list")
+    // a corpus row lives in exactly one list and (qid, list) probes are
+    // distinct, so the join emits each scored pair at most once
+    val scored = codes.join(broadcast(probes), Seq("list"))
+      .select(col("qid"), col("id"), Pq.adcScore(col("codes"), col("qid"), adc).as("adc"))
+    val wS = Window.partitionBy("qid").orderBy(col("adc").desc, col("id").asc)
+    val short = scored.withColumn("__r", row_number().over(wS))
+      .filter(col("__r") <= shortlist).select("qid", "id")
+    val rerank = short.join(corpus, Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("id"),
+        NativeHash.cosine(col("qvec"), col("vec")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    rerank.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Top-k by exact cosine over a PQ-ADC shortlist. `corpus` = (id,
     * vec), `queries` = (qid, qvec); queries are a bounded serving set
     * (collected once for LUT construction, broadcast for the rerank).

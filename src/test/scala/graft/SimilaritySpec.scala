@@ -124,6 +124,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq == bf, s"pq missed ${(bf -- pq).size} of ${bf.size} true-top-5 rows")
   }
 
+  test("recall gate: ivfPqTopK has full row count and >= 0.9 recall vs brute force") {
+    assume(new java.io.File(sfDir).isDirectory)
+    import graft.operators.PqSearch
+    val bf = fixtureTopK(5)(SimilaritySearch.bruteForceTopK(_, _, 5))
+    val ivfpq = fixtureTopK(5)(PqSearch.ivfPqTopK(_, _, 5, dim = 64))
+    assert(ivfpq.size == bf.size, s"ivfpq returned ${ivfpq.size} of ${bf.size} rows")
+    assert((ivfpq & bf).size >= math.ceil(bf.size * 0.9).toInt,
+      s"ivfpq recall ${(ivfpq & bf).size}/${bf.size} below 0.9")
+  }
+
   test("k-means refinement recovers cluster structure: top-1 exact with a single probe") {
     // On CLUSTERED data (k-means' documented win; on the unclustered sf
     // fixture refinement is a wash) three Lloyd iterations must pull the
