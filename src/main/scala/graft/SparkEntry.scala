@@ -466,6 +466,19 @@ object SparkEntry {
           col("n_cohort"), col("retention"))
         .orderBy("cohort_week", "week_offset")),
 
+    // CDC changelog apply (operators/Cdc): the event stream read as a
+    // changelog — purchase/error act as deletes, everything else
+    // upserts; last op per user under (ts, event_id) wins
+    "cdc_apply" -> ((s, dir) =>
+      Cdc.applyChangelog(
+          events(s, dir).withColumn("op",
+            when(col("event_type").isin("purchase", "error"), "D").otherwise("U")),
+          keys = Seq("user_id"), ordering = Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_id")),
+
     // daily resample + forward fill per user (operators/TimeSeries):
     // gap days materialize with n_events=0 and the last observed daily
     // sum carried forward
@@ -1177,6 +1190,17 @@ object SparkEntry {
         |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
         |FROM act JOIN cs ON act.cohort_week = cs.cohort_week
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |    CASE WHEN event_type IN ('purchase', 'error') THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM log)
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, round(value, 6) AS value
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
 
     // both engines round the daily sum BEFORE the forward fill, so the
     // carried values match bit-exactly; generate_series is inclusive on
