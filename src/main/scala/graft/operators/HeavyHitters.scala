@@ -64,7 +64,12 @@ object HeavyHitters {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[String], Long)]()
   }
 
-  /** Column form of the summary: one struct<candidates, n_rows> row. */
+  /** Column form of the summary: one struct<candidates, n_rows> row.
+    * Because the buffer is mergeable state, this same udaf runs as a
+    * STREAMING aggregation (complete/update mode) — a continuous
+    * heavy-hitter candidate sketch over an unbounded stream, pinned in
+    * StreamingSpec.
+    */
   def mgSummary(item: Column, k: Int): Column =
     udaf(new MisraGries(k)).apply(item)
 

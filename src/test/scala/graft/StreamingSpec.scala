@@ -182,6 +182,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Misra-Gries summary runs as streaming state: candidates stay a superset across micro-batches") {
+    // the MG aggregation buffer IS mergeable state, so the same udaf
+    // that powers HeavyHitters.exact maintains a streaming sketch in
+    // complete mode — candidates after each trigger must contain every
+    // item whose running count exceeds N/(k+1)
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("item")
+      .agg(graft.operators.HeavyHitters.mgSummary(col("item"), 8).as("s"))
+      .select(col("s._1").as("cands"), col("s._2").as("n"))
+      .writeStream.format("memory").queryName("mghh").outputMode("complete").start()
+    try {
+      in.addData(Seq.fill(30)("alpha") ++ (1 to 20).map(i => s"noise_$i"): _*)
+      q.processAllAvailable()
+      val (c1, n1) = spark.table("mghh").as[(Seq[String], Long)].head()
+      assert(n1 == 50 && c1.contains("alpha"))
+      in.addData(Seq.fill(25)("beta") ++ (21 to 35).map(i => s"noise_$i"): _*)
+      q.processAllAvailable()
+      val (c2, n2) = spark.table("mghh").as[(Seq[String], Long)].head()
+      // alpha: 30 >= 90/9, beta: 25 >= 90/9 — both must have survived
+      assert(n2 == 90 && c2.contains("alpha") && c2.contains("beta"))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch agrees with the streaming sessionize on a replayed input") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
