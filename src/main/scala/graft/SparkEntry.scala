@@ -905,9 +905,11 @@ object SparkEntry {
     "ann_ivfpq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = corpus.count()
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      PqSearch.ivfPqTopK(corpus, queries, 5, dim = 64)
+      PqSearch.ivfPqTopK(corpus, queries, 5, dim = 64, corpusSize = Some(n))
         .select(col("qid"), col("id"), col("rank"))
         .orderBy("qid", "rank")
     }),
@@ -918,10 +920,14 @@ object SparkEntry {
     // general recall contract is pinned in SimilaritySpec
     "ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // the operator reads the corpus several times (sizing count, code
+      // scan, rerank): persist once and hand the counted cardinality in
       val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = corpus.count()
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      PqSearch.pqTopK(corpus, queries, 5, dim = 64)
+      PqSearch.pqTopK(corpus, queries, 5, dim = 64, corpusSize = Some(n))
         .select(col("qid"), col("id"), col("rank"))
         .orderBy("qid", "rank")
     }),

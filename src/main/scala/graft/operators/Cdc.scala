@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture changelog apply: collapse an (op, key, payload)
@@ -25,9 +24,10 @@ object Cdc {
       deleteOp: String = "D"): DataFrame = {
     require(keys.nonEmpty, "changelog apply requires key columns")
     require(ordering.nonEmpty, "changelog apply requires ordering columns")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering.map(_.desc): _*)
-    log.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
-      .drop("__rn")
+    // same rank-1 selection as R1 dedup; null-safe delete test so a
+    // malformed NULL op on the winning record is retained as an upsert
+    // (a plain =!= would null out and silently DELETE the key)
+    Dedup.byRank(log, keys, ordering.map(_.desc))
+      .filter(!(col(opCol) <=> lit(deleteOp)))
   }
 }

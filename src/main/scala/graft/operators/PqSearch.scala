@@ -122,6 +122,8 @@ object PqSearch {
       element_at(IvfSearch.nearestCentroids(col("vec"), cents, 1), 1).as("list"),
       Pq.encode(col("vec"), codec).as("codes"))
     val qRows = queries.select("qid", "qvec").collect()
+    require(qRows.iterator.map(_.getLong(0)).toSet.size == qRows.length,
+      "duplicate qid in queries: probe/score pairs would double and corrupt ranks")
     val luts = qRows.map { r =>
       r.getLong(0) -> codec.buildLut(r.getSeq[Float](1).toArray)
     }.toMap
@@ -164,6 +166,8 @@ object PqSearch {
     val codec = mod.helper
     val codes = corpus.select(col("id"), Pq.encode(col("vec"), codec).as("codes"))
     val qRows = queries.select("qid", "qvec").collect()
+    require(qRows.iterator.map(_.getLong(0)).toSet.size == qRows.length,
+      "duplicate qid in queries: probe/score pairs would double and corrupt ranks")
     val luts = qRows.map { r =>
       r.getLong(0) -> codec.buildLut(r.getSeq[Float](1).toArray)
     }.toMap

@@ -36,9 +36,21 @@ class CdcSpec extends AnyFunSuite {
   }
 
   test("applying a changelog twice equals applying it once (idempotent replay)") {
-    val log = Seq((1, 1, "I", "a"), (1, 2, "U", "b"), (2, 1, "D", "")).toDF("k", "seq", "op", "v")
+    // key 3 survives via its INSERT — comparison must ignore the op
+    // column, which replay legitimately rewrites
+    val log = Seq((1, 1, "I", "a"), (1, 2, "U", "b"), (2, 1, "D", ""), (3, 1, "I", "c"))
+      .toDF("k", "seq", "op", "v")
     val once = Cdc.applyChangelog(log, Seq("k"), Seq(col("seq")))
     val twice = Cdc.applyChangelog(once.withColumn("op", lit("U")), Seq("k"), Seq(col("seq")))
-    assert(once.collect().toSet == twice.collect().toSet)
+    assert(once.drop("op").collect().toSet == twice.drop("op").collect().toSet)
+  }
+
+  test("a NULL op on the winning record is an upsert, not a silent delete") {
+    val log = Seq(
+      (1, 1, Some("I"), "a"), (1, 2, None, "a2"), // malformed latest op
+      (2, 1, Some("I"), "b"), (2, 2, Some("D"), "")).toDF("k", "seq", "op", "v")
+    val got = Cdc.applyChangelog(log, Seq("k"), Seq(col("seq")))
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a2")))
   }
 }
