@@ -672,6 +672,18 @@ object SparkEntry {
         .orderBy("left_id", "right_id")
     }),
 
+    // data-quality gate (operators/Expectations): every rule folds into
+    // one conditional count in a single scan + 1-row exchange
+    "quality_expectations" -> ((s, dir) =>
+      Expectations.check(docs(s, dir), Seq(
+          Expectations.Expectation("doc_id_nonneg", col("doc_id") >= 0),
+          Expectations.Expectation("lang_known",
+            col("lang").isin("en", "zh", "es", "de", "fr")),
+          Expectations.Expectation("n_chars_consistent",
+            col("n_chars") === length(col("text"))),
+          Expectations.Expectation("text_not_null", col("text").isNotNull)))
+        .orderBy("rule")),
+
     // exact heavy hitters WITHOUT a full-vocabulary shuffle: Misra-
     // Gries summary pass (mergeable, O(k) state) -> guaranteed-superset
     // candidates -> broadcast recount (operators/HeavyHitters)
@@ -1606,6 +1618,24 @@ object SparkEntry {
         |  FROM toks)
         |SELECT ngram, COUNT(*) AS n FROM n
         |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
+
+    "quality_expectations" ->
+      """WITH t AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN doc_id >= 0 THEN 0 ELSE 1 END) AS v1,
+        |  sum(CASE WHEN lang IN ('en','zh','es','de','fr') THEN 0 ELSE 1 END) AS v2,
+        |  sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS v3,
+        |  sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS v4
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id_nonneg' AS rule, n AS n_rows, CAST(v1 AS BIGINT) AS n_violations,
+        |    CAST(CASE WHEN v1 = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass FROM t
+        |  UNION ALL SELECT 'lang_known', n, CAST(v2 AS BIGINT),
+        |    CAST(CASE WHEN v2 = 0 THEN 1 ELSE 0 END AS INTEGER) FROM t
+        |  UNION ALL SELECT 'n_chars_consistent', n, CAST(v3 AS BIGINT),
+        |    CAST(CASE WHEN v3 = 0 THEN 1 ELSE 0 END AS INTEGER) FROM t
+        |  UNION ALL SELECT 'text_not_null', n, CAST(v4 AS BIGINT),
+        |    CAST(CASE WHEN v4 = 0 THEN 1 ELSE 0 END AS INTEGER) FROM t)
+        |ORDER BY rule""".stripMargin,
 
     // ground truth is the plain full count — the MG+recount path must
     // reproduce it exactly (the sketch only changes the plan shape)
