@@ -659,6 +659,16 @@ object SparkEntry {
         .orderBy("left_id", "right_id")
     }),
 
+    // absolute set-overlap join: doc pairs sharing >= 30 distinct
+    // tokens (prefix-filtered, lossless — the containment sibling of
+    // the Jaccard join)
+    "overlap_join" -> ((s, dir) =>
+      JaccardDedup.overlapJoin(
+          docs(s, dir).select(col("doc_id"), col("text")), "doc_id",
+          graft.functions.NativeHash.shingleHashes(Text.tokens(col("text")), 1),
+          minOverlap = 30)
+        .orderBy("id_a", "id_b")),
+
     // same contamination semantics through the Bloom-pruned train scan
     // (lossless superset prune + exact verify — identical oracle)
     "decontaminate_bloom" -> ((s, dir) => {
@@ -1467,6 +1477,20 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY left_id, right_id""".stripMargin,
+
+    // token-hash overlap counts equal token-string overlap counts
+    // (xxhash64 collision-free at corpus vocabulary sizes — same
+    // assumption documented on the Jaccard oracles)
+    "overlap_join" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tk
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS overlap
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.tk, b.tk)) >= 30
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the Bloom prune is lossless (superset filter + exact verify), so
     // the oracle is the decontaminate ground truth verbatim

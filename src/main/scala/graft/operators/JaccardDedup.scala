@@ -190,6 +190,40 @@ object JaccardDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Set-overlap self-join: every pair sharing ≥ `minOverlap` distinct
+    * elements of a sorted-distinct set column (e.g. token-hash sets) —
+    * the absolute-overlap sibling of the Jaccard join, used for
+    * containment-style matching where a fixed amount of shared content
+    * matters regardless of document length.
+    *
+    * Prefix filter (lossless): under ANY fixed global element order,
+    * |A∩B| ≥ k forces a common element inside the first |·|−k+1
+    * elements of each side — otherwise all ≥ k common elements would
+    * have to sit in the last k−1 positions of one of them. So only the
+    * prefixes enter the equi-join; the verify is the same codegen'd
+    * sorted merge walk as the Jaccard path. Sets shorter than k cannot
+    * qualify and are dropped before the explode.
+    */
+  def overlapJoin(
+      df: DataFrame, idCol: String, setCol: Column, minOverlap: Int): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val base = Par.widen(df).select(col(idCol).as("id"), setCol.as("__set"))
+      .filter(size(col("__set")) >= minOverlap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = base.select(col("id"),
+      explode(slice(col("__set"), lit(1), size(col("__set")) - minOverlap + 1)).as("e"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.e") === col("b.e") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("__set").as("__sa")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("__set").as("__sb")), Seq("id_b"))
+      .withColumn("overlap",
+        graft.functions.NativeHash.sortedIntersectCount(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("overlap") >= minOverlap)
+      .select("id_a", "id_b", "overlap")
+  }
+
   /** Dedup: drop every doc that near-dups an earlier (lower-id) doc. */
   def dedup(df: DataFrame, idCol: String, textCol: String,
       nGram: Int = 2, threshold: Double = 0.3): DataFrame = {

@@ -123,6 +123,33 @@ class DedupSpec extends AnyFunSuite {
     assert(clean == Set(2L), s"expected only doc 2 to survive, got $clean")
   }
 
+  test("overlapJoin finds exactly the pairs at/above the overlap floor (prefix-filter lossless)") {
+    import graft.functions.{NativeHash, Text}
+    // token sets engineered so some overlaps sit EXACTLY on the floor;
+    // brute-force oracle via the same tokenization
+    val docsDf = Seq(
+      (1L, "a b c d e f"),
+      (2L, "c d e f g h"),   // |∩ 1| = 4
+      (3L, "a b c x y z"),   // |∩ 1| = 3, |∩ 2| = 1
+      (4L, "q r s t u v"),   // disjoint
+      (5L, "a b")            // shorter than the floor at k=3
+    ).toDF("doc_id", "text")
+    def brute(k: Int): Set[(Long, Long, Long)] = {
+      val toks = docsDf.select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+        .as[(Long, Seq[String])].collect().toMap
+      (for {
+        a <- toks.keys; b <- toks.keys if a < b
+        ov = (toks(a).toSet & toks(b).toSet).size if ov >= k
+      } yield (a, b, ov.toLong)).toSet
+    }
+    for (k <- Seq(1, 3, 4, 5)) {
+      val got = JaccardDedup.overlapJoin(docsDf, "doc_id",
+          NativeHash.shingleHashes(Text.tokens(col("text")), 1), minOverlap = k)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == brute(k), s"overlap mismatch at k=$k")
+    }
+  }
+
   test("bloom-pruned crossPairs is identical to the exact operator") {
     // the prune is a superset filter (J >= t implies overlap >= t*n_a,
     // bloom fps only overcount) + exact verify -> bit-identical pairs
