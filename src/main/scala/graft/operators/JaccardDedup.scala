@@ -203,6 +203,13 @@ object JaccardDedup {
     * prefixes enter the equi-join; the verify is the same codegen'd
     * sorted merge walk as the Jaccard path. Sets shorter than k cannot
     * qualify and are dropped before the explode.
+    *
+    * Scale note: prefixes here follow plain hash order, so a viral
+    * element can sit inside prefixes and cost df² candidate rows; at
+    * corpus scale switch the prefix order to ascending document
+    * frequency exactly as `nearDupPairs`' PPJoin path does (rarity
+    * order keeps viral elements out of every prefix — the lossless
+    * proof only needs SOME fixed global order).
     */
   def overlapJoin(
       df: DataFrame, idCol: String, setCol: Column, minOverlap: Int): DataFrame = {
