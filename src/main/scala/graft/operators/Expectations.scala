@@ -25,7 +25,10 @@ object Expectations {
   def check(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "need at least one expectation")
     require(rules.map(_.name).distinct.size == rules.size, "duplicate rule names")
-    val aggs = rules.map(r => sum(when(r.predicate, 0L).otherwise(1L)).as(r.name))
+    // coalesce: sum over ZERO rows is null — an empty table must report
+    // vacuous passes (0 violations), not NPE the driver read
+    val aggs = rules.map(r =>
+      coalesce(sum(when(r.predicate, 0L).otherwise(1L)), lit(0L)).as(r.name))
     val row = df.agg(count(lit(1)).as("__n"), aggs: _*).head()
     val n = row.getLong(0)
     val spark = df.sparkSession

@@ -214,11 +214,16 @@ object JaccardDedup {
   def overlapJoin(
       df: DataFrame, idCol: String, setCol: Column, minOverlap: Int): DataFrame = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
+    // NO size filter here: a deterministic filter on the derived set
+    // would be pushed below Par.widen's exchange and shingle the corpus
+    // on one core (the documented pushdown trap). Instead the prefix
+    // length clamps to 0 for sets shorter than k — they emit no
+    // candidate rows, which is the same outcome
     val base = Par.widen(df).select(col(idCol).as("id"), setCol.as("__set"))
-      .filter(size(col("__set")) >= minOverlap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = base.select(col("id"),
-      explode(slice(col("__set"), lit(1), size(col("__set")) - minOverlap + 1)).as("e"))
+      explode(slice(col("__set"), lit(1),
+        greatest(lit(0), size(col("__set")) - minOverlap + 1))).as("e"))
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.e") === col("b.e") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()

@@ -41,9 +41,31 @@ class ExpectationsSpec extends AnyFunSuite {
 
   test("all rules evaluate in a single aggregate (one scan, no per-rule jobs)") {
     val rules = (1 to 20).map(i => Expectation(s"r$i", col("v") >= -100 + i))
-    // the check collapses to one agg().head() call; assert the report
-    // shape and that a 20-rule battery still returns 20 rows instantly
-    assert(Expectations.check(df, rules).count() == 20)
+    // count Spark jobs during the check: 20 rules must NOT cost 20 jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val report = Expectations.check(df, rules)
+      // listener events post asynchronously; give the bus a bounded drain
+      val deadline = System.nanoTime() + 2000000000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      // one agg().head() job (AQE may add a stage, not a per-rule job);
+      // the local toDF of the report adds no job until acted on
+      assert(jobs.get() <= 2, s"expected a single aggregate job, saw ${jobs.get()}")
+      assert(report.count() == 20)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("empty input reports vacuous passes, not an error") {
+    val empty = df.filter(col("id") < 0)
+    val got = Expectations.check(empty, Seq(Expectation("v_nonneg", col("v") >= 0)))
+      .as[(String, Long, Long, Int)].head()
+    assert(got == (("v_nonneg", 0L, 0L, 1)))
   }
 
   test("duplicate rule names are rejected") {
