@@ -340,6 +340,17 @@ object SparkEntry {
           "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric")),
 
+    // skew-safe GLOBAL running sum (operators/SkewWindow): the naive
+    // form is a no-partition window that serializes the corpus on one
+    // task; here sampled-boundary chunks run parallel windows and a
+    // broadcast prefix offset restores the exact global cumulative
+    "running_sum_global" -> ((s, dir) =>
+      SkewWindow.globalRunningSum(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          "o_orderkey", "o_totalprice", chunks = 32)
+        .select(col("o_orderkey"), col("running").cast("double").as("running"))
+        .orderBy("o_orderkey")),
+
     "window_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
       t(s, dir, "orders")
@@ -1730,6 +1741,15 @@ object SparkEntry {
         |SELECT o_custkey, CAST(spend AS DOUBLE) AS spend,
         |  ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
         |FROM s ORDER BY o_custkey""".stripMargin,
+
+    // exact-decimal accumulation on both sides makes the two-phase
+    // grouping invisible: chunked sums equal the sequential window
+    "running_sum_global" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "window_rank_funcs" ->
       """SELECT o_custkey, o_orderkey,
