@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Skew-safe global running aggregates.
   *
@@ -15,13 +16,18 @@ import org.apache.spark.sql.functions._
   * then add each chunk's prefix offset — the cumulative total of all
   * earlier chunks, a ≤`chunks`-row driver computation broadcast back.
   * Total cost: one approx-quantile pass, one chunk-partitioned
-  * window, one tiny aggregate — no single-task sort of the corpus.
+  * window, one tiny aggregate over the persisted input — no
+  * single-task sort of the corpus.
   *
   * Chunk assignment is order-monotone (count of boundaries strictly
   * below the row's order value), so within-chunk rank + offset equals
   * the global running sum EXACTLY; rows tied on a boundary value land
-  * in the same chunk. `orderCol` must totally order rows (pass a
-  * unique key, like any deterministic running sum).
+  * in the same chunk. Contract: `orderCol` must be a NUMERIC total
+  * order over rows (epoch-cast timestamps first; for float keys it
+  * must be NaN-free — NaN sorts last in Spark but matches no quantile
+  * boundary). Null handling matches the sequential window: nulls in
+  * `valueCol` are skipped, and rows before the first non-null value
+  * get a null running sum.
   */
 object SkewWindow {
 
@@ -33,28 +39,52 @@ object SkewWindow {
   def globalRunningSum(
       df: DataFrame, orderCol: String, valueCol: String, chunks: Int = 32): DataFrame = {
     require(chunks >= 1, "need at least one chunk")
+    Seq("running", "__chunk", "__run", "__seen").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column"))
+    require(df.schema(orderCol).dataType.isInstanceOf[NumericType],
+      s"orderCol '$orderCol' must be numeric — cast timestamps/dates to epoch first")
+    // persisted: the quantile probe, the chunk totals, and the window
+    // all reread the input; uncached they would recompute the lineage
+    // three times (and a non-deterministic lineage would silently
+    // desynchronize offsets from within-chunk sums)
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probs = (1 until chunks).map(_.toDouble / chunks).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+      else in.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
     // monotone map-side chunk id: #boundaries strictly below the value
     val chunkId = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(orderCol) > lit(b), 1).otherwise(0)
     }
-    val dec = col(valueCol).cast("decimal(28,6)")
-    val chunked = df.withColumn("__chunk", chunkId)
+    val zero = java.math.BigDecimal.ZERO
+    // nulls accumulate as 0 but are COUNTED separately, so the
+    // before-first-non-null prefix can be nulled like the sequential
+    // window does
+    val dec = coalesce(col(valueCol).cast("decimal(28,6)"), lit(zero).cast("decimal(28,6)"))
+    val nn = when(col(valueCol).isNotNull, 1L).otherwise(0L)
+    val chunked = in.withColumn("__chunk", chunkId)
     val w = Window.partitionBy("__chunk").orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val within = chunked.withColumn("__run", sum(dec).over(w))
-    // prefix offsets: cumulative totals of earlier chunks (bounded rows)
-    val totals = chunked.groupBy("__chunk").agg(sum(dec).as("__tot"))
-      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).sortBy(_._1)
-    val zero = java.math.BigDecimal.ZERO
-    val offsets = totals.scanLeft(zero) { case (acc, (_, t)) => acc.add(t) }.init
-    val offCol = totals.map(_._1).zip(offsets).foldLeft(lit(zero)) { case (acc, (c, o)) =>
-      when(col("__chunk") === c, lit(o)).otherwise(acc)
-    }
-    within.withColumn("running", (col("__run") + offCol).cast("decimal(38,6)"))
-      .drop("__chunk", "__run")
+    val within = chunked
+      .withColumn("__run", sum(dec).over(w))
+      .withColumn("__seen", sum(nn).over(w))
+    // prefix offsets: cumulative totals / non-null counts of earlier
+    // chunks (bounded rows; chunks are nonempty by construction, and
+    // dec is null-free, so the collected sums are never null)
+    val totals = chunked.groupBy("__chunk")
+      .agg(sum(dec).as("__tot"), sum(nn).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2))).sortBy(_._1)
+    val sumOffsets = totals.scanLeft(zero) { case (acc, (_, t, _)) => acc.add(t) }.init
+    val cntOffsets = totals.scanLeft(0L) { case (acc, (_, _, n)) => acc + n }.init
+    def chain[T](pairs: Array[(Int, T)], zeroLit: org.apache.spark.sql.Column) =
+      pairs.foldLeft(zeroLit) { case (acc, (c, o)) =>
+        when(col("__chunk") === c, lit(o)).otherwise(acc)
+      }
+    val offCol = chain(totals.map(_._1).zip(sumOffsets), lit(zero))
+    val cntCol = chain(totals.map(_._1).zip(cntOffsets), lit(0L))
+    within.withColumn("running",
+        when(col("__seen") + cntCol > 0, (col("__run") + offCol).cast("decimal(38,6)"))
+          .otherwise(lit(null).cast("decimal(38,6)")))
+      .drop("__chunk", "__run", "__seen")
   }
 }

@@ -35,6 +35,38 @@ class SkewWindowSpec extends AnyFunSuite {
       s"expected a chunk-partitioned window exchange:\n${plan.take(2000)}")
   }
 
+  test("null values match the sequential window: skipped, with a null leading prefix") {
+    // nulls at the head (incl. a WHOLE leading chunk of nulls at high
+    // chunk counts) and in the middle; compare against the naive window
+    val dfn = Seq[(Long, Option[Double])](
+      (1L, None), (2L, None), (3L, Some(1.5)), (4L, None), (5L, Some(2.5)), (6L, Some(3.0))
+    ).toDF("k", "v")
+    val naive = dfn.withColumn("running",
+        sum(col("v").cast("decimal(28,6)")).over(
+          Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(38,6)"))
+      .select("k", "running").as[(Long, Option[BigDecimal])].collect().toMap
+    for (c <- Seq(1, 3, 8)) {
+      val got = SkewWindow.globalRunningSum(dfn, "k", "v", chunks = c)
+        .select("k", "running").as[(Long, Option[BigDecimal])].collect().toMap
+      assert(got == naive, s"chunks=$c")
+    }
+  }
+
+  test("input frames already using an output/work column name are rejected") {
+    val bad = Seq((1L, 1.0, 0.0)).toDF("k", "v", "running")
+    intercept[IllegalArgumentException] {
+      SkewWindow.globalRunningSum(bad, "k", "v")
+    }
+  }
+
+  test("non-numeric order keys are rejected with a clear contract error") {
+    val ts = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0)).toDF("t", "v")
+    intercept[IllegalArgumentException] {
+      SkewWindow.globalRunningSum(ts, "t", "v")
+    }
+  }
+
   test("degenerate cases: one chunk, and more chunks than distinct values") {
     val tiny = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
     for (c <- Seq(1, 8)) {
