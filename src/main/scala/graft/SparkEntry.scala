@@ -289,6 +289,18 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // ntile_spend's scale-safe twin: chunked two-phase ranking instead
+    // of the one-task global window — MUST hash-match the same oracle
+    "ntile_spend_chunked" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(28,6)")).as("spend"))
+      SkewWindow.globalNtile(spend, "spend", 10, descending = true,
+          tieBreak = Seq(col("o_custkey").asc), chunks = 8)
+        .select(col("o_custkey"), col("spend").cast("double").as("spend"),
+          col("ntile").as("decile"))
+        .orderBy("o_custkey")
+    }),
+
     // rank-function battery on a coarsened order key so real TIES
     // exercise rank vs dense_rank vs percent_rank vs cume_dist
     "window_rank_funcs" -> ((s, dir) => {
@@ -1735,6 +1747,16 @@ object SparkEntry {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "ntile_spend" ->
+      """WITH s AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, CAST(spend AS DOUBLE) AS spend,
+        |  ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+        |FROM s ORDER BY o_custkey""".stripMargin,
+
+    // IDENTICAL ground truth to ntile_spend — the chunked path must
+    // reproduce the one-task window bit-for-bit
+    "ntile_spend_chunked" ->
       """WITH s AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
         |  FROM orders GROUP BY 1)

@@ -87,4 +87,68 @@ object SkewWindow {
           .otherwise(lit(null).cast("decimal(38,6)")))
       .drop("__chunk", "__run", "__seen")
   }
+
+  /** Global dense row numbering without the one-task sort: adds a
+    * `rank` column equal to `row_number() OVER (ORDER BY orderCol
+    * [DESC], tieBreak…)`. Chunking is monotone w.r.t. the primary
+    * order direction and boundary ties share a chunk, so within-chunk
+    * row numbers + broadcast chunk-count offsets reproduce the global
+    * numbering exactly. `tieBreak` must totally order rows with equal
+    * primary values (same caller duty as any deterministic window).
+    */
+  def globalRank(
+      df: DataFrame, orderCol: String, descending: Boolean = false,
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil, chunks: Int = 32): DataFrame = {
+    require(chunks >= 1, "need at least one chunk")
+    Seq("rank", "__chunk", "__rn").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column"))
+    require(df.schema(orderCol).dataType.isInstanceOf[NumericType],
+      s"orderCol '$orderCol' must be numeric — cast timestamps/dates to epoch first")
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probs = (1 until chunks).map(_.toDouble / chunks).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else in.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    // primary-direction-monotone chunk id (0 = first in output order)
+    val chunkId = bounds.foldLeft(lit(0)) { (acc, b) =>
+      if (descending) acc + when(col(orderCol) < lit(b), 1).otherwise(0)
+      else acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+    }
+    val primary = if (descending) col(orderCol).desc else col(orderCol).asc
+    val chunked = in.withColumn("__chunk", chunkId)
+    val w = Window.partitionBy("__chunk").orderBy(primary +: tieBreak: _*)
+    val within = chunked.withColumn("__rn", row_number().over(w))
+    val counts = chunked.groupBy("__chunk").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offs = counts.scanLeft(0L) { case (acc, (_, n)) => acc + n }.init
+    val offCol = counts.map(_._1).zip(offs).foldLeft(lit(0L)) { case (acc, (c, o)) =>
+      when(col("__chunk") === c, lit(o)).otherwise(acc)
+    }
+    within.withColumn("rank", col("__rn") + offCol).drop("__chunk", "__rn")
+  }
+
+  /** Skew-safe `ntile(n) OVER (ORDER BY …)`: global rank via
+    * `globalRank`, then the ANSI ntile bucket formula (first `N mod n`
+    * buckets take the extra row) applied as a plain expression — adds
+    * an `ntile` column identical to the one-task window's.
+    */
+  def globalNtile(
+      df: DataFrame, orderCol: String, n: Int, descending: Boolean = false,
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil, chunks: Int = 32): DataFrame = {
+    require(n >= 1, "ntile needs n >= 1")
+    require(!df.columns.contains("ntile"), "input already has an 'ntile' column")
+    val ranked = globalRank(df, orderCol, descending, tieBreak, chunks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = ranked.count()
+    val q = total / n
+    val rem = total % n
+    // ANSI ntile: ranks 1..rem*(q+1) fall in the (q+1)-sized buckets,
+    // the rest in q-sized ones; q=0 (n > N) degenerates to bucket=rank
+    val r = col("rank")
+    val bucket =
+      if (q == 0) r
+      else when(r <= lit(rem * (q + 1)), ceil(r / lit((q + 1).toDouble)))
+        .otherwise(lit(rem) + ceil((r - lit(rem * (q + 1))) / lit(q.toDouble)))
+    ranked.withColumn("ntile", bucket.cast("int")).drop("rank")
+  }
 }

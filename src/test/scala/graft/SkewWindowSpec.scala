@@ -67,6 +67,35 @@ class SkewWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRank equals row_number over the one-task window, asc and desc with ties") {
+    // duplicate primary values force the tie-break path; 7 chunks on
+    // 200 rows forces boundary ties into shared chunks
+    val dft = (1 to 200).map(i => (i.toLong, (i % 13).toDouble)).toDF("id", "p")
+    for (desc <- Seq(false, true)) {
+      val primary = if (desc) col("p").desc else col("p").asc
+      val naive = dft.withColumn("rank",
+          row_number().over(Window.orderBy(primary, col("id").asc)))
+        .select("id", "rank").as[(Long, Long)].collect().toMap
+      val chunked = SkewWindow.globalRank(dft, "p", descending = desc,
+          tieBreak = Seq(col("id").asc), chunks = 7)
+        .select("id", "rank").as[(Long, Long)].collect().toMap
+      assert(chunked == naive, s"desc=$desc")
+    }
+  }
+
+  test("globalNtile equals the ntile window incl. uneven buckets and n > N") {
+    val dft = (1 to 103).map(i => (i.toLong, (i * 37 % 103).toDouble)).toDF("id", "p")
+    for (n <- Seq(1, 4, 10, 200)) {
+      val naive = dft.withColumn("nt",
+          ntile(n).over(Window.orderBy(col("p").asc, col("id").asc)))
+        .select("id", "nt").as[(Long, Int)].collect().toMap
+      val chunked = SkewWindow.globalNtile(dft, "p", n,
+          tieBreak = Seq(col("id").asc), chunks = 5)
+        .select(col("id"), col("ntile")).as[(Long, Int)].collect().toMap
+      assert(chunked == naive, s"n=$n")
+    }
+  }
+
   test("degenerate cases: one chunk, and more chunks than distinct values") {
     val tiny = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
     for (c <- Seq(1, 8)) {
