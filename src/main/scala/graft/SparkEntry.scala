@@ -51,6 +51,47 @@ object SparkEntry {
   /** Exact decimal accumulation, surfaced as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
 
+  /** Higher moments + correlation from explicit decimal power sums —
+    * ONE ANSI SQL text executed verbatim by both Spark and the DuckDB
+    * oracle, so the double arithmetic is expression-for-expression
+    * identical. Near-zero results (skewness of a uniform column) are
+    * normalized through a CASE guard: round() can yield -0.0 on one
+    * engine and +0.0 on the other, and the two are distinct bit
+    * patterns to a hash compare.
+    */
+  private[graft] val statsMomentsSql: String = {
+    def r6z(e: String) =
+      s"(CASE WHEN round($e, 6) = 0 THEN CAST(0 AS DOUBLE) ELSE round($e, 6) END)"
+    val skewQ = "(s.sqqq / m.n - 3 * m.mean_q * (s.sqq / m.n) + 2 * m.mean_q * m.mean_q * m.mean_q) / (m.m2q * sqrt(m.m2q))"
+    val kurtQ = "(s.sqqqq / m.n - 4 * m.mean_q * (s.sqqq / m.n) + 6 * m.mean_q * m.mean_q * (s.sqq / m.n) - 3 * m.mean_q * m.mean_q * m.mean_q * m.mean_q) / (m.m2q * m.m2q) - 3"
+    val corrQP = "(s.sqp / m.n - m.mean_q * m.mean_p) / sqrt(m.m2q * m.m2p)"
+    s"""WITH sums AS (
+       |  SELECT l_returnflag,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+       |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sqq,
+       |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sqqq,
+       |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sqqqq,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+       |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS spp,
+       |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sqp
+       |  FROM lineitem GROUP BY l_returnflag),
+       |m AS (
+       |  SELECT l_returnflag, n, sq / n AS mean_q, sp / n AS mean_p,
+       |    sqq / n - (sq / n) * (sq / n) AS m2q,
+       |    spp / n - (sp / n) * (sp / n) AS m2p
+       |  FROM sums)
+       |SELECT m.l_returnflag,
+       |  CAST(m.n AS BIGINT) AS n_rows,
+       |  ${r6z("m.mean_q")} AS mean_qty,
+       |  ${r6z("sqrt(m.m2q * m.n / (m.n - 1))")} AS std_qty,
+       |  ${r6z(skewQ)} AS skew_qty,
+       |  ${r6z(kurtQ)} AS kurt_qty,
+       |  ${r6z(corrQP)} AS corr_qty_price
+       |FROM m JOIN sums s ON m.l_returnflag = s.l_returnflag
+       |ORDER BY m.l_returnflag""".stripMargin
+  }
+
   /** Flagship: multi-hop star join → per-nation revenue (sf0.001 smoke). */
   def entry(spark: SparkSession): DataFrame =
     nationRevenue(spark, "/root/testdata/sf0.001")
@@ -423,6 +464,85 @@ object SparkEntry {
           round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),
           (col("p_size") % 7).as("size_mod"))
         .orderBy("p_partkey")),
+
+    // ---- relational analytics battery (round 6) ----
+    // higher moments + correlation from explicit decimal power sums: the
+    // SAME ANSI SQL text runs on Spark and DuckDB (both sides get an
+    // identical expression tree — built-in skewness()/kurtosis() differ
+    // between engines in bias correction, power sums don't)
+    "stats_moments" -> ((s, dir) => {
+      Source.registerAll(s, dir, Seq("lineitem"))
+      s.sql(statsMomentsSql)
+    }),
+
+    // aggregation-based argmax: max(struct(price, orderkey)) is partial-
+    // aggregatable (map-side combine, one narrow shuffle) — the scale-safe
+    // form of the row_number()-window idiom, which must sort each group
+    "argmax_order" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"),
+          col("m.o_totalprice").as("best_price"),
+          col("m.o_orderkey").as("best_order"))
+        .orderBy("o_custkey")),
+
+    // equi-width histogram: bucket key computed map-side, one narrow
+    // groupBy — the distributed form of a profiler's value histogram
+    "histogram_prices" -> ((s, dir) =>
+      t(s, dir, "part")
+        .groupBy(floor(col("p_retailprice") / lit(100.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_parts"),
+          min("p_retailprice").as("min_price"),
+          max("p_retailprice").as("max_price"))
+        .orderBy("bucket")),
+
+    // exact distinct-count as two narrow aggregations: dedup on
+    // (type, user) spreads a hot event_type over the full cluster before
+    // the per-type count — the skew-safe form of count(DISTINCT x)
+    "distinct_twophase" -> ((s, dir) =>
+      events(s, dir).select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")),
+
+    // robust outliers per group: median/MAD (both exact medians), rounded
+    // to 6dp BEFORE the deviation pass so both engines threshold on
+    // bit-identical cutoffs
+    "anomaly_mad" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val med = ev.groupBy("event_type")
+        .agg(round(median(col("value")), 6).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("value") - col("med")).as("dev"), col("med"))
+      val mad = dev.groupBy("event_type")
+        .agg(min("med").as("med"), round(median(col("dev")), 6).as("mad"))
+      dev.select("event_type", "dev").join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(min("med").as("med"), min("mad").as("mad"),
+          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // market-basket co-occurrence with lift (operators/Associations):
+    // pair explosion bounded by basket size, never O(n²)
+    "basket_pairs" -> ((s, dir) =>
+      Associations.coOccurrence(t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minPairs = 3L)
+        .select(col("item_a"), col("item_b"), col("n_pair"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy("item_a", "item_b")),
+
+    // SymSpell edit-distance join (operators/EditDistanceJoin): lossless
+    // deletion-neighborhood blocking, no O(n²) cross product
+    "typo_join" -> ((s, dir) =>
+      EditDistanceJoin.typoPairs(t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")),
+
+    // per-doc TF-IDF keywords (operators/TextSearch.tfidfTopKeywords)
+    "tfidf_keywords" -> ((s, dir) =>
+      TextSearch.tfidfTopKeywords(docs(s, dir), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rnk")),
 
     // ---- streaming-shape ops, batch-checked ----
     "window_agg_time" -> ((s, dir) =>
@@ -2123,6 +2243,93 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // ---- relational analytics battery (round 6) ----
+    // the SAME SQL text Spark executes — identical expression tree on
+    // both engines (see statsMomentsSql)
+    "stats_moments" -> statsMomentsSql,
+
+    "argmax_order" ->
+      """WITH m AS (SELECT o_custkey, max(o_totalprice) AS best_price
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT o.o_custkey, m.best_price, max(o.o_orderkey) AS best_order
+        |FROM orders o JOIN m ON o.o_custkey = m.o_custkey
+        |                    AND o.o_totalprice = m.best_price
+        |GROUP BY o.o_custkey, m.best_price
+        |ORDER BY o.o_custkey""".stripMargin,
+
+    "histogram_prices" ->
+      """SELECT CAST(floor(p_retailprice / 100.0) AS BIGINT) AS bucket,
+        |  count(*) AS n_parts,
+        |  min(p_retailprice) AS min_price,
+        |  max(p_retailprice) AS max_price
+        |FROM part GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "distinct_twophase" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // med/mad rounded to 6dp BEFORE the deviation/threshold passes —
+    // both engines then threshold on bit-identical cutoffs (exact-median
+    // interpolation differs by an ulp between engines otherwise)
+    "anomaly_mad" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |med AS (SELECT event_type, round(median(value), 6) AS med
+        |        FROM ev GROUP BY event_type),
+        |d AS (SELECT ev.event_type, abs(ev.value - med.med) AS dev, med.med
+        |      FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, min(med) AS med, round(median(dev), 6) AS mad
+        |        FROM d GROUP BY event_type)
+        |SELECT d.event_type, min(mad.med) AS med, min(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM items),
+        |ic AS (SELECT item, count(*) AS n_item FROM items GROUP BY item),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_pair
+        |      FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, n_pair,
+        |  round(CAST(n_pair AS DOUBLE) * CAST(n_baskets AS DOUBLE) /
+        |        (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6) AS lift
+        |FROM p JOIN ic ia ON p.item_a = ia.item
+        |       JOIN ic ib ON p.item_b = ib.item
+        |       CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // brute-force ground truth for the SymSpell deletion-neighborhood
+    // join: the blocking is lossless for lev <= 1, so the candidate-
+    // generated pair set must equal the full quadratic scan's
+    "typo_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |ex AS (SELECT doc_id, len(ts) AS len, unnest(ts) AS term FROM toks),
+        |tf AS (SELECT doc_id, len, term, count(*) AS tf FROM ex GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) / CAST(len AS DOUBLE) *
+        |      ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+        |r AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, rnk, term, round(tfidf, 6) AS tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
   )
 }

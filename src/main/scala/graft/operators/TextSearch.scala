@@ -89,4 +89,37 @@ object TextSearch {
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram").asc)
       .limit(topK)
+
+  /** Top-k keywords per document by TF-IDF:
+    * tf/len · ln(N/df), ties broken by term asc. The classic
+    * keyword-extraction / doc-representation score (Salton & Buckley
+    * 1988) — the per-doc counterpart of the corpus-level ngramCounts.
+    *
+    * Scale shape: one tokenize+explode pass feeds a (doc, term)
+    * groupBy; document frequencies are a second vocabulary-sized
+    * groupBy joined back on the term key (AQE broadcasts it while the
+    * vocabulary fits, shuffled equi-join beyond that); the corpus size
+    * is a one-row broadcast. The final top-k window partitions by doc
+    * — per-doc vocabulary is bounded, so no skew cliff.
+    * Output: (idCol, rnk, term, tfidf).
+    */
+  def tfidfTopKeywords(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = Par.widen(docs)
+      .select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).as("len"), explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") / col("len").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tfidf"))
+  }
 }
