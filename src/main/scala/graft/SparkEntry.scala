@@ -544,6 +544,54 @@ object SparkEntry {
           round(col("tfidf"), 6).as("tfidf"))
         .orderBy("doc_id", "rnk")),
 
+    // weighted PageRank (operators/PageRank) over the event-type
+    // transition graph — fixed 10-iteration power method; the oracle
+    // unrolls the same 10 iterations as chained CTEs
+    "pagerank_events" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val edges = events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      PageRank.run(edges, iterations = 10, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
+    // mergeable partial aggregates: the incremental-ingest pattern —
+    // yesterday's aggregate state + today's delta re-aggregate to
+    // exactly the from-scratch answer (decimal partials, so the merge
+    // is bit-exact and the split point is invisible)
+    "incremental_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def partial(df: DataFrame): DataFrame = df.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).as("tot"),
+        max("o_totalprice").as("mx"))
+      val split = lit("1998-01-01").cast("timestamp")
+      val state = partial(o.filter(col("o_orderdate") < split))
+      val delta = partial(o.filter(col("o_orderdate") >= split))
+      state.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(sum("n").as("n_orders"),
+          sum("tot").cast("double").as("total"),
+          max("mx").as("max_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // content-hash battery: md5 / sha256 / base64 over document bodies —
+    // the fingerprint functions of manifest building and transfer checks
+    "hash_funcs" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          md5(col("text").cast("binary")).as("md5_hex"),
+          sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+          // Spark's base64 is the MIME codec (CRLF every 76 chars);
+          // strip the wrapping for the canonical unchunked form
+          translate(base64(col("text").cast("binary")), "\r\n", "").as("b64"))
+        .orderBy("doc_id")),
+
     // ---- streaming-shape ops, batch-checked ----
     "window_agg_time" -> ((s, dir) =>
       graft.streaming.StreamOps.windowedAgg(events(s, dir), "ts", "1 hour", "1 hour")
@@ -2330,6 +2378,50 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
         |  FROM sc)
         |SELECT doc_id, rnk, term, round(tfidf, 6) AS tfidf
-        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // the Spark side's 10 power iterations unrolled as chained CTEs —
+    // identical teleport/damping arithmetic per step
+    "pagerank_events" -> {
+      val base =
+        """WITH e AS (
+          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+          |tr AS (
+          |  SELECT event_type AS src,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          |  FROM e),
+          |edges AS (
+          |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM tr
+          |  WHERE dst IS NOT NULL GROUP BY src, dst),
+          |outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+          |norm AS (SELECT e2.src, e2.dst, e2.w / o.wout AS p
+          |         FROM edges e2 JOIN outw o ON e2.src = o.src),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges) u),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          |pr0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)""".stripMargin
+      val iters = (1 to 10).map { i =>
+        s"""pr$i AS (
+           |  SELECT nodes.node,
+           |    (1 - 0.85) / n + 0.85 * COALESCE(inf.inflow, 0.0) AS rank
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN (SELECT norm.dst, SUM(pr${i - 1}.rank * norm.p) AS inflow
+           |             FROM norm JOIN pr${i - 1} ON norm.src = pr${i - 1}.node
+           |             GROUP BY norm.dst) inf ON nodes.node = inf.dst)""".stripMargin
+      }
+      (base +: iters).mkString(",\n") +
+        "\nSELECT node, round(rank, 6) AS rank FROM pr10 ORDER BY node"
+    },
+
+    "incremental_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "hash_funcs" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+        |  to_base64(CAST(text AS BLOB)) AS b64
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
