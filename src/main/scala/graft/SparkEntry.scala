@@ -92,6 +92,16 @@ object SparkEntry {
        |ORDER BY m.l_returnflag""".stripMargin
   }
 
+  /** ANSI FILTER-clause aggregates — one SQL text for both engines. */
+  private[graft] val filteredAggSql: String =
+    """SELECT o_orderstatus,
+      |  count(*) AS n_all,
+      |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+      |       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total,
+      |  count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000) AS n_big_custs
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Flagship: multi-hop star join → per-nation revenue (sf0.001 smoke). */
   def entry(spark: SparkSession): DataFrame =
     nationRevenue(spark, "/root/testdata/sf0.001")
@@ -591,6 +601,45 @@ object SparkEntry {
           // strip the wrapping for the canonical unchunked form
           translate(base64(col("text").cast("binary")), "\r\n", "").as("b64"))
         .orderBy("doc_id")),
+
+    // bounded-window EMA (operators/TimeSeries.ema): the sequential
+    // recurrence recast as a per-row O(lookback) fold — parallel, no
+    // per-key history state
+    "ema_events" -> ((s, dir) =>
+      TimeSeries.ema(events(s, dir), "event_type", "ts", "event_id", "value",
+          alpha = 0.25, lookback = 20)
+        .select(col("event_id"), col("event_type"), round(col("ema"), 6).as("ema"))
+        .orderBy("event_id")),
+
+    // string-function battery (pad/reverse/split_part/strpos/repeat/
+    // translate/left) — scalar surface parity
+    "string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+          col("p_partkey"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+          reverse(col("p_name")).as("name_rev"),
+          expr("split_part(p_name, ' ', 1)").as("first_word"),
+          instr(col("p_name"), "e").cast("long").as("e_pos"),
+          repeat(col("p_brand"), 2).as("brand2"),
+          translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+          expr("left(p_name, 4)").as("name4"))
+        .orderBy("p_partkey")),
+
+    // ANSI FILTER-clause aggregates — conditional aggregation without
+    // CASE scaffolding; the SAME SQL text runs on both engines
+    "filtered_agg" -> ((s, dir) => {
+      Source.registerAll(s, dir, Seq("orders"))
+      s.sql(filteredAggSql)
+    }),
+
+    // per-vector L2 norms (functions/Vectors.norm): the embedding
+    // sanity/normalization pass
+    "embedding_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+          col("vec_id"),
+          round(graft.functions.Vectors.norm(col("embedding")), 6).as("l2"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy("vec_id")),
 
     // ---- streaming-shape ops, batch-checked ----
     "window_agg_time" -> ((s, dir) =>
@@ -2422,6 +2471,40 @@ object SparkEntry {
     "hash_funcs" ->
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
         |  to_base64(CAST(text AS BLOB)) AS b64
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's list_reduce seeds with the first element — the Spark side
+    // folds slice(arr, 2, n-1) from element 1 to match exactly
+    "ema_events" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |a AS (
+        |  SELECT event_id, event_type,
+        |    array_agg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM e)
+        |SELECT event_id, event_type,
+        |  round(list_reduce(arr, (acc, x) -> (1 - 0.25) * acc + 0.25 * x), 6) AS ema
+        |FROM a ORDER BY event_id""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT p_partkey,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+        |  reverse(p_name) AS name_rev,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  CAST(strpos(p_name, 'e') AS BIGINT) AS e_pos,
+        |  repeat(p_brand, 2) AS brand2,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+        |  left(p_name, 4) AS name4
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // the SAME SQL text Spark executes (see filteredAggSql)
+    "filtered_agg" -> filteredAggSql,
+
+    "embedding_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2,
+        |  CAST(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin
   )
 }

@@ -55,8 +55,10 @@ object EditDistanceJoin {
     val cand = a.join(b, col("key") === col("key_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("s_a"), col("id_b"), col("s_b"))
       .distinct()
-    cand.withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .filter(col("dist") <= maxDist)
+    // threshold form early-exits the DP once the band is exceeded
+    // (O(maxDist·len) per pair, not O(len²)) and returns -1 above it
+    cand.withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

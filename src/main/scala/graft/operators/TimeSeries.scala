@@ -41,4 +41,38 @@ object TimeSeries {
       .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
       .withColumn("filled_value", last(col("day_value"), ignoreNulls = true).over(w))
   }
+
+  /** Exponential moving average over the trailing `lookback` rows per
+    * key (seeded with the oldest row in the frame, folded toward the
+    * current one): EMA_i = (1-α)·EMA_{i-1} + α·x_i. A bounded-window
+    * EMA rather than the full-history recurrence: the recurrence is
+    * inherently sequential per key, the bounded form is one window
+    * collect + an O(lookback) fold per row — embarrassingly parallel
+    * and numerically identical once (1-α)^lookback is below noise.
+    *
+    * Scale shape: a single (key, time) window, rows-bounded frame —
+    * state per row is `lookback` doubles, independent of history
+    * length. Order ties are broken by `tieCol` so the fold order (and
+    * thus the FP result) is deterministic.
+    */
+  def ema(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      alpha: Double = 0.25,
+      lookback: Int = 20): DataFrame = {
+    require(lookback >= 1, "lookback must be >= 1")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(lookback - 1L), 0L)
+    val arr = collect_list(col(valueCol).cast("double")).over(w)
+    df.withColumn("__w", arr)
+      .withColumn("ema",
+        aggregate(
+          slice(col("__w"), lit(2), size(col("__w")) - 1),
+          element_at(col("__w"), 1),
+          (acc, x) => (lit(1.0) - lit(alpha)) * acc + lit(alpha) * x))
+      .drop("__w")
+  }
 }

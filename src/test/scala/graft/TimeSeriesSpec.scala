@@ -42,4 +42,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     val out = TimeSeries.resampleDailyFill(df, "k", "t", "v")
     assert(out.count() == 2 && out.filter(col("n_events") === 0).count() == 0)
   }
+
+  test("ema folds the recurrence within the lookback, seeded at the frame's oldest row") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1, 8.0),
+      (1L, ts("2024-01-01 00:00:02"), 2, 4.0),
+      (1L, ts("2024-01-01 00:00:03"), 3, 0.0),
+      (2L, ts("2024-01-01 00:00:01"), 4, 100.0) // other key: isolated
+    ).toDF("k", "t", "id", "v")
+    val got = TimeSeries.ema(df, "k", "t", "id", "v", alpha = 0.25, lookback = 20)
+      .select(col("id"), col("ema")).as[(Int, Double)].collect().toMap
+    assert(got(1) == 8.0)                           // seed = first value
+    assert(got(2) == 0.75 * 8.0 + 0.25 * 4.0)       // 7.0
+    assert(got(3) == 0.75 * 7.0 + 0.25 * 0.0)       // 5.25
+    assert(got(4) == 100.0)                         // key 2 never sees key 1
+  }
+
+  test("ema lookback bounds the frame: rows beyond it stop influencing the fold") {
+    val df = (1 to 5).map(i => (1L, ts(f"2024-01-01 00:00:0$i"), i, if (i == 1) 1000.0 else 2.0))
+      .toDF("k", "t", "id", "v")
+    // lookback=2: row 3 onward sees only constant-2 history -> ema exactly 2
+    val got = TimeSeries.ema(df, "k", "t", "id", "v", alpha = 0.25, lookback = 2)
+      .select(col("id"), col("ema")).as[(Int, Double)].collect().toMap
+    assert(got(3) == 2.0 && got(5) == 2.0)
+    assert(got(2) == 0.75 * 1000.0 + 0.25 * 2.0) // row 2 still sees the spike
+  }
 }
