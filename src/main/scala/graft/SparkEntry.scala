@@ -632,6 +632,15 @@ object SparkEntry {
       s.sql(filteredAggSql)
     }),
 
+    // sorted-neighborhood dedup (operators/SnmDedup): bounded O(n·w)
+    // comparisons via the sampled-chunk global sort — the hard-cost-
+    // ceiling blocking family, complementing the lossless PPJoin path
+    "dedup_snm" -> ((s, dir) =>
+      SnmDedup.pairs(docs(s, dir), "doc_id", "text",
+          keyLen = 16, window = 4, nGram = 2, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
     // per-vector L2 norms (functions/Vectors.norm): the embedding
     // sanity/normalization pass
     "embedding_norms" -> ((s, dir) =>
@@ -2500,6 +2509,26 @@ object SparkEntry {
 
     // the SAME SQL text Spark executes (see filteredAggSql)
     "filtered_agg" -> filteredAggSql,
+
+    // neighbor semantics mirror the operator: pos delta in [1, w-1] on
+    // the (key, doc_id) total order, exact Jaccard verify, canonical
+    // (least, greatest) id order
+    "dedup_snm" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lower(text[1:16]) AS k,
+        |    list_distinct(list_transform(
+        |      range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
+        |      i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
+        |           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
+        |  FROM documents WHERE text IS NOT NULL),
+        |pos AS (SELECT doc_id, k, sh, row_number() OVER (ORDER BY k, doc_id) AS pos FROM sh),
+        |c AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |  FROM pos a JOIN pos b ON b.pos > a.pos AND b.pos <= a.pos + 3)
+        |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, round(jaccard, 6) AS jaccard
+        |FROM c WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
     "embedding_norms" ->
       """SELECT vec_id,

@@ -46,8 +46,11 @@ object EditDistanceJoin {
   def typoPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int = 1): DataFrame = {
     val base = df.filter(col(strCol).isNotNull)
       .select(col(idCol).as("id"), col(strCol).as("s"))
+    // both join sides read the same exploded index: persist so the
+    // variant generation runs one pass, not one per side
     val idx = base.select(col("id"), col("s"),
-      explode(variants(col("s"), maxDist)).as("key"))
+        explode(variants(col("s"), maxDist)).as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = idx.toDF("id_a", "s_a", "key")
     val b = idx.toDF("id_b", "s_b", "key_b")
     // candidates sharing ≥1 variant collapse to one row BEFORE the

@@ -127,6 +127,46 @@ object SkewWindow {
     within.withColumn("rank", col("__rn") + offCol).drop("__chunk", "__rn")
   }
 
+  /** `globalRank` for STRING order keys (approxQuantile is
+    * numeric-only): chunk boundaries come from a sorted driver-side
+    * key sample instead — the RangePartitioner trick — then the same
+    * monotone-chunk + within-chunk row_number + broadcast-offset
+    * scheme. Exactness does NOT depend on sample quality (a bad sample
+    * only skews chunk sizes); rows with key equal to a boundary all
+    * land in the earlier chunk, so ties never split.
+    */
+  def globalRankBySample(
+      df: DataFrame, orderCol: String,
+      tieBreak: Seq[org.apache.spark.sql.Column], chunks: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    require(chunks >= 1, "need at least one chunk")
+    Seq("rank", "__chunk", "__rn").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column"))
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = in.count()
+    val frac = math.min(1.0, (chunks * 200.0) / math.max(total, 1L))
+    val sample = in.select(col(orderCol)).filter(col(orderCol).isNotNull)
+      .sample(withReplacement = false, frac, seed)
+      .collect().map(_.getString(0)).sorted
+    val bounds =
+      if (sample.isEmpty || chunks == 1) Array.empty[String]
+      else (1 until chunks).flatMap(i => sample.lift(i * sample.length / chunks))
+        .distinct.sorted.toArray
+    val chunkId = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+    }
+    val chunked = in.withColumn("__chunk", chunkId)
+    val w = Window.partitionBy("__chunk").orderBy(col(orderCol).asc +: tieBreak: _*)
+    val within = chunked.withColumn("__rn", row_number().over(w))
+    val counts = chunked.groupBy("__chunk").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offs = counts.scanLeft(0L) { case (acc, (_, n)) => acc + n }.init
+    val offCol = counts.map(_._1).zip(offs).foldLeft(lit(0L)) { case (acc, (c, o)) =>
+      when(col("__chunk") === c, lit(o)).otherwise(acc)
+    }
+    within.withColumn("rank", col("__rn") + offCol).drop("__chunk", "__rn")
+  }
+
   /** Skew-safe `ntile(n) OVER (ORDER BY …)`: global rank via
     * `globalRank`, then the ANSI ntile bucket formula (first `N mod n`
     * buckets take the extra row) applied as a plain expression — adds

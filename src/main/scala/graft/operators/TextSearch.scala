@@ -106,11 +106,14 @@ object TextSearch {
   def tfidfTopKeywords(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // tf feeds both the df build and the scoring join: persist so the
+    // corpus is tokenized once, not re-exploded per consumer
     val tf = Par.widen(docs)
       .select(col(idCol), Text.tokens(col(textCol)).as("toks"))
       .select(col(idCol), size(col("toks")).as("len"), explode(col("toks")).as("term"))
       .groupBy(col(idCol), col("len"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
     tf.join(dfreq, Seq("term"))

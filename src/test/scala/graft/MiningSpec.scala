@@ -86,6 +86,38 @@ class MiningSpec extends AnyFunSuite {
     assert(got == Set(("x", "y")))
   }
 
+  // ---- SnmDedup ----
+
+  test("snm finds sort-adjacent near-dups and misses key-distant ones (documented trade)") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),   // shares prefix key -> adjacent -> found
+      (3L, "mmm nnn ooo ppp"),
+      (4L, "zulu went alpha beta gamma delta epsilon") // near-dup of 1 but sorts far away
+    ).toDF("doc_id", "text")
+    val got = graft.operators.SnmDedup.pairs(df, "doc_id", "text",
+        keyLen = 8, window = 2, nGram = 2, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L)) // blocked out by the sort key
+  }
+
+  test("snm window widens candidate reach; jaccard is the exact n-gram value") {
+    val df = Seq(
+      (1L, "aa x1 y1"), // keys place 1,2,3 adjacent in sort order
+      (2L, "ab other words here"),
+      (3L, "ac x1 y1")
+    ).toDF("doc_id", "text")
+    def run(w: Int) = graft.operators.SnmDedup.pairs(df, "doc_id", "text",
+        keyLen = 2, window = w, nGram = 2, threshold = 0.1)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(run(2).isEmpty) // 1~3 are 2 apart; w=2 only sees direct neighbors
+    val w3 = run(3)
+    assert(w3.map(p => (p._1, p._2)) == Set((1L, 3L)))
+    // shingles: {aa x1, x1 y1} vs {ac x1, x1 y1} -> 1 shared of 3 distinct
+    w3.foreach(p => assert(math.abs(p._3 - 1.0 / 3.0) < 1e-12))
+  }
+
   // ---- TF-IDF ----
 
   test("tfidfTopKeywords ranks distinctive terms above common ones, ties by term asc") {

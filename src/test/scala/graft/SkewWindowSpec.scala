@@ -105,4 +105,19 @@ class SkewWindowSpec extends AnyFunSuite {
         Map(1L -> 1.0, 2L -> 3.0, 3L -> 6.0), s"chunks=$c")
     }
   }
+
+  test("globalRankBySample equals the one-task row_number on string keys with heavy ties") {
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 500L).map(i =>
+        (i, (0 until 3).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)) // 64 keys, ~8x ties
+      .toDF("id", "k")
+    val naive = df.withColumn("r",
+        row_number().over(Window.orderBy(col("k").asc, col("id").asc)))
+      .select("id", "r").as[(Long, Int)].collect().toMap
+    for (c <- Seq(1, 7, 32, 600)) {
+      val got = SkewWindow.globalRankBySample(df, "k", Seq(col("id").asc), chunks = c)
+        .select(col("id"), col("rank")).as[(Long, Long)].collect().toMap
+      assert(got == naive.view.mapValues(_.toLong).toMap, s"chunks=$c")
+    }
+  }
 }
