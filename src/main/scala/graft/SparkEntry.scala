@@ -92,6 +92,38 @@ object SparkEntry {
        |ORDER BY m.l_returnflag""".stripMargin
   }
 
+  /** Pairwise correlations of 4 numeric columns in ONE scan (14 decimal
+    * power sums → 6 corr cells) — one SQL text for both engines, with
+    * the same -0.0 CASE guard as statsMomentsSql.
+    */
+  private[graft] val corrMatrixSql: String = {
+    def r6z(e: String) =
+      s"(CASE WHEN round($e, 6) = 0 THEN CAST(0 AS DOUBLE) ELSE round($e, 6) END)"
+    val cols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+      "l_discount" -> "disc", "l_tax" -> "tax")
+    val selfSums = cols.map { case (c, n) =>
+      s"    CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$n,\n" +
+        s"    CAST(SUM(CAST($c * $c AS DECIMAL(38,6))) AS DOUBLE) AS ss_$n"
+    }
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
+    val pairSums = pairs.map { case ((ci, ni), (cj, nj)) =>
+      s"    CAST(SUM(CAST($ci * $cj AS DECIMAL(38,6))) AS DOUBLE) AS sp_${ni}_$nj"
+    }
+    val corrs = pairs.map { case ((_, ni), (_, nj)) =>
+      val cov = s"sp_${ni}_$nj / n - (s_$ni / n) * (s_$nj / n)"
+      val va = s"ss_$ni / n - (s_$ni / n) * (s_$ni / n)"
+      val vb = s"ss_$nj / n - (s_$nj / n) * (s_$nj / n)"
+      s"  ${r6z(s"($cov) / sqrt(($va) * ($vb))")} AS corr_${ni}_$nj"
+    }
+    s"""WITH sums AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |${(selfSums ++ pairSums).mkString(",\n")}
+       |  FROM lineitem)
+       |SELECT CAST(n AS BIGINT) AS n_rows,
+       |${corrs.mkString(",\n")}
+       |FROM sums""".stripMargin
+  }
+
   /** ANSI FILTER-clause aggregates — one SQL text for both engines. */
   private[graft] val filteredAggSql: String =
     """SELECT o_orderstatus,
@@ -631,6 +663,20 @@ object SparkEntry {
       Source.registerAll(s, dir, Seq("orders"))
       s.sql(filteredAggSql)
     }),
+
+    // full pairwise correlation matrix in ONE scan (shared SQL text):
+    // 14 decimal power sums feed all 6 cells — no per-pair re-scan
+    "corr_matrix" -> ((s, dir) => {
+      Source.registerAll(s, dir, Seq("lineitem"))
+      s.sql(corrMatrixSql)
+    }),
+
+    // generator parity: ordinal-position explode of token arrays
+    "posexplode_tokens" -> ((s, dir) =>
+      docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos")),
 
     // sorted-neighborhood dedup (operators/SnmDedup): bounded O(n·w)
     // comparisons via the sampled-chunk global sort — the hard-cost-
@@ -2509,6 +2555,21 @@ object SparkEntry {
 
     // the SAME SQL text Spark executes (see filteredAggSql)
     "filtered_agg" -> filteredAggSql,
+
+    // the SAME SQL text Spark executes (see corrMatrixSql)
+    "corr_matrix" -> corrMatrixSql,
+
+    // generate_subscripts + unnest zip positionally in DuckDB —
+    // the posexplode equivalent (0-based like Spark's)
+    "posexplode_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS pos,
+        |  unnest(ts) AS token
+        |FROM toks ORDER BY doc_id, pos""".stripMargin,
 
     // neighbor semantics mirror the operator: pos delta in [1, w-1] on
     // the (key, doc_id) total order, exact Jaccard verify, canonical
