@@ -68,13 +68,13 @@ object SparkEntry {
     s"""WITH sums AS (
        |  SELECT l_returnflag,
        |    CAST(COUNT(*) AS DOUBLE) AS n,
-       |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
-       |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sqq,
-       |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sqqq,
-       |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sqqqq,
-       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sp,
-       |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS spp,
-       |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sqp
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+       |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sqq,
+       |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sqqq,
+       |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sqqqq,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+       |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS spp,
+       |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sqp
        |  FROM lineitem GROUP BY l_returnflag),
        |m AS (
        |  SELECT l_returnflag, n, sq / n AS mean_q, sp / n AS mean_p,
@@ -102,12 +102,12 @@ object SparkEntry {
     val cols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
       "l_discount" -> "disc", "l_tax" -> "tax")
     val selfSums = cols.map { case (c, n) =>
-      s"    CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$n,\n" +
-        s"    CAST(SUM(CAST($c * $c AS DECIMAL(38,6))) AS DOUBLE) AS ss_$n"
+      s"    CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) AS s_$n,\n" +
+        s"    CAST(SUM(CAST($c * $c AS DECIMAL(18,6))) AS DOUBLE) AS ss_$n"
     }
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
     val pairSums = pairs.map { case ((ci, ni), (cj, nj)) =>
-      s"    CAST(SUM(CAST($ci * $cj AS DECIMAL(38,6))) AS DOUBLE) AS sp_${ni}_$nj"
+      s"    CAST(SUM(CAST($ci * $cj AS DECIMAL(18,6))) AS DOUBLE) AS sp_${ni}_$nj"
     }
     val corrs = pairs.map { case ((_, ni), (_, nj)) =>
       val cov = s"sp_${ni}_$nj / n - (s_$ni / n) * (s_$nj / n)"
@@ -513,7 +513,10 @@ object SparkEntry {
     // identical expression tree — built-in skewness()/kurtosis() differ
     // between engines in bias correction, power sums don't)
     "stats_moments" -> ((s, dir) => {
-      Source.registerAll(s, dir, Seq("lineitem"))
+      // the power-sum aggregate is compute-bound (decimal accumulation):
+      // widen the single-split test parquet so it parallelizes (no-op on
+      // a real multi-split table)
+      Par.widen(t(s, dir, "lineitem")).createOrReplaceTempView("lineitem")
       s.sql(statsMomentsSql)
     }),
 
@@ -667,7 +670,7 @@ object SparkEntry {
     // full pairwise correlation matrix in ONE scan (shared SQL text):
     // 14 decimal power sums feed all 6 cells — no per-pair re-scan
     "corr_matrix" -> ((s, dir) => {
-      Source.registerAll(s, dir, Seq("lineitem"))
+      Par.widen(t(s, dir, "lineitem")).createOrReplaceTempView("lineitem")
       s.sql(corrMatrixSql)
     }),
 

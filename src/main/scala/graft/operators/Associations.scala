@@ -29,8 +29,11 @@ object Associations {
       basketCol: String,
       itemCol: String,
       minPairs: Long = 1L): DataFrame = {
-    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .filter(col("basket").isNotNull && col("item").isNotNull)
+    // widen single-split scans so the map-side partial distinct
+    // parallelizes (no-op on real multi-split tables)
+    val items = Par.widen(
+        df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+          .filter(col("basket").isNotNull && col("item").isNotNull))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds 3 consumers: totals, item counts, pair join
     val totals = items.agg(countDistinct(col("basket")).as("n_baskets"))

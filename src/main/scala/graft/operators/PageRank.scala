@@ -43,16 +43,29 @@ object PageRank {
     val n = nodes.count()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
-      val inflow = norm.join(ranks, col("src") === col("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") * col("p")).as("inflow"))
-      ranks = nodes.join(inflow, col("node") === col("dst"), "left")
+      val next = nodes.join(
+          norm.join(ranks, col("src") === col("node"))
+            .groupBy(col("dst"))
+            .agg(sum(col("rank") * col("p")).as("inflow")),
+          col("node") === col("dst"), "left")
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(true) // eager: materialized before the old rank blocks are freed
+      freeCheckpoint(ranks)   // no-op on the first (non-checkpointed) rank vector
+      ranks = next
     }
     norm.unpersist()
     nodes.unpersist()
     ranks
   }
+
+  /** localCheckpoint persists its RDD outside the cache manager, so
+    * Dataset.unpersist() won't free it — release the LogicalRDD leaf's
+    * blocks directly (same pattern as Components.freeCheckpoint); safe
+    * no-op on non-checkpointed frames.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 }

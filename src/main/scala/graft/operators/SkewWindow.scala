@@ -142,6 +142,10 @@ object SkewWindow {
     require(chunks >= 1, "need at least one chunk")
     Seq("rank", "__chunk", "__rn").foreach(c =>
       require(!df.columns.contains(c), s"input already has a '$c' column"))
+    require(df.schema(orderCol).dataType == org.apache.spark.sql.types.StringType,
+      s"orderCol '$orderCol' must be string — use globalRank for numeric keys")
+    // null keys take chunk 0 and sort first (Spark's asc default) —
+    // callers mirroring an engine that sorts NULLS LAST must filter
     val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = in.count()
     val frac = math.min(1.0, (chunks * 200.0) / math.max(total, 1L))

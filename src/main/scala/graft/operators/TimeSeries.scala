@@ -53,7 +53,10 @@ object TimeSeries {
     * Scale shape: a single (key, time) window, rows-bounded frame —
     * state per row is `lookback` doubles, independent of history
     * length. Order ties are broken by `tieCol` so the fold order (and
-    * thus the FP result) is deterministic.
+    * thus the FP result) is deterministic. Null values are EXCLUDED
+    * from the fold (collect_list drops them) — rows keep their own
+    * EMA over the surviving frame; filter upstream if null should
+    * mean "gap".
     */
   def ema(
       df: DataFrame,
