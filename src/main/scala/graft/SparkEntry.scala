@@ -51,6 +51,13 @@ object SparkEntry {
   /** Exact decimal accumulation, surfaced as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
 
+  /** round() can yield -0.0 on one engine and +0.0 on the other for
+    * near-zero results — distinct bit patterns to a hash compare; CASE
+    * normalizes (an `+ 0` would be optimizer-foldable, CASE isn't).
+    */
+  private def sqlR6z(e: String): String =
+    s"(CASE WHEN round($e, 6) = 0 THEN CAST(0 AS DOUBLE) ELSE round($e, 6) END)"
+
   /** Higher moments + correlation from explicit decimal power sums —
     * ONE ANSI SQL text executed verbatim by both Spark and the DuckDB
     * oracle, so the double arithmetic is expression-for-expression
@@ -60,8 +67,6 @@ object SparkEntry {
     * patterns to a hash compare.
     */
   private[graft] val statsMomentsSql: String = {
-    def r6z(e: String) =
-      s"(CASE WHEN round($e, 6) = 0 THEN CAST(0 AS DOUBLE) ELSE round($e, 6) END)"
     val skewQ = "(s.sqqq / m.n - 3 * m.mean_q * (s.sqq / m.n) + 2 * m.mean_q * m.mean_q * m.mean_q) / (m.m2q * sqrt(m.m2q))"
     val kurtQ = "(s.sqqqq / m.n - 4 * m.mean_q * (s.sqqq / m.n) + 6 * m.mean_q * m.mean_q * (s.sqq / m.n) - 3 * m.mean_q * m.mean_q * m.mean_q * m.mean_q) / (m.m2q * m.m2q) - 3"
     val corrQP = "(s.sqp / m.n - m.mean_q * m.mean_p) / sqrt(m.m2q * m.m2p)"
@@ -83,11 +88,11 @@ object SparkEntry {
        |  FROM sums)
        |SELECT m.l_returnflag,
        |  CAST(m.n AS BIGINT) AS n_rows,
-       |  ${r6z("m.mean_q")} AS mean_qty,
-       |  ${r6z("sqrt(m.m2q * m.n / (m.n - 1))")} AS std_qty,
-       |  ${r6z(skewQ)} AS skew_qty,
-       |  ${r6z(kurtQ)} AS kurt_qty,
-       |  ${r6z(corrQP)} AS corr_qty_price
+       |  ${sqlR6z("m.mean_q")} AS mean_qty,
+       |  ${sqlR6z("sqrt(m.m2q * m.n / (m.n - 1))")} AS std_qty,
+       |  ${sqlR6z(skewQ)} AS skew_qty,
+       |  ${sqlR6z(kurtQ)} AS kurt_qty,
+       |  ${sqlR6z(corrQP)} AS corr_qty_price
        |FROM m JOIN sums s ON m.l_returnflag = s.l_returnflag
        |ORDER BY m.l_returnflag""".stripMargin
   }
@@ -97,8 +102,6 @@ object SparkEntry {
     * the same -0.0 CASE guard as statsMomentsSql.
     */
   private[graft] val corrMatrixSql: String = {
-    def r6z(e: String) =
-      s"(CASE WHEN round($e, 6) = 0 THEN CAST(0 AS DOUBLE) ELSE round($e, 6) END)"
     val cols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
       "l_discount" -> "disc", "l_tax" -> "tax")
     val selfSums = cols.map { case (c, n) =>
@@ -113,7 +116,7 @@ object SparkEntry {
       val cov = s"sp_${ni}_$nj / n - (s_$ni / n) * (s_$nj / n)"
       val va = s"ss_$ni / n - (s_$ni / n) * (s_$ni / n)"
       val vb = s"ss_$nj / n - (s_$nj / n) * (s_$nj / n)"
-      s"  ${r6z(s"($cov) / sqrt(($va) * ($vb))")} AS corr_${ni}_$nj"
+      s"  ${sqlR6z(s"($cov) / sqrt(($va) * ($vb))")} AS corr_${ni}_$nj"
     }
     s"""WITH sums AS (
        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -123,6 +126,19 @@ object SparkEntry {
        |${corrs.mkString(",\n")}
        |FROM sums""".stripMargin
   }
+
+  /** Shannon entropy (nats) of each source's language mix — one SQL
+    * text for both engines; single-language sources hit the -0.0 guard
+    * (−sum(1·ln 1) is negative zero).
+    */
+  private[graft] val sourceEntropySql: String =
+    s"""WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+       |t AS (SELECT source, CAST(sum(n) AS DOUBLE) AS tot FROM c GROUP BY source)
+       |SELECT c.source,
+       |  CAST(t.tot AS BIGINT) AS n_docs,
+       |  ${sqlR6z("-sum((CAST(c.n AS DOUBLE) / t.tot) * ln(CAST(c.n AS DOUBLE) / t.tot))")} AS lang_entropy
+       |FROM c JOIN t ON c.source = t.source
+       |GROUP BY c.source, t.tot ORDER BY c.source""".stripMargin
 
   /** ANSI FILTER-clause aggregates — one SQL text for both engines. */
   private[graft] val filteredAggSql: String =
@@ -672,6 +688,31 @@ object SparkEntry {
     "corr_matrix" -> ((s, dir) => {
       Par.widen(t(s, dir, "lineitem")).createOrReplaceTempView("lineitem")
       s.sql(corrMatrixSql)
+    }),
+
+    // per-source language-mix entropy (shared SQL text): the corpus-
+    // composition diagnostic of mixture balancing
+    "source_entropy" -> ((s, dir) => {
+      Source.registerAll(s, dir, Seq("documents"))
+      s.sql(sourceEntropySql)
+    }),
+
+    // percentile winsorization: clip to in-group [p05, p95], cutoffs
+    // rounded to 6dp BEFORE clipping so both engines clip on
+    // bit-identical bounds (same discipline as anomaly_mad)
+    "winsorize_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cuts = o.groupBy("o_orderpriority").agg(
+        round(expr("percentile(o_totalprice, 0.05)"), 6).as("lo"),
+        round(expr("percentile(o_totalprice, 0.95)"), 6).as("hi"))
+      o.join(broadcast(cuts), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+            .cast("decimal(18,6)")).cast("double").as("win_total"),
+          sum(when(col("o_totalprice") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("o_totalprice") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
+        .orderBy("o_orderpriority")
     }),
 
     // generator parity: ordinal-position explode of token arrays
@@ -2561,6 +2602,24 @@ object SparkEntry {
 
     // the SAME SQL text Spark executes (see corrMatrixSql)
     "corr_matrix" -> corrMatrixSql,
+
+    // the SAME SQL text Spark executes (see sourceEntropySql)
+    "source_entropy" -> sourceEntropySql,
+
+    // quantile_cont vs Spark's percentile differ by an ulp in
+    // interpolation — cutoffs rounded to 6dp on both sides first
+    "winsorize_orders" ->
+      """WITH cuts AS (
+        |  SELECT o_orderpriority,
+        |    round(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+        |    round(quantile_cont(o_totalprice, 0.95), 6) AS hi
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(least(greatest(o.o_totalprice, c.lo), c.hi) AS DECIMAL(18,6))) AS DOUBLE) AS win_total,
+        |  CAST(SUM(CASE WHEN o.o_totalprice < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN o.o_totalprice > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+        |FROM orders o JOIN cuts c ON o.o_orderpriority = c.o_orderpriority
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
 
     // generate_subscripts + unnest zip positionally in DuckDB —
     // the posexplode equivalent (0-based like Spark's)

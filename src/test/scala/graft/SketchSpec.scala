@@ -49,4 +49,22 @@ class SketchSpec extends AnyFunSuite {
     val exact = (sets("g1") & sets("g2")).size.toDouble / (sets("g1") | sets("g2")).size
     assert(math.abs(est - exact) < 0.2, s"est $est vs exact $exact") // k=64 => se ~ 1/8
   }
+
+  test("HLL sketches merge losslessly: union of per-slice sketches == whole-corpus sketch") {
+    // the incremental-distinct pattern: daily user sketches merge to the
+    // month WITHOUT re-scanning events — estimates must agree exactly
+    // (same sketch state), and track the true cardinality
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id")).persist()
+    val whole = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .head().getLong(0)
+    val merged = ev.withColumn("slice", pmod(col("event_id"), lit(7)))
+      .groupBy("slice").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .head().getLong(0)
+    val exact = ev.select("user_id").distinct().count()
+    assert(merged == whole, s"merged $merged != whole $whole") // same sketch math
+    assert(math.abs(merged - exact).toDouble / exact < 0.05, s"est $merged vs exact $exact")
+    ev.unpersist()
+  }
 }
