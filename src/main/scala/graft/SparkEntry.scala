@@ -715,6 +715,26 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL + depth bound):
+    // BFS hop distance from 'view' over the event-transition graph —
+    // min(depth) collapses path multiplicity after the fixpoint
+    "recursive_reach" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""WITH RECURSIVE edges AS (
+              |  SELECT DISTINCT event_type AS src, next_type AS dst FROM (
+              |    SELECT event_type,
+              |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+              |    FROM events_v)
+              |  WHERE next_type IS NOT NULL),
+              |reach AS (
+              |  SELECT 'view' AS node, 0 AS depth
+              |  UNION ALL
+              |  SELECT e.dst AS node, r.depth + 1 AS depth
+              |  FROM edges e JOIN reach r ON e.src = r.node WHERE r.depth < 3)
+              |SELECT node, CAST(min(depth) AS BIGINT) AS hops
+              |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+    }),
+
     // generator parity: ordinal-position explode of token arrays
     "posexplode_tokens" -> ((s, dir) =>
       docs(s, dir).filter(col("doc_id") < 100)
@@ -2623,6 +2643,23 @@ object SparkEntry {
 
     // generate_subscripts + unnest zip positionally in DuckDB —
     // the posexplode equivalent (0-based like Spark's)
+    "recursive_reach" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |edges AS (
+        |  SELECT DISTINCT event_type AS src, next_type AS dst FROM (
+        |    SELECT event_type,
+        |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |    FROM ev) t
+        |  WHERE next_type IS NOT NULL),
+        |reach AS (
+        |  SELECT 'view' AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst AS node, r.depth + 1 AS depth
+        |  FROM edges e JOIN reach r ON e.src = r.node WHERE r.depth < 3)
+        |SELECT node, CAST(min(depth) AS BIGINT) AS hops
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
     "posexplode_tokens" ->
       """WITH toks AS (
         |  SELECT doc_id,
