@@ -130,6 +130,27 @@ object GraftProperties extends Properties("graft") {
       bad == 0L
     }
 
+  property("symspell typo join is lossless: equals the quadratic lev<=1 ground truth") =
+    forAll(Gen.listOfN(25, Gen.listOfN(4, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+        .flatMap(s => Gen.choose(2, 4).map(s.take)))) { words =>
+      import graft.operators.EditDistanceJoin
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val ids = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val truth = (for {
+        (ia, sa) <- ids; (ib, sb) <- ids if ia < ib && lev(sa, sb) <= 1
+      } yield (ia, ib)).toSet
+      val got = EditDistanceJoin.typoPairs(ids.toDF("id", "s"), "id", "s", maxDist = 1)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      got == truth
+    }
+
   property("hive-text encodeRow never yields NULL and keeps the field count") =
     forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 99L), Gen.option(Gen.alphaNumStr.map(_.take(8)))))) {
       rows =>
