@@ -35,6 +35,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: each micro-batch joins the broadcast dim") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("uid", "v")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("uid"), "left")
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      in.addData((1L, 10.0), (3L, 7.0))
+      q.processAllAvailable()
+      in.addData((2L, 5.0)) // second micro-batch re-joins the same dim
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .as[(Long, Double, Option[String])].collect().toSet
+      assert(rows == Set((1L, 10.0, Some("gold")), (3L, 7.0, None), (2L, 5.0, Some("silver"))))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops same-key duplicates across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
