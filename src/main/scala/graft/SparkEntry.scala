@@ -140,6 +140,17 @@ object SparkEntry {
        |FROM c JOIN t ON c.source = t.source
        |GROUP BY c.source, t.tot ORDER BY c.source""".stripMargin
 
+  /** Correlated LATERAL top-n — one SQL text for both engines; ties
+    * broken by o_orderkey so the LIMIT cut is deterministic.
+    */
+  private[graft] val lateralTopNSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
   /** ANSI FILTER-clause aggregates — one SQL text for both engines. */
   private[graft] val filteredAggSql: String =
     """SELECT o_orderstatus,
@@ -713,6 +724,14 @@ object SparkEntry {
           sum(when(col("o_totalprice") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
           sum(when(col("o_totalprice") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
         .orderBy("o_orderpriority")
+    }),
+
+    // correlated LATERAL top-n subquery (shared SQL text) — the
+    // per-row dependent-subquery shape; Spark plans it as a lateral
+    // join with WindowGroupLimit, not one subquery per row
+    "lateral_topn" -> ((s, dir) => {
+      Source.registerAll(s, dir, Seq("customer", "orders"))
+      s.sql(lateralTopNSql)
     }),
 
     // recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL + depth bound):
@@ -2643,6 +2662,9 @@ object SparkEntry {
 
     // generate_subscripts + unnest zip positionally in DuckDB —
     // the posexplode equivalent (0-based like Spark's)
+    // the SAME SQL text Spark executes (see lateralTopNSql)
+    "lateral_topn" -> lateralTopNSql,
+
     "recursive_reach" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
