@@ -20,6 +20,14 @@ object Loader {
   case object Append extends Mode                          // R3 INSERT INTO
   final case class MergeOn(keys: Seq[String]) extends Mode // R2
 
+  /** R3 dynamic flavor — INSERT OVERWRITE of ONLY the partitions present
+    * in the staging frame (partition values come from the DATA, not a
+    * static spec): the incremental-ingest idiom at scale — re-land one
+    * day of a partitioned corpus without touching history. Creates the
+    * table partitioned by `partitionCols` when absent (R6).
+    */
+  final case class OverwritePartitions(partitionCols: Seq[String]) extends Mode
+
   final case class DedupSpec(uniqKeys: Seq[String], orderBy: Seq[Column] = Nil)
 
   final case class LoadConfig(
@@ -64,6 +72,10 @@ object Loader {
     case MergeOn(keys) =>
       require(keys.nonEmpty, "MERGE requires primary keys")
       require(cfg.partition.isEmpty, "MERGE with static partitions is unsupported (reference parity)")
+    case OverwritePartitions(cols) =>
+      require(cols.nonEmpty, "dynamic partition overwrite requires partition columns")
+      require(cfg.partition.isEmpty,
+        "static partition spec and dynamic partition overwrite are mutually exclusive")
     case _ => ()
   }
 
@@ -85,6 +97,24 @@ object Loader {
           staged.write.mode(SaveMode.Append).insertInto(cfg.target)
         else
           writePartitioned(staged, cfg).mode(SaveMode.ErrorIfExists).saveAsTable(cfg.target)
+      case OverwritePartitions(cols) =>
+        if (!spark.catalog.tableExists(cfg.target)) // R6 idempotent creation
+          staged.write.partitionBy(cols: _*).saveAsTable(cfg.target)
+        else {
+          // session-scoped conf flip, restored after the insert: STATIC
+          // (Spark's default) would wipe untouched partitions
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "dynamic")
+          // insertInto resolves by POSITION and saveAsTable reorders
+          // partition columns last — select into the table's order
+          val ordered = staged.select(spark.table(cfg.target).columns.map(col(_)): _*)
+          try ordered.write.mode(SaveMode.Overwrite).insertInto(cfg.target)
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }
       case MergeOn(keys) =>
         if (!spark.catalog.tableExists(cfg.target)) // R6 idempotent creation
           staged.write.saveAsTable(cfg.target)

@@ -100,6 +100,33 @@ class LoaderSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "2026-08-12")))
   }
 
+  test("dynamic partition overwrite replaces ONLY the landed partitions (R3 dynamic)") {
+    drop("lt_dyn")
+    val mode = Loader.OverwritePartitions(Seq("dt"))
+    // day 1 + day 2 land (also the R6 create path)
+    Loader.load(spark, Seq((1, "a", "d1"), (2, "b", "d2")).toDF("k", "v", "dt"),
+      Loader.LoadConfig("lt_dyn", mode))
+    // re-land ONLY day 2 with different content — day 1 must survive
+    Loader.load(spark, Seq((9, "z", "d2"), (10, "y", "d2")).toDF("k", "v", "dt"),
+      Loader.LoadConfig("lt_dyn", mode))
+    val got = spark.table("lt_dyn").select("k", "v", "dt").as[(Int, String, String)].collect().toSet
+    assert(got == Set((1, "a", "d1"), (9, "z", "d2"), (10, "y", "d2")))
+    // conf restored: a plain saveAsTable overwrite afterwards is still STATIC
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").contains("dynamic"))
+  }
+
+  test("dynamic partition overwrite validation: needs columns, rejects static spec") {
+    intercept[IllegalArgumentException] {
+      Loader.load(spark, Seq((1, "a")).toDF("k", "dt"),
+        Loader.LoadConfig("lt_dyn_bad", Loader.OverwritePartitions(Nil)))
+    }
+    intercept[IllegalArgumentException] {
+      Loader.load(spark, Seq((1, "a")).toDF("k", "dt"),
+        Loader.LoadConfig("lt_dyn_bad", Loader.OverwritePartitions(Seq("dt")),
+          partition = Map("x" -> "1")))
+    }
+  }
+
   test("merge mode validation: partitions forbidden, keys required (hive_loader.py:66-82)") {
     intercept[IllegalArgumentException] {
       Loader.load(spark, Seq((1, "a")).toDF("k", "v"),
