@@ -93,9 +93,18 @@ object Loader {
       case Overwrite =>
         writePartitioned(staged, cfg).mode(SaveMode.Overwrite).saveAsTable(cfg.target)
       case Append =>
-        if (spark.catalog.tableExists(cfg.target))
-          staged.write.mode(SaveMode.Append).insertInto(cfg.target)
-        else
+        if (spark.catalog.tableExists(cfg.target)) {
+          // insertInto is positional; when the staged names match the
+          // table's, reorder to its schema (saveAsTable may have moved
+          // partition columns last). Different names stay positional —
+          // Spark's documented insertInto contract.
+          val tableCols = spark.table(cfg.target).columns
+          val aligned =
+            if (staged.columns.toSet == tableCols.toSet && staged.columns.toSeq != tableCols.toSeq)
+              staged.select(tableCols.map(col(_)): _*)
+            else staged
+          aligned.write.mode(SaveMode.Append).insertInto(cfg.target)
+        } else
           writePartitioned(staged, cfg).mode(SaveMode.ErrorIfExists).saveAsTable(cfg.target)
       case OverwritePartitions(cols) =>
         if (!spark.catalog.tableExists(cfg.target)) // R6 idempotent creation
