@@ -140,6 +140,33 @@ object SparkEntry {
        |FROM c JOIN t ON c.source = t.source
        |GROUP BY c.source, t.tot ORDER BY c.source""".stripMargin
 
+  /** Per-group OLS closed form from exact decimal power sums — the
+    * statsMomentsSql discipline applied to regression: the double
+    * arithmetic after the sums is one shared expression text, so both
+    * engines execute operation-for-operation identical IEEE math.
+    * `preludeCte`, when non-empty, is prepended as the first CTE (the
+    * DuckDB oracle derives the (event_type, x, y) projection inline;
+    * Spark registers it as a temp view) — the derivation is exact
+    * integer/pass-through arithmetic, so it cannot introduce drift.
+    */
+  private[graft] def trendSlopeSql(table: String, preludeCte: String = ""): String = {
+    val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    val head = if (preludeCte.isEmpty) "WITH sums AS (" else s"WITH $preludeCte,\nsums AS ("
+    s"""$head
+       |  SELECT event_type,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+       |  FROM $table GROUP BY event_type)
+       |SELECT event_type,
+       |  CAST(n AS BIGINT) AS n_rows,
+       |  ${sqlR6z(slope)} AS slope_per_day,
+       |  ${sqlR6z(s"(sy - ($slope) * sx) / n")} AS intercept
+       |FROM sums ORDER BY event_type""".stripMargin
+  }
+
   /** Correlated LATERAL top-n — one SQL text for both engines; ties
     * broken by o_orderkey so the LIMIT cut is deterministic.
     */
@@ -1381,7 +1408,75 @@ object SparkEntry {
       Multimodal.sampleFrames(
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // ---- interval / trend analytics ----
+
+    // longest consecutive-day activity streak per user: the classic
+    // row_number-difference islands trick — distinct (user, day) then
+    // day − rn is constant within a run; two key-partitioned window/agg
+    // passes, nothing global
+    "streak_days" -> ((s, dir) => {
+      val days = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak"), sum("len").as("n_active_days"))
+        .orderBy("user_id")
+    }),
+
+    // coalesce overlapping per-user activity intervals (event start +
+    // value-seconds duration) into islands — operators/TimeSeries
+    // .mergeIntervals; epoch-µs bigints so both engines do exact
+    // integer arithmetic (floor() before the cast: DuckDB's
+    // double→bigint cast rounds, Spark's truncates)
+    "interval_merge" -> ((s, dir) => {
+      val iv = events(s, dir).filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts)").as("start_us"),
+          (expr("unix_micros(ts)")
+            + floor(col("value") * lit(1e6)).cast("long")).as("end_us"))
+      TimeSeries.mergeIntervals(iv, "user_id", "start_us", "end_us")
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n_merged"))
+        .orderBy("user_id", "start_us", "end_us")
+    }),
+
+    // per-group OLS trend (value vs epoch-day) from exact decimal power
+    // sums — the single-scan regression shape; the closed form runs in
+    // double over decimal-exact sums with the oracle's expression text
+    // mirrored operation for operation
+    "trend_slope" -> ((s, dir) => {
+      events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("unix_date(to_date(ts))").cast("long").as("x"),
+          col("value").as("y"))
+        .createOrReplaceTempView("xy")
+      s.sql(trendSlopeSql("xy"))
+    }),
+
+    // 2-D Pareto frontier (skyline): orders no other order beats on
+    // (earlier-or-equal day, higher-or-equal price, one strict) — the
+    // O(n log n) window form, not the O(n²) dominance self-join: a
+    // running max of price over STRICTLY EARLIER days kills cross-day
+    // dominated rows, a per-day max kills within-day ones
+    "skyline_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"),
+        expr("unix_date(to_date(o_orderdate))").cast("long").as("day"))
+      // global range window: acceptable here (orders of one tenant);
+      // at corpus scale chunk it like SkewWindow.globalRunningSum
+      val wBefore = Window.orderBy("day").rangeBetween(Window.unboundedPreceding, -1)
+      val wDay = Window.partitionBy("day")
+      o.withColumn("mx_before", max("o_totalprice").over(wBefore))
+        .withColumn("mx_day", max("o_totalprice").over(wDay))
+        .filter((col("mx_before").isNull || col("o_totalprice") > col("mx_before"))
+          && col("o_totalprice") === col("mx_day"))
+        .select(col("o_orderkey"), col("day"), col("o_totalprice"))
+        .orderBy("day", "o_orderkey")
+    })
   )
 
   // ----------------------------------------------------------------- //
@@ -2716,6 +2811,60 @@ object SparkEntry {
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2,
         |  CAST(len(embedding) AS BIGINT) AS dim
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "streak_days" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |runs AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+        |  FROM days),
+        |r AS (SELECT user_id, grp, COUNT(*) AS len FROM runs GROUP BY user_id, grp)
+        |SELECT user_id, max(len) AS longest_streak, CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + CAST(floor(value * 1e6) AS BIGINT) AS end_us
+        |  FROM events WHERE value IS NOT NULL),
+        |flagged AS (
+        |  SELECT user_id, start_us, end_us,
+        |    CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           IS NULL
+        |      OR start_us > max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+        |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS opens
+        |  FROM iv),
+        |islands AS (
+        |  SELECT user_id, start_us, end_us,
+        |    sum(opens) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged)
+        |SELECT user_id, min(start_us) AS start_us, max(end_us) AS end_us,
+        |  COUNT(*) AS n_merged
+        |FROM islands GROUP BY user_id, island
+        |ORDER BY user_id, start_us, end_us""".stripMargin,
+
+    "trend_slope" -> trendSlopeSql("xy",
+      """xy AS (
+        |  SELECT event_type,
+        |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    value AS y
+        |  FROM events WHERE value IS NOT NULL)""".stripMargin),
+
+    "skyline_orders" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM orders)
+        |SELECT o_orderkey, day, o_totalprice FROM o a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM o b
+        |  WHERE b.day <= a.day AND b.o_totalprice >= a.o_totalprice
+        |    AND (b.day < a.day OR b.o_totalprice > a.o_totalprice))
+        |ORDER BY day, o_orderkey""".stripMargin
   )
 }

@@ -78,4 +78,34 @@ object TimeSeries {
           (acc, x) => (lit(1.0) - lit(alpha)) * acc + lit(alpha) * x))
       .drop("__w")
   }
+
+  /** Coalesce overlapping-or-touching [start, end] intervals per key
+    * (gaps-and-islands): one row per merged island with its bounds and
+    * the number of source intervals it absorbed. `start == previous
+    * end` MERGES (closed intervals); pass `end - 1` upstream for
+    * half-open semantics. Interval columns must be a numeric/date/
+    * timestamp type with a total order; rows with a null start or end
+    * are dropped (they order nowhere).
+    *
+    * Scale shape: a single (key)-partitioned window ordered by (start,
+    * end) computes the running max of `end` over STRICTLY EARLIER rows;
+    * an island opens where the current start exceeds it. The island id
+    * (running count of opens) and the final per-island aggregate reuse
+    * the same key partitioning — one exchange end to end, no self-join
+    * and nothing quadratic in intervals-per-key.
+    */
+  def mergeIntervals(
+      df: DataFrame, keyCol: String, startCol: String, endCol: String): DataFrame = {
+    Seq("island", "n_merged").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column"))
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val opens = when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L)
+    df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .withColumn("island",
+        sum(opens).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_merged"))
+  }
 }

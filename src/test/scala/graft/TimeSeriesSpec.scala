@@ -58,6 +58,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got(4) == 100.0)                         // key 2 never sees key 1
   }
 
+  test("mergeIntervals coalesces overlap and touch, keeps gaps apart, drops null bounds") {
+    val df = Seq(
+      (1L, 0L, 10L),    // island 1: [0,10]
+      (1L, 2L, 3L),     //   nested
+      (1L, 10L, 15L),   //   touching (start == running max end) merges
+      (1L, 17L, 20L),   // island 2: gap of 1 after 15
+      (2L, 5L, 6L),     // other key: isolated
+      (2L, 100L, 101L)
+    ).toDF("k", "s", "e")
+      .union(Seq((3L, Option.empty[Long], Option(1L))).toDF("k", "s", "e"))
+    val out = TimeSeries.mergeIntervals(df, "k", "s", "e")
+      .select(col("k"), col("s"), col("e"), col("n_merged"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 15L, 3L), (1L, 17L, 20L, 1L),
+      (2L, 5L, 6L, 1L), (2L, 100L, 101L, 1L)))
+  }
+
+  test("mergeIntervals: an early long interval swallows later short ones (running max, not lag)") {
+    // the classic gaps-and-islands trap: comparing against lag(e) instead
+    // of max(e) over preceding rows would split [0,100] ∪ [5,6] ∪ [50,60]
+    val df = Seq((1L, 0L, 100L), (1L, 5L, 6L), (1L, 50L, 60L), (1L, 101L, 102L))
+      .toDF("k", "s", "e")
+    val out = TimeSeries.mergeIntervals(df, "k", "s", "e")
+      .select(col("s"), col("e"), col("n_merged"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 100L, 3L), (101L, 102L, 1L)))
+  }
+
   test("ema lookback bounds the frame: rows beyond it stop influencing the fold") {
     val df = (1 to 5).map(i => (1L, ts(f"2024-01-01 00:00:0$i"), i, if (i == 1) 1000.0 else 2.0))
       .toDF("k", "t", "id", "v")
