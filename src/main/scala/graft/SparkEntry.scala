@@ -1457,6 +1457,26 @@ object SparkEntry {
       s.sql(trendSlopeSql("xy"))
     }),
 
+    // exact triangle count + clustering coefficient of the part
+    // co-purchase graph (operators/Triangles): degree-ordered
+    // orientation bounds the wedge join at O(m^1.5) — the oracle walks
+    // the same graph with a plain id-ordered 3-way join, an independent
+    // formulation of the same count
+    "triangle_parts" -> ((s, dir) => {
+      // per-basket pair generation: collect_set dedups inside the one
+      // groupBy exchange and the C(k,2) explode is map-side — one
+      // shuffle where distinct-items + self-join would take two
+      val baskets = Par.widen(t(s, dir, "lineitem"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val edges = baskets.select(explode(expr(
+          """flatten(transform(ps,
+            |  (x, i) -> transform(slice(ps, i + 2, size(ps) - i - 1),
+            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      Triangles.stats(edges, "a", "b")
+    }),
+
     // 2-D Pareto frontier (skyline): orders no other order beats on
     // (earlier-or-equal day, higher-or-equal price, one strict) — the
     // O(n log n) window form, not the O(n²) dominance self-join: a
@@ -2854,6 +2874,24 @@ object SparkEntry {
         |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
         |    value AS y
         |  FROM events WHERE value IS NOT NULL)""".stripMargin),
+
+    "triangle_parts" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |          FROM items a JOIN items b
+        |          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT v, COUNT(*) AS d FROM (
+        |          SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+        |        GROUP BY v),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM edges e1
+        |        JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+        |        JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |na AS (SELECT COUNT(*) AS n_nodes,
+        |         CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+        |ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  round(CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6) AS global_cc
+        |FROM na, ne, tri""".stripMargin,
 
     "skyline_orders" ->
       """WITH o AS (
