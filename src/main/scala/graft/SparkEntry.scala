@@ -1457,6 +1457,22 @@ object SparkEntry {
       s.sql(trendSlopeSql("xy"))
     }),
 
+    // fuzzy-matching scorer battery: levenshtein (Spark built-in) plus
+    // jaro / jaro-winkler via the native codegen'd StringSim expression
+    // (Spark has no built-in; semantics pinned bit-exact to DuckDB's
+    // in StringSimSpec) — per-row compute, no shuffle at all
+    "string_sim_funcs" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        concat(lit("Customer#"), reverse(expr("substring(c_name, 10)"))).as("alt"))
+      c.select(col("c_custkey"),
+          levenshtein(col("c_name"), col("alt")).cast("long").as("lev"),
+          round(graft.functions.StringSim.jaro(col("c_name"), col("alt")), 6).as("jaro_sim"),
+          round(graft.functions.StringSim.jaroWinkler(col("c_name"), col("alt")), 6).as("jw_sim"),
+          round(graft.functions.StringSim.jaroWinkler(col("c_name"),
+            lit("Customer#000000000")), 6).as("jw_ref"))
+        .orderBy("c_custkey")
+    }),
+
     // exact triangle count + clustering coefficient of the part
     // co-purchase graph (operators/Triangles): degree-ordered
     // orientation bounds the wedge join at O(m^1.5) — the oracle walks
@@ -2874,6 +2890,16 @@ object SparkEntry {
         |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
         |    value AS y
         |  FROM events WHERE value IS NOT NULL)""".stripMargin),
+
+    "string_sim_funcs" ->
+      """WITH c AS (SELECT c_custkey, c_name,
+        |            'Customer#' || reverse(substr(c_name, 10)) AS alt FROM customer)
+        |SELECT c_custkey,
+        |  CAST(levenshtein(c_name, alt) AS BIGINT) AS lev,
+        |  round(jaro_similarity(c_name, alt), 6) AS jaro_sim,
+        |  round(jaro_winkler_similarity(c_name, alt), 6) AS jw_sim,
+        |  round(jaro_winkler_similarity(c_name, 'Customer#000000000'), 6) AS jw_ref
+        |FROM c ORDER BY c_custkey""".stripMargin,
 
     "triangle_parts" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
