@@ -1457,6 +1457,81 @@ object SparkEntry {
       s.sql(trendSlopeSql("xy"))
     }),
 
+    // two exact Lloyd (k-means) iterations, REPRODUCIBLE cross-engine:
+    // seed = first 8 vectors rounded to 6dp, distances as order-free
+    // decimal sums (Embeddings.assignExact), recomputed means rounded
+    // to 6dp before re-use — the oracle unrolls the same two
+    // iterations as CTEs and must land on identical clusters
+    "kmeans_iter" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seed = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id"), transform(col("v"), x => round(x, 6)).as("c"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).toSeq
+      val c1 = Embeddings.lloydIterExact(vecs, "v", seed)
+      val assigned = vecs
+        .select(Embeddings.assignExact(col("v"), c1).as("cluster"), col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l1 = Embeddings.centroidDims(assigned, "cluster", "v")
+        .select(col("cluster"), round(col("value"), 6).as("value"))
+        .groupBy("cluster")
+        .agg(round(sum(abs(col("value")).cast("decimal(28,6)")).cast("double"), 6)
+          .as("centroid_l1"))
+      val cnt = assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      cnt.join(l1, "cluster")
+        .select(col("cluster").cast("long").as("cluster"), col("n_members"),
+          col("centroid_l1"))
+        .orderBy("cluster")
+    }),
+
+    // last-touch marketing attribution: each purchase credits the most
+    // recent prior click/view of the same user within a 3-day window —
+    // one (user, time) window pass (two ignore-nulls last_value's), no
+    // self-join; epoch-µs integer arithmetic for the tolerance so both
+    // engines compare exactly
+    "attribution_last_touch" -> ((s, dir) => {
+      val us = expr("unix_micros(ts)")
+      val isTouch = col("event_type").isin("click", "view")
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val horizon = 3L * 86400 * 1000000
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"), us.as("us"))
+        .withColumn("touch_type",
+          last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("touch_us", last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(when(col("touch_us").isNotNull
+            && col("us") - col("touch_us") <= horizon, col("touch_type")), lit("none"))
+          .as("channel"), col("value"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("attributed_revenue"))
+        .orderBy("channel")
+    }),
+
+    // engagement stickiness: DAU / trailing-7-day WAU per observed day.
+    // WAU's count-distinct-over-range (unwindowable directly) becomes a
+    // bounded explode: each (user, day) activity row joins the ≤7
+    // trailing grid days via a broadcast range join, then one exact
+    // distinct count per day
+    "dau_wau_stickiness" -> ((s, dir) => {
+      val active = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dau = active.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val grid = active.select(col("day").as("d")).distinct()
+      val wau = active.join(broadcast(grid),
+          datediff(col("d"), col("day")).between(0, 6))
+        .groupBy(col("d").as("day")).agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)").as("stickiness"))
+        .orderBy("day")
+    }),
+
     // fuzzy-matching scorer battery: levenshtein (Spark built-in) plus
     // jaro / jaro-winkler via the native codegen'd StringSim expression
     // (Spark has no built-in; semantics pinned bit-exact to DuckDB's
@@ -2890,6 +2965,78 @@ object SparkEntry {
         |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
         |    value AS y
         |  FROM events WHERE value IS NOT NULL)""".stripMargin),
+
+    "kmeans_iter" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(v, x -> round(x, 6)) AS c
+        |       FROM v WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT vec_id, cid, SUM(CAST((vx - cx) * (vx - cx) AS DECIMAL(38,18))) AS d2
+        |  FROM (SELECT v.vec_id, c0.cid, unnest(v.v) AS vx, unnest(c0.c) AS cx
+        |        FROM v CROSS JOIN c0)
+        |  GROUP BY vec_id, cid),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |vd AS (SELECT vec_id, unnest(v) AS vx, generate_subscripts(v, 1) AS pos FROM v),
+        |c1 AS (SELECT a1.cid, vd.pos, round(avg(vd.vx), 6) AS cx
+        |       FROM vd JOIN a1 USING (vec_id) GROUP BY a1.cid, vd.pos),
+        |d2t AS (
+        |  SELECT vd.vec_id, c1.cid,
+        |    SUM(CAST((vd.vx - c1.cx) * (vd.vx - c1.cx) AS DECIMAL(38,18))) AS d2
+        |  FROM vd JOIN c1 ON c1.pos = vd.pos GROUP BY vd.vec_id, c1.cid),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |         FROM d2t) WHERE rn = 1),
+        |c2 AS (SELECT a2.cid, vd.pos, round(avg(vd.vx), 6) AS cx
+        |       FROM vd JOIN a2 USING (vec_id) GROUP BY a2.cid, vd.pos),
+        |l1 AS (SELECT cid,
+        |         round(CAST(SUM(CAST(abs(cx) AS DECIMAL(28,6))) AS DOUBLE), 6) AS centroid_l1
+        |       FROM c2 GROUP BY cid),
+        |cnt AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid)
+        |SELECT CAST(cnt.cid AS BIGINT) AS cluster, n_members, centroid_l1
+        |FROM cnt JOIN l1 ON cnt.cid = l1.cid
+        |ORDER BY cluster""".stripMargin,
+
+    "attribution_last_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN us END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us
+        |  FROM e)
+        |SELECT
+        |  COALESCE(CASE WHEN touch_us IS NOT NULL AND us - touch_us <= 259200000000
+        |                THEN touch_type END, 'none') AS channel,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS attributed_revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dau_wau_stickiness" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM active GROUP BY day),
+        |grid AS (SELECT DISTINCT day AS d FROM active),
+        |wau AS (
+        |  SELECT g.d AS day, COUNT(DISTINCT a.user_id) AS wau
+        |  FROM active a JOIN grid g ON g.d - a.day BETWEEN 0 AND 6
+        |  GROUP BY g.d)
+        |SELECT dau.day, dau, wau,
+        |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
 
     "string_sim_funcs" ->
       """WITH c AS (SELECT c_custkey, c_name,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed vector aggregation over `array<float>` embedding columns
@@ -34,4 +34,53 @@ object Embeddings {
     df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "__v")))
       .groupBy(col(groupCol), col("pos"))
       .agg(avg(col("__v")).as("value"))
+
+  /** Cross-engine-REPRODUCIBLE nearest-centroid assignment: squared-L2
+    * distances accumulated as exact decimals (each (x−c)² double is
+    * cast to DECIMAL(38,18) before summing, so the total is independent
+    * of summation order — the non-associativity of double addition is
+    * what makes `IvfSearch.trainKMeans` honestly non-deterministic),
+    * argmin tie-broken by cluster id. `centroids` must be pre-rounded
+    * (see `lloydIterExact`) so both engines compare against
+    * bit-identical prototypes. Map-side only: the centroid table rides
+    * into the closure as a literal.
+    */
+  def assignExact(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    // scale 18 with headroom precision: (28,18)+(28,18) promotes to
+    // (29,18) — same scale, so the cast back to the accumulator type is
+    // lossless (at precision 38 Spark would CAP and shave the scale)
+    val zero = lit(new java.math.BigDecimal(0)).cast("decimal(28,18)")
+    val dists = centroids.map { case (cid, c) =>
+      val d2 = aggregate(
+        zip_with(vec, typedLit(c), (x, cc) => (x - cc) * (x - cc)),
+        zero,
+        (acc, d) => (acc + d.cast("decimal(28,18)")).cast("decimal(28,18)"))
+      struct(d2.as("d"), lit(cid).as("cid"))
+    }
+    array_min(array(dists: _*)).getField("cid")
+  }
+
+  /** One exact Lloyd iteration: assign with `assignExact`, recompute
+    * per-cluster per-dim means, ROUND them to 6 dp (the rounding is the
+    * cross-engine determinism contract: the next iteration's inputs are
+    * bit-identical on any engine that reproduces the rounded means),
+    * and collect the k×dim table (bounded — same driver-side posture as
+    * IvfSearch's quantizer training). Clusters that lose all members
+    * drop out (k may shrink).
+    */
+  def lloydIterExact(
+      vecs: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] = {
+    val assigned = vecs.select(
+      assignExact(col(vecCol), centroids).as("cluster"), col(vecCol))
+    centroidDims(assigned, "cluster", vecCol)
+      .select(col("cluster"), col("pos"), round(col("value"), 6).as("value"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).sortBy(_._1).map(_._2)
+        cid -> dims.toArray
+      }
+      .toSeq.sortBy(_._1)
+  }
 }
