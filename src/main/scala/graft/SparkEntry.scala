@@ -167,6 +167,37 @@ object SparkEntry {
        |FROM sums ORDER BY event_type""".stripMargin
   }
 
+  /** Population Stability Index per price bucket across a date split —
+    * one SQL text for both engines: FILTER-clause counts are exact
+    * bigints, the PSI term runs the identical double expression on
+    * both sides.
+    */
+  private[graft] val driftPsiSql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+       |    COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1998-06-01') AS n_a,
+       |    COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1998-06-01') AS n_b
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb FROM b)
+       |SELECT bucket, n_a, n_b,
+       |  ${sqlR6z("(CAST(n_a AS DOUBLE) / t.ta - CAST(n_b AS DOUBLE) / t.tb) * ln((CAST(n_a AS DOUBLE) / t.ta) / (CAST(n_b AS DOUBLE) / t.tb))")} AS psi_term
+       |FROM b, t ORDER BY bucket""".stripMargin
+
+  /** ANSI `NOT IN` tri-state semantics — one SQL text for both
+    * engines: a NULL in the value list poisons every membership test
+    * (neither true nor false), so the second count is 0 by the
+    * standard, not by accident.
+    */
+  private[graft] val notInNullsSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                           WHERE o_orderstatus = 'P')) AS n_no_p_orders,
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL
+      |                                       ELSE o_custkey END
+      |                           FROM orders)) AS n_null_poisoned""".stripMargin
+
   /** Correlated LATERAL top-n — one SQL text for both engines; ties
     * broken by o_orderkey so the LIMIT cut is deterministic.
     */
@@ -1455,6 +1486,50 @@ object SparkEntry {
           col("value").as("y"))
         .createOrReplaceTempView("xy")
       s.sql(trendSlopeSql("xy"))
+    }),
+
+    // distribution drift between corpus halves (Population Stability
+    // Index per price bucket) — the training-data drift monitor: one
+    // scan builds both halves' bucket counts via FILTER aggregates, the
+    // PSI terms are one shared double-expression text over exact
+    // bigint counts. All 10 buckets are populated in both halves at
+    // every SF; zero-mass buckets would need epsilon smoothing (the
+    // term diverges), which production callers add upstream.
+    "drift_psi" -> ((s, dir) => {
+      Source.registerAll(s, dir, Seq("orders"))
+      s.sql(driftPsiSql)
+    }),
+
+    // ANSI NOT IN tri-state semantics, pinned as a shared SQL text: the
+    // null-free subquery anti-joins normally; one NULL in the list
+    // makes NOT IN unknowable for every probe row (count 0) — Spark
+    // plans the latter as a null-aware anti join, not a per-row loop
+    "not_in_null_semantics" -> ((s, dir) => {
+      Source.registerAll(s, dir, Seq("customer", "orders"))
+      s.sql(notInNullsSql)
+    }),
+
+    // top session paths: gap-sessionize (same 30-min rule as
+    // sessionize_batch), order each session's first 5 event types into
+    // a path string, count sessions per path — the clickstream pattern
+    // miner; per-session state is a bounded array, ties at the top-20
+    // cut broken by path text so the LIMIT is deterministic
+    "top_paths" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000000
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val prev = lag(col("us"), 1).over(w)
+      val isNew = when(prev.isNull || col("us") - prev > gapUs, 1L).otherwise(0L)
+      val sess = e.withColumn("session_id",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "session_id")
+        .agg(concat_ws(">", transform(
+          slice(array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("event_type")))), 1, 5),
+          x => x.getField("event_type"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("path")).limit(20)
     }),
 
     // two exact Lloyd (k-means) iterations, REPRODUCIBLE cross-engine:
@@ -2965,6 +3040,31 @@ object SparkEntry {
         |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
         |    value AS y
         |  FROM events WHERE value IS NOT NULL)""".stripMargin),
+
+    "drift_psi" -> driftPsiSql,
+
+    "not_in_null_semantics" -> notInNullsSql,
+
+    "top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, us, event_type,
+        |    CASE WHEN us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) IS NULL
+        |           OR us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, event_id, us, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS session_id
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    array_to_string(list_slice(list(event_type ORDER BY us, event_id), 1, 5), '>') AS path
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "kmeans_iter" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
