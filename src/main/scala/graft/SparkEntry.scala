@@ -977,6 +977,22 @@ object SparkEntry {
           expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
         .orderBy("l_returnflag")),
 
+    // EXACT quantiles with BOUNDED memory (operators/Quantiles):
+    // successive histogram refinement — same values as the buffering
+    // `percentile` above (identical oracle), but executor state is
+    // per-cell scalars, so it survives the 100 TB group that OOMs the
+    // buffer. ~3 extra scans is the price of exactness at scale.
+    "quantiles_scalable" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val q = Quantiles.exactQuantiles(li, "l_returnflag", "l_quantity", Seq(0.5, 0.9))
+      val qp = Quantiles.exactQuantiles(li, "l_returnflag", "l_extendedprice", Seq(0.99))
+      q.keys.toSeq.sorted
+        .map(g => (g, q(g)(0.5), q(g)(0.9), qp(g)(0.99)))
+        .toDF("l_returnflag", "p50", "p90", "p99_price")
+        .orderBy("l_returnflag")
+    }),
+
     // the scale-safe variant: approx_percentile keeps a bounded
     // Greenwald-Khanna sketch per group (O(1/eps * log(eps*n)) entries,
     // not the group's values), so it survives 100 TB groups where exact
@@ -1488,6 +1504,20 @@ object SparkEntry {
       s.sql(trendSlopeSql("xy"))
     }),
 
+    // cumulative distinct users per day (growth curve): the window
+    // count-distinct that doesn't exist becomes first-seen-day per user
+    // (one groupBy) + a running sum over the tiny day table — no
+    // per-day user-set state anywhere
+    "cum_distinct_users" -> ((s, dir) => {
+      val firstSeen = events(s, dir)
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstSeen
+        .withColumn("cum_users", sum("n_new").over(w))
+        .orderBy("day")
+    }),
+
     // distribution drift between corpus halves (Population Stability
     // Index per price bucket) — the training-data drift monitor: one
     // scan builds both halves' bucket counts via FILTER aggregates, the
@@ -1987,6 +2017,13 @@ object SparkEntry {
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "quantiles_scalable" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.9) AS p90,
@@ -3040,6 +3077,16 @@ object SparkEntry {
         |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
         |    value AS y
         |  FROM events WHERE value IS NOT NULL)""".stripMargin),
+
+    "cum_distinct_users" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT day, COUNT(*) AS n_new FROM fs GROUP BY day)
+        |SELECT day, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
 
     "drift_psi" -> driftPsiSql,
 

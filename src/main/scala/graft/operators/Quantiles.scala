@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** EXACT grouped quantiles with BOUNDED memory — the scale-safe answer
+  * to `percentile`'s buffer-every-value aggregation (which OOMs on a
+  * 100 TB group) when "approx" is not acceptable.
+  *
+  * Successive histogram refinement: each round bucketizes every
+  * target's live interval into `buckets` equal-width cells in ONE
+  * broadcast-join + aggregate over the (persisted) input, keeping
+  * per-cell (count, min, max). The driver walks the ≤ buckets-row
+  * histogram to the cell holding the wanted rank and recurses on that
+  * cell's [min, max] — so resolution multiplies by ≥`buckets` per
+  * round, a cell whose min == max IS the order statistic (mass points
+  * resolve without ever enumerating duplicates), and a cell whose
+  * count ≤ `collectLimit` finishes by exact selection on a bounded
+  * collect. State per target is three scalars; executor memory is
+  * independent of group size. Cost: ~2-4 scans of the value column —
+  * the price of exactness without the buffer.
+  *
+  * All remaining-rank bookkeeping is integral; bucket boundaries are
+  * only ever *data values* (per-cell min/max), so the interval filters
+  * reselect exactly the cell's rows (bucket index is monotone in the
+  * value, cells are value-intervals).
+  */
+object Quantiles {
+
+  private case class Target(group: String, rank: Long)
+  private case class State(lo: Double, hi: Double, r: Long)
+
+  /** The exact 0-based `rank`-th smallest `valueCol` (nulls excluded)
+    * per group per requested rank. Returns (group → rank → value).
+    */
+  def exactOrderStats(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ranksByGroup: Map[String, Seq[Long]],
+      buckets: Int = 1024, collectLimit: Int = 4096, maxIter: Int = 8)
+      : Map[String, Map[Long, Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = in.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      var live = ranksByGroup.toSeq.flatMap { case (g, ranks) =>
+        val (lo, hi) = bounds(g)
+        ranks.distinct.map(k => Target(g, k) -> State(lo, hi, k))
+      }.toMap
+      val resolved = scala.collection.mutable.Map[Target, Double]()
+      var toCollect = Map[Target, State]()
+      var iter = 0
+      while (live.nonEmpty) {
+        require(iter < maxIter,
+          s"quantile refinement did not converge in $maxIter rounds (${live.size} targets live)")
+        iter += 1
+        // one histogram job for ALL live targets: tid joins by group,
+        // rows outside a target's interval drop in the join condition
+        val liveSeq = live.toSeq
+        val tgt = liveSeq.zipWithIndex.map { case ((t, st), i) =>
+          (i, t.group, st.lo, st.hi)
+        }.toDF("tid", "tg", "lo", "hi")
+        val width = (col("hi") - col("lo")) / buckets
+        val idx = least(lit(buckets - 1),
+          floor((col("v") - col("lo")) / width)).cast("int")
+        val hist = in.join(broadcast(tgt),
+            col("g") === col("tg") && col("v").between(col("lo"), col("hi")))
+          .select(col("tid"),
+            when(col("hi") === col("lo"), lit(0)).otherwise(idx).as("b"), col("v"))
+          .groupBy("tid", "b")
+          .agg(count(lit(1)).as("n"), min("v").as("bl"), max("v").as("bh"))
+          .collect()
+          .groupBy(_.getInt(0))
+        val byTid = liveSeq.zipWithIndex.map { case ((t, st), i) => i -> (t, st) }.toMap
+        val next = scala.collection.mutable.Map[Target, State]()
+        byTid.foreach { case (tid, (t, st)) =>
+          val cells = hist(tid).map(r =>
+            (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+          var rem = st.r
+          val cell = cells.find { case (_, n, _, _) =>
+            if (rem < n) true else { rem -= n; false }
+          }.get
+          val (_, n, bl, bh) = cell
+          if (bl == bh) resolved(t) = bl
+          else if (n <= collectLimit) toCollect += t -> State(bl, bh, rem)
+          else next(t) = State(bl, bh, rem)
+        }
+        live = next.toMap
+      }
+      if (toCollect.nonEmpty) {
+        val collectSeq = toCollect.toSeq
+        val tgt = collectSeq.zipWithIndex.map { case ((t, st), i) =>
+          (i, t.group, st.lo, st.hi)
+        }.toDF("tid", "tg", "lo", "hi")
+        val vals = in.join(broadcast(tgt),
+            col("g") === col("tg") && col("v").between(col("lo"), col("hi")))
+          .select(col("tid"), col("v"))
+          .collect().groupBy(_.getInt(0))
+        collectSeq.zipWithIndex.foreach { case ((t, st), tid) =>
+          val sorted = vals(tid).map(_.getDouble(1)).sorted
+          resolved(t) = sorted(st.r.toInt)
+        }
+      }
+      resolved.toSeq.groupBy(_._1.group)
+        .map { case (g, xs) => g -> xs.map { case (t, v) => t.rank -> v }.toMap }
+    } finally in.unpersist()
+  }
+
+  /** Exact continuous-interpolation quantiles (the `percentile` /
+    * `quantile_cont` definition: h = (n−1)·p, interpolate between the
+    * ⌊h⌋-th and ⌈h⌉-th order statistics) built on `exactOrderStats` —
+    * same values as Spark's buffering `percentile`, bounded memory.
+    * Returns (group → p → quantile).
+    */
+  def exactQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String, ps: Seq[Double],
+      buckets: Int = 1024, collectLimit: Int = 4096)
+      : Map[String, Map[Double, Double]] = {
+    val counts = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ranks = counts.map { case (g, n) =>
+      g -> ps.flatMap { p =>
+        val h = (n - 1) * p
+        Seq(math.floor(h).toLong, math.ceil(h).toLong)
+      }.distinct
+    }
+    val stats = exactOrderStats(df, groupCol, valueCol, ranks,
+      buckets = buckets, collectLimit = collectLimit)
+    counts.map { case (g, n) =>
+      g -> ps.map { p =>
+        val h = (n - 1) * p
+        val k0 = math.floor(h).toLong
+        val k1 = math.ceil(h).toLong
+        val v0 = stats(g)(k0)
+        val v1 = stats(g)(k1)
+        // Spark percentile's interpolation shape (== quantile_cont here)
+        p -> (if (k0 == k1) v0 else v0 + (h - k0) * (v1 - v0))
+      }.toMap
+    }
+  }
+}
