@@ -150,7 +150,11 @@ object SparkEntry {
     * integer/pass-through arithmetic, so it cannot introduce drift.
     */
   private[graft] def trendSlopeSql(table: String, preludeCte: String = ""): String = {
-    val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    // zero x-variance (all events on one day, or n = 1) must be NULL on
+    // BOTH engines: Spark's non-ANSI x/0 is NULL while DuckDB's double
+    // division gives Inf/NaN — the CASE keeps the shared text shared
+    val slope = "(CASE WHEN n * sxx - sx * sx = 0 THEN NULL" +
+      " ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END)"
     val head = if (preludeCte.isEmpty) "WITH sums AS (" else s"WITH $preludeCte,\nsums AS ("
     s"""$head
        |  SELECT event_type,
@@ -163,7 +167,7 @@ object SparkEntry {
        |SELECT event_type,
        |  CAST(n AS BIGINT) AS n_rows,
        |  ${sqlR6z(slope)} AS slope_per_day,
-       |  ${sqlR6z(s"(sy - ($slope) * sx) / n")} AS intercept
+       |  ${sqlR6z(s"(sy - $slope * sx) / n")} AS intercept
        |FROM sums ORDER BY event_type""".stripMargin
   }
 
@@ -1580,7 +1584,13 @@ object SparkEntry {
       val assigned = vecs
         .select(Embeddings.assignExact(col("v"), c1).as("cluster"), col("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val l1 = Embeddings.centroidDims(assigned, "cluster", "v")
+      // final means with the same decimal-exact shape as lloydIterExact
+      // (avg() would be partition-order-dependent before the rounding)
+      val l1 = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "__v")))
+        .groupBy("cluster", "pos")
+        .agg((sum(col("__v").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)).cast("double")).as("value"))
         .select(col("cluster"), round(col("value"), 6).as("value"))
         .groupBy("cluster")
         .agg(round(sum(abs(col("value")).cast("decimal(28,6)")).cast("double"), 6)
@@ -3127,7 +3137,9 @@ object SparkEntry {
         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         |         FROM d1) WHERE rn = 1),
         |vd AS (SELECT vec_id, unnest(v) AS vx, generate_subscripts(v, 1) AS pos FROM v),
-        |c1 AS (SELECT a1.cid, vd.pos, round(avg(vd.vx), 6) AS cx
+        |c1 AS (SELECT a1.cid, vd.pos,
+        |         round(CAST(SUM(CAST(vd.vx AS DECIMAL(28,12))) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE), 6) AS cx
         |       FROM vd JOIN a1 USING (vec_id) GROUP BY a1.cid, vd.pos),
         |d2t AS (
         |  SELECT vd.vec_id, c1.cid,
@@ -3137,7 +3149,9 @@ object SparkEntry {
         |         SELECT vec_id, cid,
         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         |         FROM d2t) WHERE rn = 1),
-        |c2 AS (SELECT a2.cid, vd.pos, round(avg(vd.vx), 6) AS cx
+        |c2 AS (SELECT a2.cid, vd.pos,
+        |         round(CAST(SUM(CAST(vd.vx AS DECIMAL(28,12))) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE), 6) AS cx
         |       FROM vd JOIN a2 USING (vec_id) GROUP BY a2.cid, vd.pos),
         |l1 AS (SELECT cid,
         |         round(CAST(SUM(CAST(abs(cx) AS DECIMAL(28,6))) AS DOUBLE), 6) AS centroid_l1

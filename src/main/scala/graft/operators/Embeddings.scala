@@ -61,19 +61,24 @@ object Embeddings {
   }
 
   /** One exact Lloyd iteration: assign with `assignExact`, recompute
-    * per-cluster per-dim means, ROUND them to 6 dp (the rounding is the
-    * cross-engine determinism contract: the next iteration's inputs are
-    * bit-identical on any engine that reproduces the rounded means),
-    * and collect the k×dim table (bounded — same driver-side posture as
-    * IvfSearch's quantizer training). Clusters that lose all members
-    * drop out (k may shrink).
+    * per-cluster per-dim means from DECIMAL-exact sums (one double
+    * division of order-free operands — plain avg() would re-admit the
+    * partition-summation-order dependence assignExact exists to kill),
+    * ROUND to 6 dp (the cross-engine contract: the next iteration's
+    * inputs are bit-identical on any engine reproducing the rounded
+    * means), and collect the k×dim table (bounded — same driver-side
+    * posture as IvfSearch's quantizer training). Clusters that lose
+    * all members drop out (k may shrink).
     */
   def lloydIterExact(
       vecs: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] = {
     val assigned = vecs.select(
       assignExact(col(vecCol), centroids).as("cluster"), col(vecCol))
-    centroidDims(assigned, "cluster", vecCol)
+    assigned.select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((sum(col("__v").cast("decimal(28,12)")).cast("double")
+        / count(lit(1)).cast("double")).as("value"))
       .select(col("cluster"), col("pos"), round(col("value"), 6).as("value"))
       .collect()
       .groupBy(_.getInt(0))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -31,119 +31,140 @@ object Quantiles {
   private case class Target(group: String, rank: Long)
   private case class State(lo: Double, hi: Double, r: Long)
 
-  /** The exact 0-based `rank`-th smallest `valueCol` (nulls excluded)
-    * per group per requested rank. Returns (group → rank → value).
+  /** The exact 0-based `rank`-th smallest `valueCol` (nulls and NaNs
+    * excluded — NaN has no usable order on both engines and would
+    * poison the interval bounds) per group per requested rank.
+    * Returns (group → rank → value).
+    *
+    * `maxIter` is generous headroom, not an expected cost: each round
+    * shrinks a target's interval to one cell's OCCUPIED extent (≤
+    * 1/buckets of the range), so even a log-uniform spread across all
+    * ~600 decades of double range resolves in ≈ 600/log10(buckets)
+    * rounds; benign data takes 1-3.
     */
   def exactOrderStats(
       df: DataFrame, groupCol: String, valueCol: String,
       ranksByGroup: Map[String, Seq[Long]],
-      buckets: Int = 1024, collectLimit: Int = 4096, maxIter: Int = 8)
+      buckets: Int = 1024, collectLimit: Int = 4096, maxIter: Int = 256)
       : Map[String, Map[Long, Double]] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val in = df.select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val in = prepare(df, groupCol, valueCol)
     try {
       val bounds = in.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"))
         .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-      var live = ranksByGroup.toSeq.flatMap { case (g, ranks) =>
-        val (lo, hi) = bounds(g)
-        ranks.distinct.map(k => Target(g, k) -> State(lo, hi, k))
-      }.toMap
-      val resolved = scala.collection.mutable.Map[Target, Double]()
-      var toCollect = Map[Target, State]()
-      var iter = 0
-      while (live.nonEmpty) {
-        require(iter < maxIter,
-          s"quantile refinement did not converge in $maxIter rounds (${live.size} targets live)")
-        iter += 1
-        // one histogram job for ALL live targets: tid joins by group,
-        // rows outside a target's interval drop in the join condition
-        val liveSeq = live.toSeq
-        val tgt = liveSeq.zipWithIndex.map { case ((t, st), i) =>
-          (i, t.group, st.lo, st.hi)
-        }.toDF("tid", "tg", "lo", "hi")
-        val width = (col("hi") - col("lo")) / buckets
-        val idx = least(lit(buckets - 1),
-          floor((col("v") - col("lo")) / width)).cast("int")
-        val hist = in.join(broadcast(tgt),
-            col("g") === col("tg") && col("v").between(col("lo"), col("hi")))
-          .select(col("tid"),
-            when(col("hi") === col("lo"), lit(0)).otherwise(idx).as("b"), col("v"))
-          .groupBy("tid", "b")
-          .agg(count(lit(1)).as("n"), min("v").as("bl"), max("v").as("bh"))
-          .collect()
-          .groupBy(_.getInt(0))
-        val byTid = liveSeq.zipWithIndex.map { case ((t, st), i) => i -> (t, st) }.toMap
-        val next = scala.collection.mutable.Map[Target, State]()
-        byTid.foreach { case (tid, (t, st)) =>
-          val cells = hist(tid).map(r =>
-            (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).sortBy(_._1)
-          var rem = st.r
-          val cell = cells.find { case (_, n, _, _) =>
-            if (rem < n) true else { rem -= n; false }
-          }.get
-          val (_, n, bl, bh) = cell
-          if (bl == bh) resolved(t) = bl
-          else if (n <= collectLimit) toCollect += t -> State(bl, bh, rem)
-          else next(t) = State(bl, bh, rem)
-        }
-        live = next.toMap
-      }
-      if (toCollect.nonEmpty) {
-        val collectSeq = toCollect.toSeq
-        val tgt = collectSeq.zipWithIndex.map { case ((t, st), i) =>
-          (i, t.group, st.lo, st.hi)
-        }.toDF("tid", "tg", "lo", "hi")
-        val vals = in.join(broadcast(tgt),
-            col("g") === col("tg") && col("v").between(col("lo"), col("hi")))
-          .select(col("tid"), col("v"))
-          .collect().groupBy(_.getInt(0))
-        collectSeq.zipWithIndex.foreach { case ((t, st), tid) =>
-          val sorted = vals(tid).map(_.getDouble(1)).sorted
-          resolved(t) = sorted(st.r.toInt)
-        }
-      }
-      resolved.toSeq.groupBy(_._1.group)
-        .map { case (g, xs) => g -> xs.map { case (t, v) => t.rank -> v }.toMap }
+      refine(in, ranksByGroup.map { case (g, ks) => g -> (bounds(g), ks) },
+        buckets, collectLimit, maxIter)
     } finally in.unpersist()
+  }
+
+  private def prepare(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  private def refine(
+      in: DataFrame,
+      targets: Map[String, ((Double, Double), Seq[Long])],
+      buckets: Int, collectLimit: Int, maxIter: Int)
+      : Map[String, Map[Long, Double]] = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    var live = targets.toSeq.flatMap { case (g, ((lo, hi), ranks)) =>
+      ranks.distinct.map(k => Target(g, k) -> State(lo, hi, k))
+    }.toMap
+    val resolved = scala.collection.mutable.Map[Target, Double]()
+    var toCollect = Map[Target, State]()
+    var iter = 0
+    while (live.nonEmpty) {
+      require(iter < maxIter,
+        s"quantile refinement did not converge in $maxIter rounds (${live.size} targets live)")
+      iter += 1
+      // one histogram job for ALL live targets: tid joins by group,
+      // rows outside a target's interval drop in the join condition
+      val liveSeq = live.toSeq
+      val tgt = liveSeq.zipWithIndex.map { case ((t, st), i) =>
+        (i, t.group, st.lo, st.hi)
+      }.toDF("tid", "tg", "lo", "hi")
+      val width = (col("hi") - col("lo")) / buckets
+      val idx = least(lit(buckets - 1),
+        floor((col("v") - col("lo")) / width)).cast("int")
+      val hist = in.join(broadcast(tgt),
+          col("g") === col("tg") && col("v").between(col("lo"), col("hi")))
+        .select(col("tid"),
+          when(col("hi") === col("lo"), lit(0)).otherwise(idx).as("b"), col("v"))
+        .groupBy("tid", "b")
+        .agg(count(lit(1)).as("n"), min("v").as("bl"), max("v").as("bh"))
+        .collect()
+        .groupBy(_.getInt(0))
+      val byTid = liveSeq.zipWithIndex.map { case ((t, st), i) => i -> (t, st) }.toMap
+      val next = scala.collection.mutable.Map[Target, State]()
+      byTid.foreach { case (tid, (t, st)) =>
+        val cells = hist(tid).map(r =>
+          (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+        var rem = st.r
+        val cell = cells.find { case (_, n, _, _) =>
+          if (rem < n) true else { rem -= n; false }
+        }.get
+        val (_, n, bl, bh) = cell
+        if (bl == bh) resolved(t) = bl
+        else if (n <= collectLimit) toCollect += t -> State(bl, bh, rem)
+        else next(t) = State(bl, bh, rem)
+      }
+      live = next.toMap
+    }
+    if (toCollect.nonEmpty) {
+      val collectSeq = toCollect.toSeq
+      val tgt = collectSeq.zipWithIndex.map { case ((t, st), i) =>
+        (i, t.group, st.lo, st.hi)
+      }.toDF("tid", "tg", "lo", "hi")
+      val vals = in.join(broadcast(tgt),
+          col("g") === col("tg") && col("v").between(col("lo"), col("hi")))
+        .select(col("tid"), col("v"))
+        .collect().groupBy(_.getInt(0))
+      collectSeq.zipWithIndex.foreach { case ((t, st), tid) =>
+        val sorted = vals(tid).map(_.getDouble(1)).sorted
+        resolved(t) = sorted(st.r.toInt)
+      }
+    }
+    resolved.toSeq.groupBy(_._1.group)
+      .map { case (g, xs) => g -> xs.map { case (t, v) => t.rank -> v }.toMap }
   }
 
   /** Exact continuous-interpolation quantiles (the `percentile` /
     * `quantile_cont` definition: h = (n−1)·p, interpolate between the
-    * ⌊h⌋-th and ⌈h⌉-th order statistics) built on `exactOrderStats` —
+    * ⌊h⌋-th and ⌈h⌉-th order statistics) on the refinement engine —
     * same values as Spark's buffering `percentile`, bounded memory.
-    * Returns (group → p → quantile).
+    * ONE pass gathers count+min+max per group; the projection is
+    * persisted once across all rounds. Returns (group → p → quantile).
     */
   def exactQuantiles(
       df: DataFrame, groupCol: String, valueCol: String, ps: Seq[Double],
-      buckets: Int = 1024, collectLimit: Int = 4096)
+      buckets: Int = 1024, collectLimit: Int = 4096, maxIter: Int = 256)
       : Map[String, Map[Double, Double]] = {
-    val counts = df.select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy("g").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ranks = counts.map { case (g, n) =>
-      g -> ps.flatMap { p =>
-        val h = (n - 1) * p
-        Seq(math.floor(h).toLong, math.ceil(h).toLong)
-      }.distinct
-    }
-    val stats = exactOrderStats(df, groupCol, valueCol, ranks,
-      buckets = buckets, collectLimit = collectLimit)
-    counts.map { case (g, n) =>
-      g -> ps.map { p =>
-        val h = (n - 1) * p
-        val k0 = math.floor(h).toLong
-        val k1 = math.ceil(h).toLong
-        val v0 = stats(g)(k0)
-        val v1 = stats(g)(k1)
-        // Spark percentile's interpolation shape (== quantile_cont here)
-        p -> (if (k0 == k1) v0 else v0 + (h - k0) * (v1 - v0))
-      }.toMap
-    }
+    val in = prepare(df, groupCol, valueCol)
+    try {
+      val gstats = in.groupBy("g")
+        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      val targets = gstats.map { case (g, (n, lo, hi)) =>
+        g -> ((lo, hi), ps.flatMap { p =>
+          val h = (n - 1) * p
+          Seq(math.floor(h).toLong, math.ceil(h).toLong)
+        }.distinct)
+      }
+      val stats = refine(in, targets, buckets, collectLimit, maxIter)
+      gstats.map { case (g, (n, _, _)) =>
+        g -> ps.map { p =>
+          val h = (n - 1) * p
+          val k0 = math.floor(h).toLong
+          val k1 = math.ceil(h).toLong
+          val v0 = stats(g)(k0)
+          val v1 = stats(g)(k1)
+          // Spark percentile's interpolation shape (== quantile_cont here)
+          p -> (if (k0 == k1) v0 else v0 + (h - k0) * (v1 - v0))
+        }.toMap
+      }
+    } finally in.unpersist()
   }
 }

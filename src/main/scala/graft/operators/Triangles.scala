@@ -69,16 +69,28 @@ object Triangles {
       .select(when(col("nv").isNull, lit(0L))
         .otherwise(size(array_intersect(col("nu"), col("nv"))).cast("long")).as("nc"))
     // three one-row aggregates crossed together (broadcast-trivial);
-    // Σ deg·(deg−1) is an even bigint, so /2 through double is exact
+    // Σ deg·(deg−1) sums as DECIMAL and halves with integer `div` —
+    // double division would silently round past 2^53, exactly the
+    // regime a celebrity vertex reaches
     val nodeAgg = deg.agg(count(lit(1)).as("n_nodes"),
-      (sum(col("deg") * (col("deg") - 1L)) / 2L).cast("long").as("n_wedges"))
+      expr("CAST(sum(CAST(deg AS DECIMAL(38,0)) * (deg - 1)) div 2 AS BIGINT)")
+        .as("n_wedges"))
     val edgeAgg = e.agg(count(lit(1)).as("n_edges"))
     val triAgg = closures.agg(coalesce(sum(col("nc")), lit(0L)).as("n_triangles"))
     // explicit double casts: a bare `3.0` literal is DECIMAL in both
     // Spark and DuckDB SQL, and their decimal division semantics differ
-    nodeAgg.crossJoin(edgeAgg).crossJoin(triAgg)
+    val out = nodeAgg.crossJoin(edgeAgg).crossJoin(triAgg)
       .withColumn("global_cc",
         expr("round(CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)"))
       .select("n_nodes", "n_edges", "n_wedges", "n_triangles", "global_cc")
+    // the result is a single summary row: materialize it eagerly so the
+    // two cached frames can be RELEASED here (a lazy return would leak
+    // them for the session — the Components/PageRank discipline)
+    val row = out.collect()
+    val result = edges.sparkSession.createDataFrame(
+      java.util.Arrays.asList(row: _*), out.schema)
+    e.unpersist()
+    oriented.unpersist()
+    result
   }
 }
