@@ -1629,17 +1629,20 @@ object SparkEntry {
 
     // engagement stickiness: DAU / trailing-7-day WAU per observed day.
     // WAU's count-distinct-over-range (unwindowable directly) becomes a
-    // bounded explode: each (user, day) activity row joins the ≤7
-    // trailing grid days via a broadcast range join, then one exact
-    // distinct count per day
+    // bounded map-side explode — each (user, day) activity row covers
+    // exactly the 7 days it counts toward — then an EQUI-join against
+    // the observed-day grid (a non-equi BETWEEN here planned a nested-
+    // loop join; the explode keeps everything hash-joinable) and one
+    // exact distinct count per day
     "dau_wau_stickiness" -> ((s, dir) => {
       val active = events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dau = active.groupBy("day").agg(countDistinct("user_id").as("dau"))
       val grid = active.select(col("day").as("d")).distinct()
-      val wau = active.join(broadcast(grid),
-          datediff(col("d"), col("day")).between(0, 6))
+      val covers = active.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("d"))
+      val wau = covers.join(broadcast(grid), "d")
         .groupBy(col("d").as("day")).agg(countDistinct("user_id").as("wau"))
       dau.join(wau, "day")
         .select(col("day"), col("dau"), col("wau"),

@@ -151,6 +151,47 @@ object GraftProperties extends Properties("graft") {
       got == truth
     }
 
+  property("exact quantiles equal the sorted truth on log-uniform magnitudes") =
+    forAll(
+      Gen.listOfN(200, Gen.zip(Gen.choose(-30, 30), Gen.choose(1.0, 9.999))),
+      Gen.choose(0.0, 1.0)) { (mags, p) =>
+      mags.isEmpty || {
+        // values spanning up to 60 decades — the regime where equal-width
+        // refinement needs many rounds (convergence contract, maxIter)
+        val xs = mags.map { case (e, m) => m * math.pow(10.0, e) }
+        val df = xs.map(("g", _)).toDF("g", "v")
+        val got = graft.operators.Quantiles
+          .exactQuantiles(df, "g", "v", Seq(p), buckets = 16, collectLimit = 8)("g")(p)
+        val s = xs.sorted
+        val h = (s.length - 1) * p
+        val k0 = math.floor(h).toInt
+        val k1 = math.ceil(h).toInt
+        val want = if (k0 == k1) s(k0) else s(k0) + (h - k0) * (s(k1) - s(k0))
+        got == want
+      }
+    }
+
+  property("mergeIntervals equals the quadratic reference merge") =
+    forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 15L)))) { raw =>
+      raw.isEmpty || {
+        val iv = raw.map { case (s0, len) => (1L, s0, s0 + len) }
+        // reference: sort by start, sweep with a running max end
+        val ref = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+        iv.sortBy(r => (r._2, r._3)).foreach { case (_, s0, e0) =>
+          if (ref.nonEmpty && s0 <= ref.last._2) {
+            val (cnt, end) = (ref.last._1 + 1, math.max(ref.last._2, e0))
+            ref(ref.length - 1) = (cnt, end, ref.last._3)
+          } else ref += ((1L, e0, s0))
+        }
+        val want = ref.map { case (cnt, end, start) => (start, end, cnt) }.toSet
+        val got = graft.operators.TimeSeries
+          .mergeIntervals(iv.toDF("k", "s", "e"), "k", "s", "e")
+          .select(col("s"), col("e"), col("n_merged"))
+          .as[(Long, Long, Long)].collect().toSet
+        got == want
+      }
+    }
+
   property("hive-text encodeRow never yields NULL and keeps the field count") =
     forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 99L), Gen.option(Gen.alphaNumStr.map(_.take(8)))))) {
       rows =>
