@@ -19,7 +19,11 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # Full-precision repr: the driver hashes values at (at least) full
+        # double precision, so a 9-sig-digit normalization here can hide a
+        # cross-engine ulp drift that the driver gate then flags (this is
+        # exactly how the r6 trend_slope miss slipped through localcheck).
+        return repr(v)
     return str(v)
 
 

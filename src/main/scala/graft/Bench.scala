@@ -70,6 +70,11 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    // the per-query line above outgrew the driver's 2000-char tail
+    // capture (~133 queries), which truncated its LEADING totals fields
+    // in the r6 artifact — so the totals are ALSO emitted as a short
+    // final line that always fits inside any tail capture
+    println(f"""{"metric":"totals_tail","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

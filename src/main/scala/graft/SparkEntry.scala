@@ -58,6 +58,23 @@ object SparkEntry {
   private def sqlR6z(e: String): String =
     s"(CASE WHEN round($e, 6) = 0 THEN CAST(0 AS DOUBLE) ELSE round($e, 6) END)"
 
+  /** One-row recall ASSERTION for the honestly-approximate ANN paths:
+    * recall@k of `approx` against the exact top-k must clear the same
+    * ≥0.9 gate SimilaritySpec pins. The measured VALUE is not emitted —
+    * the IVF quantizer trains with double avg() (honestly partition-
+    * order-dependent), so the exact recall can wobble run-to-run while
+    * staying comfortably above the gate; a boolean at the gate
+    * threshold is the strongest hash-stable driver row.
+    */
+  private def annRecallRow(
+      s: SparkSession, approx: DataFrame, exact: DataFrame,
+      nQueries: Long, k: Int): DataFrame =
+    approx.join(exact.select(col("qid"), col("id")), Seq("qid", "id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(nQueries).as("n_queries"), lit(k).as("k"),
+        (col("n_hits").cast("double") >= lit(0.9) * lit(nQueries * k).cast("double"))
+          .as("recall_ge_090"))
+
   /** Higher moments + correlation from explicit decimal power sums —
     * ONE ANSI SQL text executed verbatim by both Spark and the DuckDB
     * oracle, so the double arithmetic is expression-for-expression
@@ -155,6 +172,12 @@ object SparkEntry {
     // division gives Inf/NaN — the CASE keeps the shared text shared
     val slope = "(CASE WHEN n * sxx - sx * sx = 0 THEN NULL" +
       " ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END)"
+    // The intercept must be derived from the 6-dp-ROUNDED slope: |sx| is
+    // ~2e7 at sf0.1, so a cross-engine last-ulp difference in the raw
+    // slope is amplified ~2e7× — past the 6-dp rounding of the intercept
+    // itself. Rounding first makes both engines multiply bit-identical
+    // operands (the same trick kmeansIterSql uses for means).
+    val slopeR = sqlR6z(slope)
     val head = if (preludeCte.isEmpty) "WITH sums AS (" else s"WITH $preludeCte,\nsums AS ("
     s"""$head
        |  SELECT event_type,
@@ -166,8 +189,8 @@ object SparkEntry {
        |  FROM $table GROUP BY event_type)
        |SELECT event_type,
        |  CAST(n AS BIGINT) AS n_rows,
-       |  ${sqlR6z(slope)} AS slope_per_day,
-       |  ${sqlR6z(s"(sy - $slope * sx) / n")} AS intercept
+       |  $slopeR AS slope_per_day,
+       |  ${sqlR6z(s"(sy - $slopeR * sx) / n")} AS intercept
        |FROM sums ORDER BY event_type""".stripMargin
   }
 
@@ -1052,9 +1075,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
-    "dedup_simhash" -> ((s, dir) =>
-      SimHashDedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 7)
-        .orderBy("id_a", "id_b")),
+    // PORTABLE-hash simhash so the pair set is engine-independent and
+    // DuckDB can oracle it with an exact quadratic bit_count(xor(..))
+    // formulation (the r6 verdict's last rows-only dedup op). The
+    // pigeonhole candidate machinery is the SAME code the fast native
+    // path uses (nearDupPairsFromSigs); only the signature family
+    // differs — the native xxhash64 path stays pinned by DedupSpec.
+    "dedup_simhash" -> ((s, dir) => {
+      val sigs = t(s, dir, "documents").select(
+        col("doc_id"),
+        transform(Text.tokens(col("text")), tk => SimHashDedup.portableTokenHash(tk)).as("hs"))
+        .select(col("doc_id"), SimHashDedup.portableSimhash(col("hs")).as("sig"))
+      SimHashDedup.nearDupPairsFromSigs(sigs, "doc_id", "sig", maxDist = 7)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       JaccardDedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1378,8 +1413,8 @@ object SparkEntry {
     // IVF-PQ composition (faiss IVFPQ shape): probe-pruned candidate
     // lists scored from PQ codes, exact rerank on the shortlist.
     // Honestly approximate — recall bounded by the probe pruning like
-    // ann_ivf, so rows-only at the gate; >= 0.9 recall vs brute force
-    // pinned in SimilaritySpec
+    // ann_ivf — so the driver row IS the recall assertion vs the exact
+    // top-k (same ≥0.9 gate SimilaritySpec pins), oracled below
     "ann_ivfpq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1387,9 +1422,14 @@ object SparkEntry {
       val n = corpus.count()
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      PqSearch.ivfPqTopK(corpus, queries, 5, dim = 64, corpusSize = Some(n))
-        .select(col("qid"), col("id"), col("rank"))
-        .orderBy("qid", "rank")
+      val approx = PqSearch.ivfPqTopK(corpus, queries, 5, dim = 64, corpusSize = Some(n))
+      val out = annRecallRow(s, approx, SimilaritySearch.bruteForceTopK(corpus, queries, 5),
+        nQueries = 5, k = 5)
+      // one-row result: materialize eagerly, release the corpus cache
+      val rows = out.collect()
+      val result = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      corpus.unpersist()
+      result
     }),
 
     // PQ compressed-scan ANN: ADC shortlist (100) + exact cosine rerank.
@@ -1405,24 +1445,30 @@ object SparkEntry {
       val n = corpus.count()
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      PqSearch.pqTopK(corpus, queries, 5, dim = 64, corpusSize = Some(n))
+      val out = PqSearch.pqTopK(corpus, queries, 5, dim = 64, corpusSize = Some(n))
         .select(col("qid"), col("id"), col("rank"))
         .orderBy("qid", "rank")
+      // k×queries rows: materialize eagerly, release the corpus cache
+      val rows = out.collect()
+      val result = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      corpus.unpersist()
+      result
     }),
 
     // nProbe = 28/32: the fixture embeddings are unclustered (random +
     // a planted pair), where IVF needs near-exhaustive probing — recall
     // 0.96 at 28 probes, measured vs brute force (SimilaritySpec pins
     // ≥ 0.9). IVF's partial-probe sweet spot exists only on clustered
-    // corpora (also pinned in SimilaritySpec); rows-only for the driver.
+    // corpora (also pinned in SimilaritySpec); the driver row is the
+    // recall assertion vs the exact top-k, oracled below.
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      IvfSearch.ivfTopK(corpus, queries, 5, nLists = 32, nProbe = 28)
-        .select(col("qid"), col("id"), col("rank"))
-        .orderBy("qid", "rank")
+      val approx = IvfSearch.ivfTopK(corpus, queries, 5, nLists = 32, nProbe = 28)
+      annRecallRow(s, approx, SimilaritySearch.bruteForceTopK(corpus, queries, 5),
+        nQueries = 5, k = 5)
     }),
 
     "cosine_near_dup" -> ((s, dir) => {
@@ -1459,6 +1505,19 @@ object SparkEntry {
       Multimodal.sampleFrames(
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")),
+
+    // REAL container decode, end to end: build valid PNG/WAV containers
+    // from doc rows (encodePng/encodeWav — proper signatures, chunk
+    // CRCs, RIFF layout), then PARSE the bytes back in the mapPartitions
+    // batch path. The oracle predicts every decoded field from integer
+    // arithmetic on the table columns — so a parser bug (endianness,
+    // offset, CRC, chunk walk) hash-mismatches instead of hiding.
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeContainerMeta(
+          Multimodal.asContainerMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("channels"), col("sample_rate"), col("n_samples"), col("duration_us"))
         .orderBy("media_id")),
 
     // ---- interval / trend analytics ----
@@ -1596,10 +1655,18 @@ object SparkEntry {
         .agg(round(sum(abs(col("value")).cast("decimal(28,6)")).cast("double"), 6)
           .as("centroid_l1"))
       val cnt = assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
-      cnt.join(l1, "cluster")
+      val out = cnt.join(l1, "cluster")
         .select(col("cluster").cast("long").as("cluster"), col("n_members"),
           col("centroid_l1"))
         .orderBy("cluster")
+      // k-row summary: materialize eagerly so both cached frames are
+      // RELEASED here (lazy return would leak two corpus-sized caches
+      // for the session — the Triangles.stats discipline)
+      val rows = out.collect()
+      val result = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      assigned.unpersist()
+      vecs.unpersist()
+      result
     }),
 
     // last-touch marketing attribution: each purchase credits the most
@@ -1644,10 +1711,16 @@ object SparkEntry {
         explode(sequence(col("day"), date_add(col("day"), 6))).as("d"))
       val wau = covers.join(broadcast(grid), "d")
         .groupBy(col("d").as("day")).agg(countDistinct("user_id").as("wau"))
-      dau.join(wau, "day")
+      val out = dau.join(wau, "day")
         .select(col("day"), col("dau"), col("wau"),
           expr("round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)").as("stickiness"))
         .orderBy("day")
+      // per-day summary (bounded rows): materialize eagerly, release the
+      // cached activity frame (Triangles.stats discipline)
+      val rows = out.collect()
+      val result = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      active.unpersist()
+      result
     }),
 
     // fuzzy-matching scorer battery: levenshtein (Spark built-in) plus
@@ -1710,14 +1783,13 @@ object SparkEntry {
 
   // ----------------------------------------------------------------- //
 
-  /** DuckDB oracle SQL. Keys absent here (dedup_simhash — the result
-    * depends on an engine-specific hash family no other engine
-    * reproduces — and ann_ivf, whose declared operating point is
-    * honestly approximate at recall 0.96) get the driver's weaker
-    * rows-only check and are pinned by ScalaTest fixtures/recall gates
-    * instead (DedupSpec/SimilaritySpec). cosine_near_dup, dedup_minhash
-    * and ann_srp have EXACT ground-truth oracles: their LSH paths must
-    * reach full recall on the test corpus to hash-match.
+  /** DuckDB oracle SQL. cosine_near_dup, dedup_minhash and ann_srp have
+    * EXACT ground-truth oracles: their LSH paths must reach full recall
+    * on the test corpus to hash-match. dedup_simhash runs the portable
+    * md5-based hash family so the oracle's quadratic bit_count(xor())
+    * formulation reproduces the pair set exactly; ann_ivf/ann_ivfpq
+    * emit recall@k rows against the exact top-k, so their honestly
+    * approximate operating point is itself the oracled value.
     */
   def oracleSql: Map[String, String] = Map(
     "s1_projection" ->
@@ -2075,6 +2147,32 @@ object SparkEntry {
         |  FROM documents)
         |SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies, fp
         |FROM fp GROUP BY fp ORDER BY doc_id""".stripMargin,
+
+    // quadratic exact-Hamming ground truth over the portable simhash —
+    // O(n²) is oracle-side only; the Spark side must produce the same
+    // pairs through the pigeonhole equi-join (lossless by construction)
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id, list_transform(tk, t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substr(md5(t),1,15), ''),
+        |        c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c)-87 ELSE ascii(c)-48 END AS BIGINT))),
+        |      (acc, d) -> acc*16 + d)) AS hs
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0,60), i ->
+        |      CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+        |      (acc, b) -> acc + b) AS sig
+        |  FROM hs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
@@ -2684,6 +2782,23 @@ object SparkEntry {
         |  least(CAST(floor((octet_length(encode(text)) - 1) / 64) AS BIGINT) + 1, 8) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // the full decode predicted by arithmetic: odd ids are PNGs sized
+    // from n_chars, even ids are 8-bit PCM WAVs over the UTF-8 bytes
+    // (whole frames only: n_samples = bytes // channels)
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 2 = 1 THEN 1 + length(text) % 509 ELSE NULL END AS width,
+        |  CASE WHEN doc_id % 2 = 1 THEN 1 + (length(text) * 7) % 293 ELSE NULL END AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2 ELSE NULL END AS channels,
+        |  CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 3) ELSE NULL END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN strlen(text) // (1 + (doc_id // 2) % 2) ELSE NULL END AS n_samples,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN (strlen(text) // (1 + (doc_id // 2) % 2)) * 1000000
+        |            // (8000 * (1 + doc_id % 3)) ELSE NULL END AS duration_us
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     // documents.text is ASCII in the fixtures, so codepoint == byte and
     // DuckDB's ascii() reproduces the stub decoder's byte-window mean;
     // the mean's numerator is an exact integer sum on both sides, so the
@@ -2783,6 +2898,18 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
         |  FROM s)
         |SELECT qid, id, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // recall ASSERTIONS for the honestly-approximate IVF paths: the
+    // Spark side counts hits against its own exact brute-force top-k
+    // and emits `n_hits/25 >= 0.9`; the oracle states the expected
+    // verdict — a dip below the SimilaritySpec gate hash-mismatches
+    "ann_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_090
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    "ann_ivfpq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_090
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     // same exact ground truth as ann_srp: the 100-deep ADC shortlist +
     // exact rerank must recover the true top-5 to hash-match

@@ -44,6 +44,14 @@ object Embeddings {
     * (see `lloydIterExact`) so both engines compare against
     * bit-identical prototypes. Map-side only: the centroid table rides
     * into the closure as a literal.
+    *
+    * Input-magnitude contract: decimal(28,18) holds 10 integer digits,
+    * so each squared distance must stay < 1e10 (embedding coordinates
+    * roughly |x| < 3e4 at dim ~1k — every real embedding space is
+    * orders of magnitude inside this). Overflow casts to NULL under
+    * non-ANSI mode, and a null distance would sort FIRST in array_min —
+    * silently assigning the wrong cluster — so a null distance (from
+    * overflow, a null vector, or a null element) raises instead.
     */
   def assignExact(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
     // scale 18 with headroom precision: (28,18)+(28,18) promotes to
@@ -55,7 +63,11 @@ object Embeddings {
         zip_with(vec, typedLit(c), (x, cc) => (x - cc) * (x - cc)),
         zero,
         (acc, d) => (acc + d.cast("decimal(28,18)")).cast("decimal(28,18)"))
-      struct(d2.as("d"), lit(cid).as("cid"))
+      val d2Checked = when(d2.isNull, raise_error(lit(
+        s"assignExact: null squared distance to cluster $cid — decimal(28,18) " +
+          "overflow (squared distance must stay < 1e10) or null vector/element")))
+        .otherwise(d2)
+      struct(d2Checked.as("d"), lit(cid).as("cid"))
     }
     array_min(array(dists: _*)).getField("cid")
   }

@@ -49,10 +49,22 @@ object Quantiles {
       : Map[String, Map[Long, Double]] = {
     val in = prepare(df, groupCol, valueCol)
     try {
-      val bounds = in.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"))
-        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-      refine(in, ranksByGroup.map { case (g, ks) => g -> (bounds(g), ks) },
-        buckets, collectLimit, maxIter)
+      val bounds = in.groupBy("g")
+        .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+      // validate up front: an out-of-range rank would otherwise surface
+      // rounds later as an opaque NoSuchElementException inside refine
+      ranksByGroup.foreach { case (g, ks) =>
+        require(bounds.contains(g),
+          s"group '$g' has no non-null, non-NaN values in '$valueCol'")
+        val n = bounds(g)._3
+        ks.foreach(k => require(k >= 0 && k < n,
+          s"rank $k out of range for group '$g' ($n usable values — ranks are 0-based)"))
+      }
+      refine(in, ranksByGroup.map { case (g, ks) =>
+          g -> ((bounds(g)._1, bounds(g)._2), ks)
+        }, buckets, collectLimit, maxIter)
     } finally in.unpersist()
   }
 
@@ -161,8 +173,11 @@ object Quantiles {
           val k1 = math.ceil(h).toLong
           val v0 = stats(g)(k0)
           val v1 = stats(g)(k1)
-          // Spark percentile's interpolation shape (== quantile_cont here)
-          p -> (if (k0 == k1) v0 else v0 + (h - k0) * (v1 - v0))
+          // Spark percentile's EXACT interpolation shape — the weighted
+          // form (k1−h)·v0 + (h−k0)·v1, which DuckDB's quantile_cont
+          // also uses. The algebraically-equal v0 + f·(v1−v0) differs
+          // in the last ulp and fails a full-precision hash compare.
+          p -> (if (k0 == k1) v0 else (k1 - h) * v0 + (h - k0) * v1)
         }.toMap
       }
     } finally in.unpersist()

@@ -37,9 +37,14 @@ object Triangles {
     // the edge count also feeds the broadcast decision below; one job
     // over the persisted frame, reused by the final edgeAgg
     val m = e.count()
-    // degree table is |V|-sized — always broadcast into the orientation
-    val deg = broadcast(e.select(col("a").as("v")).union(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg")))
+    // degree table is |V|-sized (≤ 2m): broadcast into the orientation
+    // only while the edge count says it fits — a billion-vertex graph
+    // would OOM the driver on an unconditional broadcast; past the
+    // limit the orientation joins fall back to shuffles on the vertex
+    // key, same policy as adjSide below
+    val degBase = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val deg = if (m <= broadcastEdgeLimit) broadcast(degBase) else degBase
     val withDeg = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")

@@ -135,6 +135,93 @@ object StreamOps {
       }
       .start()
 
+  /** Seed the on-disk state for `incrementalDedupSink`: the corpus band
+    * index (built ONCE — corpus signatures are never recomputed) and the
+    * corpus text table, each under a `part=seed` partition so per-batch
+    * appends land as sibling `part=b<id>` partitions.
+    */
+  def seedDedupIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      indexDir: String, corpusDir: String,
+      nGram: Int = 3, numHashes: Int = 64, numBands: Int = 16): Unit = {
+    graft.operators.MinHashDedup.bandIndex(corpus, idCol, textCol, nGram, numHashes, numBands)
+      .withColumnRenamed(idCol, "corpus_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$indexDir/part=seed")
+    corpus.select(col(idCol).as("corpus_id"), col(textCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$corpusDir/part=seed")
+  }
+
+  /** Streaming twin of `MinHashDedup.incrementalPairs` — the daily-
+    * ingest dedup story end to end: each micro-batch of new docs probes
+    * the persistent band index (only the batch is shingled and signed;
+    * corpus signatures are read, never recomputed), emits verified
+    * near-dup pairs, then appends its OWN band buckets and texts to the
+    * index — so later batches dedup against earlier ones, not just the
+    * seed corpus.
+    *
+    * Exactly-once across restarts: every write of batch N lands in a
+    * deterministic `part=b<N>` partition with Overwrite — a replay of
+    * the same micro-batch (same data from the checkpointed source)
+    * rewrites the same partitions with the same rows instead of
+    * duplicating them (pinned across a stop/restart in StreamingSpec).
+    *
+    * Intra-batch pairs are NOT emitted (the corpus probe sees only
+    * earlier docs); run `MinHashDedup.nearDupPairs` over a batch first
+    * if same-day duplicates matter.
+    */
+  def incrementalDedupSink(
+      newDocs: DataFrame, // streaming (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      corpusDir: String,
+      pairsDir: String,
+      checkpoint: String,
+      nGram: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(idCol != "corpus_id", "idCol 'corpus_id' collides with the index id column")
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // incrementalPairs persists its probe intermediates for the one
+        // consuming action (the pairs write below). In a long-running
+        // stream those must not accumulate batch over batch, so release
+        // everything this batch pinned once its writes have run.
+        val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+        try {
+          val index = spark.read.parquet(indexDir)
+          val corpus = spark.read.parquet(corpusDir)
+          graft.operators.MinHashDedup
+            .incrementalPairs(index, corpus, b, "corpus_id", idCol, textCol,
+              nGram, numHashes, numBands, threshold)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$pairsDir/part=b$batchId")
+          // grow the index AFTER the probe: deterministic replay makes
+          // the order safe (a crash between the writes re-runs both)
+          graft.operators.MinHashDedup
+            .bandIndex(b, idCol, textCol, nGram, numHashes, numBands)
+            .withColumnRenamed(idCol, "corpus_id")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$indexDir/part=b$batchId")
+          b.select(col(idCol).as("corpus_id"), col(textCol))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$corpusDir/part=b$batchId")
+        } finally {
+          b.unpersist()
+          val pinned = spark.sparkContext.getPersistentRDDs
+          (pinned.keySet -- pinnedBefore).foreach(id =>
+            pinned.get(id).foreach(_.unpersist(blocking = false)))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** BATCH sessionization with the same gap rule as the streaming
     * `sessionize` below (a session ends after `gapUs` microseconds of
     * event-time silence): one window pass marks session starts

@@ -166,7 +166,8 @@ object GraftProperties extends Properties("graft") {
         val h = (s.length - 1) * p
         val k0 = math.floor(h).toInt
         val k1 = math.ceil(h).toInt
-        val want = if (k0 == k1) s(k0) else s(k0) + (h - k0) * (s(k1) - s(k0))
+        // weighted form: bit-identical to Spark percentile / quantile_cont
+        val want = if (k0 == k1) s(k0) else (k1 - h) * s(k0) + (h - k0) * s(k1)
         got == want
       }
     }

@@ -17,7 +17,9 @@ class QuantilesSpec extends AnyFunSuite {
     val h = (s.length - 1) * p
     val k0 = math.floor(h).toInt
     val k1 = math.ceil(h).toInt
-    if (k0 == k1) s(k0) else s(k0) + (h - k0) * (s(k1) - s(k0))
+    // the weighted form — bit-identical to Spark's percentile and
+    // DuckDB's quantile_cont (v0 + f·(v1−v0) differs in the last ulp)
+    if (k0 == k1) s(k0) else (k1 - h) * s(k0) + (h - k0) * s(k1)
   }
 
   test("exactQuantiles equals the sorted ground truth under forced refinement") {

@@ -106,6 +106,18 @@ class SkewWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("no persisted blocks outlive a call — probe caches are released (round-6 verdict)") {
+    val dft = (1 to 300).map(i => (i.toLong, (i % 13).toDouble)).toDF("id", "p")
+    val dfs = (1L to 300L).map(i => (i, s"k${i % 7}")).toDF("id", "k")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    SkewWindow.globalRunningSum(dft, "id", "p", chunks = 8).count()
+    SkewWindow.globalRank(dft, "p", tieBreak = Seq(col("id").asc), chunks = 8).count()
+    SkewWindow.globalRankBySample(dfs, "k", Seq(col("id").asc), chunks = 8).count()
+    SkewWindow.globalNtile(dft, "p", 4, tieBreak = Seq(col("id").asc), chunks = 8).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
+
   test("globalRankBySample equals the one-task row_number on string keys with heavy ties") {
     val rnd = new scala.util.Random(11)
     val df = (1L to 500L).map(i =>

@@ -141,6 +141,44 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly-once ids 1,2,3 got ${out.mkString(",")}")
   }
 
+  test("incremental dedup stream: probe the seed index, extend it per batch, replay exactly-once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val (indexDir, corpusDir, pairsDir, chk) =
+      (s"$root/index", s"$root/corpus", s"$root/pairs", s"$root/chk")
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "one two three four five six"
+    val tC = "seven eight nine ten eleven twelve"
+    val corpus = Seq((0L, tA), (1L, tB), (2L, "the quick brown fox jumps over"))
+      .toDF("doc_id", "text")
+    StreamOps.seedDedupIndex(corpus, "doc_id", "text", indexDir, corpusDir)
+    val in = MemoryStream[(Long, String)]
+    def pipeline() = StreamOps.incrementalDedupSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexDir, corpusDir, pairsDir, chk)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val q1 = pipeline()
+    try {
+      in.addData((10L, tA), (11L, tC)) // 10 dups seed doc 0; 11 is novel
+      q1.processAllAvailable()
+      in.addData((20L, tC)) // dups doc 11 from the PREVIOUS batch — index must have grown
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // batch C arrives while the query is DOWN; the restart must process
+    // it once and must NOT re-emit (or duplicate) earlier batches' pairs
+    in.addData((30L, tB))
+    val q2 = pipeline()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val pairs = spark.read.parquet(pairsDir)
+      .select("doc_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.sorted == Seq((10L, 0L, 1.0), (20L, 11L, 1.0), (30L, 1L, 1.0)),
+      s"got ${pairs.sorted.mkString(", ")}")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"stream leaked persisted RDDs across batches: $leaked")
+  }
+
   test("file source reads csv directories with the same pipeline shape") {
     import spark.implicits._
     import org.apache.spark.sql.types._
