@@ -58,6 +58,36 @@ object SparkEntry {
   private def sqlR6z(e: String): String =
     s"(CASE WHEN round($e, 6) = 0 THEN CAST(0 AS DOUBLE) ELSE round($e, 6) END)"
 
+  /** DuckDB replica of [[graft.operators.SimHashDedup.portableTokenHash]]:
+    * first 15 hex chars of md5 folded base-16 into a non-negative
+    * 60-bit BIGINT (shared with the dedup_simhash oracle).
+    */
+  private def fold60Sql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(substr(md5($e),1,15), ''),
+       |        c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c)-87 ELSE ascii(c)-48 END AS BIGINT))),
+       |      (acc, d) -> acc*16 + d)""".stripMargin
+
+  /** Interval-island merge over a `sp(doc_id, s, e)` CTE — the
+    * interval_merge pattern on character offsets, shared by the
+    * substring-dedup oracles. Ends with an `islands` CTE (no trailing
+    * comma) ready for a per-island aggregate.
+    */
+  private val spanIslandsSql: String =
+    """flagged AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS opens
+      |  FROM sp),
+      |islands AS (
+      |  SELECT doc_id, s, e,
+      |    sum(opens) OVER (PARTITION BY doc_id ORDER BY s, e
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged)""".stripMargin
+
   /** One-row recall ASSERTION for the honestly-approximate ANN paths:
     * recall@k of `approx` against the exact top-k must clear the same
     * ≥0.9 gate SimilaritySpec pins. The measured VALUE is not emitted —
@@ -1096,6 +1126,44 @@ object SparkEntry {
           nGram = 2, threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+
+    // substring-LEVEL dedup (the suffix-array-dedup intent, windowed):
+    // maximal per-doc spans whose 40-char windows recur in >=2 distinct
+    // docs — operators/SubstringDedup. Selection is CONTENT-mod
+    // (hash(win) % 4 == 0), never position-strided, so unaligned copies
+    // of a run select identical relative offsets; the gate runs the
+    // portable md5-fold family and the oracle regenerates selection AND
+    // grouping from window text in DuckDB — a hash/offset/merge bug on
+    // the Spark side mismatches instead of hiding. The codegen'd
+    // xxhash64 path is pinned in SubstringDedupSpec.
+    "dedup_substring" -> ((s, dir) =>
+      SubstringDedup.duplicatedSpans(docs(s, dir), "doc_id", "text",
+          window = 40, sampleMod = 4, minDocs = 2, portable = true)
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_len"), col("n_windows"))
+        .orderBy("doc_id", "span_start", "span_end")),
+
+    // corpus boilerplate mass: per-doc duplicated-char totals from the
+    // same span pass, zero-filled for clean docs
+    "dedup_substring_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      SubstringDedup.duplicatedCharStats(d, "doc_id", "text",
+          SubstringDedup.duplicatedSpans(d, "doc_id", "text",
+            window = 40, sampleMod = 4, minDocs = 2, portable = true))
+        .orderBy("doc_id")
+    }),
+
+    // winnowing fingerprints (Schleimer et al., SIGMOD'04): rightmost
+    // minimal hash per guard-length run — HARD guarantee that every
+    // shared run >= window+guard-1 chars surfaces, still ~2/(guard+1)
+    // selectivity. Selection reruns in DuckDB over the same md5-derived
+    // keys, so both engines pick identical fingerprint positions.
+    "dedup_winnow" -> ((s, dir) =>
+      SubstringDedup.winnowedSpans(docs(s, dir), "doc_id", "text",
+          window = 30, guard = 8, minDocs = 2, portable = true)
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_len"), col("n_windows"))
+        .orderBy("doc_id", "span_start", "span_end")),
 
     // char-n-gram flavor for unsegmented/short text (charShingles): the
     // zh-labeled slice stands in for text where word tokens are
@@ -2189,6 +2257,78 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // substring spans: regenerate every window's 60-bit md5 fold (the
+    // portableTokenHash family), apply the SAME content-mod selection
+    // (h % 4 = 0), keep hashes recurring in >=2 distinct docs, merge
+    // into islands per doc (the interval_merge pattern on char offsets)
+    "dedup_substring" ->
+      s"""WITH w AS (
+        |  SELECT d.doc_id, CAST(i AS BIGINT) AS pos,
+        |    ${fold60Sql("substr(d.text, CAST(i AS INT), 40)")} AS h
+        |  FROM documents d, LATERAL (SELECT unnest(range(1, length(d.text) - 40 + 2)) AS i)
+        |  WHERE length(d.text) >= 40),
+        |sel AS (SELECT doc_id, pos, h FROM w WHERE h % 4 = 0),
+        |dup AS (SELECT h FROM sel GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |sp AS (SELECT doc_id, pos AS s, pos + 39 AS e FROM sel WHERE h IN (SELECT h FROM dup)),
+        |$spanIslandsSql
+        |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+        |  max(e) - min(s) + 1 AS span_len, COUNT(*) AS n_windows
+        |FROM islands GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start, span_end""".stripMargin,
+
+    "dedup_substring_stats" ->
+      s"""WITH w AS (
+        |  SELECT d.doc_id, CAST(i AS BIGINT) AS pos,
+        |    ${fold60Sql("substr(d.text, CAST(i AS INT), 40)")} AS h
+        |  FROM documents d, LATERAL (SELECT unnest(range(1, length(d.text) - 40 + 2)) AS i)
+        |  WHERE length(d.text) >= 40),
+        |sel AS (SELECT doc_id, pos, h FROM w WHERE h % 4 = 0),
+        |dup AS (SELECT h FROM sel GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |sp AS (SELECT doc_id, pos AS s, pos + 39 AS e FROM sel WHERE h IN (SELECT h FROM dup)),
+        |$spanIslandsSql,
+        |spans AS (
+        |  SELECT doc_id, max(e) - min(s) + 1 AS span_len
+        |  FROM islands GROUP BY doc_id, island),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars, COUNT(*) AS n_spans
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS doc_len,
+        |  coalesce(a.dup_chars, 0) AS dup_chars, coalesce(a.n_spans, 0) AS n_spans
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // winnowing selection replayed in SQL: per-position sort keys
+    // hex16(md5) || zeropad(1e9 - pos), rightmost-min over guard=8
+    // slices, distinct — identical fingerprint positions to the Spark
+    // side by construction, then the shared dup/island tail
+    "dedup_winnow" ->
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS len FROM documents
+        |              WHERE length(text) >= 30),
+        |k AS (
+        |  SELECT doc_id, text, len - 29 AS nw,
+        |    list_transform(range(1, len - 30 + 2), i ->
+        |      substr(md5(substr(text, CAST(i AS INT), 30)), 1, 16) ||
+        |      lpad(CAST(1000000000 - i AS VARCHAR), 10, '0')) AS keys
+        |  FROM base),
+        |selk AS (
+        |  SELECT doc_id, text,
+        |    list_distinct(list_transform(range(1, greatest(nw - 7, 1) + 1), j ->
+        |      list_min(list_slice(keys, CAST(j AS INT), CAST(j + 7 AS INT))))) AS sk
+        |  FROM k),
+        |selu AS (SELECT doc_id, text, unnest(sk) AS key FROM selk),
+        |w AS (
+        |  SELECT doc_id, 1000000000 - CAST(substr(key, 17, 10) AS BIGINT) AS pos,
+        |    ${fold60Sql(
+             "substr(text, CAST(1000000000 - CAST(substr(key, 17, 10) AS BIGINT) AS INT), 30)")} AS h
+        |  FROM selu),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |sp AS (SELECT doc_id, pos AS s, pos + 29 AS e FROM w WHERE h IN (SELECT h FROM dup)),
+        |$spanIslandsSql
+        |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+        |  max(e) - min(s) + 1 AS span_len, COUNT(*) AS n_windows
+        |FROM islands GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start, span_end""".stripMargin,
 
     // components oracle: same exact-Jaccard pair set as
     // dedup_ngram_jaccard, then min reachable label via recursive CTE
