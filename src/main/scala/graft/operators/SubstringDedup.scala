@@ -110,7 +110,7 @@ object SubstringDedup {
         lpad((lit(1000000000) - i).cast("string"), 10, "0")))
     val sel = array_distinct(transform(
       sequence(lit(1), greatest(nw - (guard - 1), lit(1))),
-      j => array_min(slice(keys, j, guard))))
+      j => array_min(slice(keys, j, lit(guard)))))
     val win = col("__t").substr(col("pos"), lit(window))
     base
       .select(col("doc_id"),
