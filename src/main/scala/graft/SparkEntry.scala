@@ -1111,11 +1111,13 @@ object SparkEntry {
     // pigeonhole candidate machinery is the SAME code the fast native
     // path uses (nearDupPairsFromSigs); only the signature family
     // differs — the native xxhash64 path stays pinned by DedupSpec.
+    // Signatures come from the fused compiled md5-fold expression
+    // (NativeHash.portableSimhash60, bit-identical to the interpreted
+    // Column reference — the r7 gate spent 319 s in the HOF version).
     "dedup_simhash" -> ((s, dir) => {
       val sigs = t(s, dir, "documents").select(
         col("doc_id"),
-        transform(Text.tokens(col("text")), tk => SimHashDedup.portableTokenHash(tk)).as("hs"))
-        .select(col("doc_id"), SimHashDedup.portableSimhash(col("hs")).as("sig"))
+        graft.functions.NativeHash.portableSimhash60(Text.tokens(col("text"))).as("sig"))
       SimHashDedup.nearDupPairsFromSigs(sigs, "doc_id", "sig", maxDist = 7)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the sketch-signature hot paths.
@@ -489,6 +490,242 @@ object NativeHash {
     override def prettyName: String = "shingle_dup_ratio"
   }
 
+  // ---- portable md5-derived hashes ----
+
+  /** The engine-portable md5-derived hash family, compiled. The Column
+    * formulations ([[graft.operators.SimHashDedup.portableTokenHash]] /
+    * `portableSimhash`) split the md5 hex string and fold it with
+    * interpreted higher-order `aggregate` — correct but ~50× the CPU
+    * (the round-7 `dedup_simhash` gate spent 319 s there at sf0.1).
+    * Key identity this relies on: the base-16 fold of the first 15 hex
+    * chars of an md5 IS the big-endian u64 of the digest's first 8
+    * bytes shifted right 4 (15 nibbles = top 60 bits), so one digest
+    * yields the fold without ever printing hex. Bit-identical to the
+    * Column versions and to the DuckDB `fold60Sql` twin.
+    *
+    * One MessageDigest per thread: the helper is shared by every task
+    * the generated code runs in this JVM, and MessageDigest is stateful.
+    */
+  final class PortableHashHelper extends Serializable {
+    @transient private lazy val mdTL =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    /** Big-endian u64 of md5's first 8 bytes — the numeric value of the
+      * 16-hex-char prefix (`substr(md5(x),1,16)`) under unsigned
+      * comparison, which is how the winnowing sort keys compare.
+      */
+    def md5Prefix64(bytes: Array[Byte], off: Int, len: Int): Long = {
+      val md = mdTL.get(); md.reset()
+      md.update(bytes, off, len)
+      val d = md.digest()
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+      v
+    }
+    /** 60-bit fold: first 15 hex chars of md5 as base-16 (non-negative). */
+    def fold60(s: UTF8String): Long = {
+      val b = s.getBytes
+      md5Prefix64(b, 0, b.length) >>> 4
+    }
+    /** Charikar simhash over the 60-bit portable token hashes, one
+      * compiled pass: per-bit votes, bit set iff votes > 0. A null
+      * token votes −1 on every bit (what the Column `when` chain does).
+      */
+    def simhash60(arr: ArrayData): Long = {
+      val votes = new Array[Int](60)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        if (s == null) {
+          var b = 0
+          while (b < 60) { votes(b) -= 1; b += 1 }
+        } else {
+          val h = fold60(s)
+          var b = 0
+          while (b < 60) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+  }
+
+  case class Fold60Expr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = LongType
+    @transient private lazy val helper = new PortableHashHelper
+    override def nullSafeEval(input: Any): Any =
+      helper.fold60(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("portableHashHelper", helper, classOf[PortableHashHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.fold60($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Fold60Expr =
+      copy(child = newChild)
+    override def prettyName: String = "md5_fold60"
+  }
+
+  case class PortableSimHash60Expr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    @transient private lazy val helper = new PortableHashHelper
+    override def nullSafeEval(input: Any): Any =
+      helper.simhash60(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("portableHashHelper", helper, classOf[PortableHashHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.simhash60($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PortableSimHash60Expr =
+      copy(child = newChild)
+    override def prettyName: String = "portable_simhash60"
+  }
+
+  // ---- substring-window selection (SubstringDedup hot path) ----
+
+  /** Content-keyed selection of fixed-length character windows, one
+    * compiled pass per document. Replaces the interpreted HOF
+    * formulations in [[graft.operators.SubstringDedup]] (per-position
+    * string materialization + `array_min(slice(...))` cost the round-7
+    * `dedup_winnow` gate 73.7 s at sf0.1). Returns the 1-based window
+    * start positions, distinct and ascending — hashing of the selected
+    * (few) windows stays in Column land.
+    *
+    * Windows are code-point windows (the boundaries `substr`/`length`
+    * use on both engines), hashed over their UTF-8 bytes — identical
+    * bytes to `md5(substr(text, i, w))` / `xxhash64(substr(...))`.
+    * Selection keys compare exactly like the Column/SQL string keys
+    * they replace: the 16-hex-char md5 prefix (resp. zero-padded
+    * `hex(xxhash64)`) orders as the unsigned 64-bit hash value, and the
+    * appended `1e9 − pos` tie-break means equal hashes pick the
+    * RIGHTMOST position ("robust winnowing").
+    */
+  final class SubstringSelectHelper(window: Int, portable: Boolean) extends Serializable {
+    private val ph = new PortableHashHelper
+
+    /** Start byte offset of every code point, plus an end sentinel. */
+    private def cpOffsets(b: Array[Byte]): Array[Int] = {
+      var n = 0
+      var i = 0
+      while (i < b.length) { if ((b(i) & 0xC0) != 0x80) n += 1; i += 1 }
+      val off = new Array[Int](n + 1)
+      var w = 0
+      i = 0
+      while (i < b.length) { if ((b(i) & 0xC0) != 0x80) { off(w) = i; w += 1 }; i += 1 }
+      off(n) = b.length
+      off
+    }
+
+    private def hashAt(bytes: Array[Byte], off: Array[Int], i: Int): Long = {
+      val s = off(i); val e = off(i + window)
+      if (portable) ph.md5Prefix64(bytes, s, e - s)
+      else XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + s, e - s, 42L)
+    }
+
+    /** Positions whose window hash ≡ 0 (mod sampleMod) — the
+      * content-defined-chunking anchor rule. Portable selection uses the
+      * 60-bit fold (non-negative); native uses `pmod(xxhash64, m) = 0`,
+      * which holds iff the signed remainder is 0.
+      */
+    def contentMod(s: UTF8String, sampleMod: Int): ArrayData = {
+      val bytes = s.getBytes
+      val off = cpOffsets(bytes)
+      val n = off.length - 1
+      if (n < window) return new GenericArrayData(Array.emptyLongArray)
+      val cnt = n - window + 1
+      val out = new Array[Long](cnt)
+      var w = 0
+      var i = 0
+      while (i < cnt) {
+        val h = hashAt(bytes, off, i)
+        val hv = if (portable) h >>> 4 else h
+        if (hv % sampleMod == 0) { out(w) = (i + 1).toLong; w += 1 }
+        i += 1
+      }
+      new GenericArrayData(if (w == cnt) out else java.util.Arrays.copyOf(out, w))
+    }
+
+    /** Winnowing selection: the rightmost minimal hash of every
+      * guard-length (end-clipped) run of consecutive windows — a
+      * monotone-deque sliding minimum, O(n) total instead of the
+      * O(n·guard) string comparisons of the slice formulation. Equal
+      * hashes evict earlier positions, so ties keep the rightmost —
+      * exactly the `min(hex ‖ pad(1e9−pos))` order. Emitted picks are
+      * non-decreasing, so consecutive-dedupe = distinct.
+      */
+    def winnow(s: UTF8String, guard: Int): ArrayData = {
+      val bytes = s.getBytes
+      val off = cpOffsets(bytes)
+      val n = off.length - 1
+      if (n < window) return new GenericArrayData(Array.emptyLongArray)
+      val cnt = n - window + 1
+      val keys = new Array[Long](cnt)
+      var i = 0
+      while (i < cnt) { keys(i) = hashAt(bytes, off, i); i += 1 }
+      val q = new Array[Int](cnt) // deque of candidate indices, front = current min
+      var qh = 0; var qt = 0
+      val out = new Array[Long](cnt)
+      var w = 0; var last = -1
+      val emitFrom = math.min(guard - 1, cnt - 1) // short docs: one clipped run
+      var r = 0
+      while (r < cnt) {
+        while (qt > qh && java.lang.Long.compareUnsigned(keys(q(qt - 1)), keys(r)) >= 0) qt -= 1
+        q(qt) = r; qt += 1
+        if (r >= emitFrom) {
+          val j0 = math.max(r - guard + 1, 0)
+          while (q(qh) < j0) qh += 1
+          val p = q(qh)
+          if (p != last) { out(w) = (p + 1).toLong; w += 1; last = p }
+        }
+        r += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, w))
+    }
+  }
+
+  case class ContentModPositionsExpr(
+      child: Expression, window: Int, sampleMod: Int, portable: Boolean)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val helper = new SubstringSelectHelper(window, portable)
+    override def nullSafeEval(input: Any): Any =
+      helper.contentMod(input.asInstanceOf[UTF8String], sampleMod)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("substringSelectHelper", helper, classOf[SubstringSelectHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.contentMod($c, $sampleMod)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): ContentModPositionsExpr =
+      copy(child = newChild)
+    override def prettyName: String = "content_mod_positions"
+  }
+
+  case class WinnowPositionsExpr(
+      child: Expression, window: Int, guard: Int, portable: Boolean)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val helper = new SubstringSelectHelper(window, portable)
+    override def nullSafeEval(input: Any): Any =
+      helper.winnow(input.asInstanceOf[UTF8String], guard)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("substringSelectHelper", helper, classOf[SubstringSelectHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.winnow($c, $guard)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): WinnowPositionsExpr =
+      copy(child = newChild)
+    override def prettyName: String = "winnow_positions"
+  }
+
   // ---- sorted intersection count ----
 
   /** |a ∩ b| for two SORTED long arrays by a single merge walk — zero
@@ -561,4 +798,16 @@ object NativeHash {
 
   def shingleDupRatio(tokens: Column, n: Int): Column =
     Shims.column(ShingleDupRatioExpr(Shims.expression(tokens), n))
+
+  def fold60(s: Column): Column =
+    Shims.column(Fold60Expr(Shims.expression(s)))
+
+  def portableSimhash60(tokens: Column): Column =
+    Shims.column(PortableSimHash60Expr(Shims.expression(tokens)))
+
+  def contentModPositions(text: Column, window: Int, sampleMod: Int, portable: Boolean): Column =
+    Shims.column(ContentModPositionsExpr(Shims.expression(text), window, sampleMod, portable))
+
+  def winnowPositions(text: Column, window: Int, guard: Int, portable: Boolean): Column =
+    Shims.column(WinnowPositionsExpr(Shims.expression(text), window, guard, portable))
 }

@@ -183,9 +183,10 @@ object Multimodal {
   def encodeWav(channels: Int, sampleRate: Int, pcm: Array[Byte]): Array[Byte] = {
     require(channels > 0 && sampleRate > 0, s"bad WAV params: ch=$channels rate=$sampleRate")
     val dataLen = pcm.length - pcm.length % channels // whole frames only
-    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+    val pad = dataLen & 1 // RIFF chunks are 2-byte aligned: odd data gets a pad byte
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen + pad)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen + pad)
       .put("WAVE".getBytes("US-ASCII"))
     buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1)                     // PCM
@@ -196,6 +197,7 @@ object Multimodal {
       .putShort(8)                     // bits per sample
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
       .put(pcm, 0, dataLen)
+    // pad byte (if any) is already zero from allocate
     buf.array()
   }
 
@@ -251,6 +253,10 @@ object Multimodal {
             rate = buf.getInt(pos + 12)
             blockAlign = buf.getShort(pos + 20).toInt
           } else if (id == "data") {
+            // a data chunk extending past the file is truncation, not a
+            // shorter recording — reject rather than report plausible
+            // n_samples/duration from the claimed size
+            if (pos + 8L + size > bytes.length) return unknown
             dataLen = size.toLong
           }
           pos += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned

@@ -26,9 +26,11 @@ object SimHashDedup {
   /** Engine-PORTABLE 60-bit token hash: the first 15 hex chars of md5
     * folded as base-16 — every SQL engine with md5() reproduces it
     * exactly (15 chars keeps the fold inside a signed 64-bit range on
-    * engines whose BIGINT overflow errors rather than wraps). Slower
-    * than the codegen'd xxhash64 path — use it where a cross-engine
-    * differential oracle matters more than throughput.
+    * engines whose BIGINT overflow errors rather than wraps).
+    * This is the interpreted REFERENCE formulation (it is literally the
+    * SQL the oracle runs, in Column form); production code uses the
+    * bit-identical compiled twin [[graft.functions.NativeHash.fold60]]
+    * — NativeHashSpec pins the two equal.
     */
   def portableTokenHash(tok: Column): Column =
     aggregate(
@@ -42,7 +44,10 @@ object SimHashDedup {
     * hash's 60 usable bits (61-64 are always 0 — harmless: both sides
     * of any differential compare zero them identically). Expects the
     * ALREADY-HASHED token array so the per-token hash is computed once,
-    * not once per bit position.
+    * not once per bit position. Interpreted REFERENCE formulation —
+    * production code uses the fused compiled twin
+    * [[graft.functions.NativeHash.portableSimhash60]] (token fold +
+    * bit votes in one pass; NativeHashSpec pins the two equal).
     */
   def portableSimhash(tokenHashes: Column, bits: Int = 60): Column =
     aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) => {
@@ -57,10 +62,13 @@ object SimHashDedup {
   /** Pairs (id_a < id_b) with Hamming(simhash) <= maxDist. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     // the 64-vote simhash is the expensive branch and feeds both join
-    // sides; persist so it is computed once per doc
+    // sides; persist so it is computed once per doc, materialize the
+    // (small) pair result, and RELEASE the cache instead of leaking it
+    // for the session (localCheckpoint caveat: Components.scala)
     val sigs = Par.widen(df).select(col(idCol), simhash(Text.tokens(col(textCol))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nearDupPairsFromSigs(sigs, idCol, "sig", maxDist)
+    try nearDupPairsFromSigs(sigs, idCol, "sig", maxDist).localCheckpoint(true)
+    finally sigs.unpersist()
   }
 
   /** The pigeonhole candidate join on PRECOMPUTED signatures: split the

@@ -45,9 +45,12 @@ import org.apache.spark.sql.functions._
   * (codegen'd; grouping adds an independent second hash — a false
   * duplicate needs a 128-bit double collision). The portable path uses
   * the md5-derived folds every SQL engine reproduces
-  * ([[SimHashDedup.portableTokenHash]]) so a DuckDB differential
+  * ([[graft.functions.NativeHash.fold60]], the compiled twin of
+  * [[SimHashDedup.portableTokenHash]]) so a DuckDB differential
   * oracle can regenerate selection AND grouping bit-for-bit — the
-  * same native-vs-portable split `dedup_simhash` uses.
+  * same native-vs-portable split `dedup_simhash` uses. Both families
+  * run selection in compiled per-document passes, never interpreted
+  * higher-order folds.
   */
 object SubstringDedup {
 
@@ -60,66 +63,62 @@ object SubstringDedup {
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
   }
 
+  /** Hash of a selected window for grouping: the portable 60-bit md5
+    * fold (what the DuckDB oracle regenerates) or codegen'd xxhash64.
+    * Only the ~n/p (resp. ~2n/guard) SELECTED windows pay this — the
+    * per-position selection hash lives inside the native selection
+    * expressions ([[graft.functions.NativeHash.SubstringSelectHelper]]).
+    */
+  private def windowRows(selected: DataFrame, window: Int, portable: Boolean): DataFrame = {
+    val hashOf: Column => Column =
+      if (portable) graft.functions.NativeHash.fold60 else (w: Column) => xxhash64(w)
+    val win = col("__t").substr(col("pos"), lit(window))
+    selected.select(col("doc_id"), col("pos"),
+      hashOf(win).as("h1"),
+      (if (portable) lit(0L) else xxhash64(win, lit(1))).as("h2"))
+  }
+
   /** Content-mod selected windows → (doc_id, pos, h1, h2). A window at
-    * 1-based `pos` survives iff h1 ≡ 0 (mod sampleMod); h2 is the
-    * independent grouping hash on the native path (constant 0 on the
-    * portable path, where the 60-bit fold itself is the group key).
+    * 1-based `pos` survives iff hash(window) ≡ 0 (mod sampleMod); h2 is
+    * the independent grouping hash on the native path (constant 0 on
+    * the portable path, where the 60-bit fold itself is the group key).
+    * Selection runs in one compiled pass per document
+    * (`content_mod_positions`), not an interpreted per-position HOF.
     */
   def sampledWindows(
       df: DataFrame, idCol: String, textCol: String,
       window: Int, sampleMod: Int = 4, portable: Boolean = false): DataFrame = {
     require(sampleMod >= 1, s"sampleMod must be >= 1 (got $sampleMod)")
-    val hashOf: Column => Column =
-      if (portable) SimHashDedup.portableTokenHash else (w: Column) => xxhash64(w)
     val base = withText(df, idCol, textCol, window)
-    val win = col("__t").substr(col("pos"), lit(window))
-    base
-      .select(col("doc_id"),
-        explode(filter(
-          sequence(lit(1), length(col("__t")) - (window - 1)),
-          i => pmod(hashOf(col("__t").substr(i, lit(window))), lit(sampleMod.toLong)) === 0L
-        )).as("pos"),
-        col("__t"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        hashOf(win).as("h1"),
-        (if (portable) lit(0L) else xxhash64(win, lit(1))).as("h2"))
+    windowRows(
+      base.select(col("doc_id"),
+        explode(graft.functions.NativeHash.contentModPositions(
+          col("__t"), window, sampleMod, portable)).as("pos"),
+        col("__t")),
+      window, portable)
   }
 
   /** Winnowing-selected windows → (doc_id, pos, h1, h2). In every run
-    * of `guard` consecutive positions the window whose 64-bit hash
-    * prefix is minimal (rightmost on ties — "robust winnowing") is
-    * kept. Selection runs row-locally: per-position sort keys
-    * `hex16(hash) ++ zeropad(10⁹ − pos)` (min ⇒ smallest hash, then
-    * LARGEST pos), a sliding `array_min` over `guard`-length slices,
-    * and a distinct — documents shorter than window+guard−1 still
-    * yield one fingerprint from their single truncated slice.
+    * of `guard` consecutive positions the window whose 64-bit hash is
+    * minimal under UNSIGNED comparison (rightmost on ties — "robust
+    * winnowing") is kept; that is exactly the order of the string keys
+    * `hex16(hash) ++ zeropad(10⁹ − pos)` the DuckDB oracle sorts.
+    * Selection is a compiled monotone-deque sliding minimum
+    * (`winnow_positions`), O(n) per document; documents shorter than
+    * window+guard−1 still yield one fingerprint from their single
+    * end-clipped run.
     */
   def winnowedWindows(
       df: DataFrame, idCol: String, textCol: String,
       window: Int, guard: Int = 8, portable: Boolean = false): DataFrame = {
     require(guard >= 1, s"guard must be >= 1 (got $guard)")
-    val keyOf: Column => Column =
-      if (portable) (w: Column) => substring(md5(w.cast("binary")), 1, 16)
-      else (w: Column) => lpad(hex(xxhash64(w)), 16, "0")
-    val hashOf: Column => Column =
-      if (portable) SimHashDedup.portableTokenHash else (w: Column) => xxhash64(w)
     val base = withText(df, idCol, textCol, window)
-    val nw = length(col("__t")) - (window - 1)
-    val keys = transform(sequence(lit(1), nw), i =>
-      concat(keyOf(col("__t").substr(i, lit(window))),
-        lpad((lit(1000000000) - i).cast("string"), 10, "0")))
-    val sel = array_distinct(transform(
-      sequence(lit(1), greatest(nw - (guard - 1), lit(1))),
-      j => array_min(slice(keys, j, lit(guard)))))
-    val win = col("__t").substr(col("pos"), lit(window))
-    base
-      .select(col("doc_id"),
-        explode(transform(sel, k =>
-          lit(1000000000L) - substring(k, 17, 10).cast("long"))).as("pos"),
-        col("__t"))
-      .select(col("doc_id"), col("pos"),
-        hashOf(win).as("h1"),
-        (if (portable) lit(0L) else xxhash64(win, lit(1))).as("h2"))
+    windowRows(
+      base.select(col("doc_id"),
+        explode(graft.functions.NativeHash.winnowPositions(
+          col("__t"), window, guard, portable)).as("pos"),
+        col("__t")),
+      window, portable)
   }
 
   /** Shared back half: windows whose content occurs in ≥ minDocs
@@ -132,17 +131,27 @@ object SubstringDedup {
   private[operators] def spansFromWindows(
       wins: DataFrame, window: Int, minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
-    val dup = wins.groupBy("h1", "h2")
-      .agg(countDistinct(col("doc_id")).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("h1", "h2")
-    val spans = wins.join(dup, Seq("h1", "h2"), "left_semi")
-      .select(col("doc_id"), col("pos").as("span_start"),
-        (col("pos") + (window - 1)).as("span_end"))
-    TimeSeries.mergeIntervals(spans, "doc_id", "span_start", "span_end")
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1L).as("span_len"),
-        col("n_merged").as("n_windows"))
+    // wins feeds BOTH the distinct-doc aggregate and the span semi-join:
+    // persist so the selection subtree executes once, and materialize
+    // the (much smaller) merged-span result so the cache can be RELEASED
+    // here instead of leaking for the session. localCheckpoint ties the
+    // result to executor-local blocks — swap for `checkpoint` + a
+    // checkpoint dir on a real cluster (the Components.scala caveat).
+    val w = wins.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = w.groupBy("h1", "h2")
+        .agg(countDistinct(col("doc_id")).as("__nd"))
+        .filter(col("__nd") >= minDocs)
+        .select("h1", "h2")
+      val spans = w.join(dup, Seq("h1", "h2"), "left_semi")
+        .select(col("doc_id"), col("pos").as("span_start"),
+          (col("pos") + (window - 1)).as("span_end"))
+      TimeSeries.mergeIntervals(spans, "doc_id", "span_start", "span_end")
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1L).as("span_len"),
+          col("n_merged").as("n_windows"))
+        .localCheckpoint(true)
+    } finally w.unpersist()
   }
 
   /** Maximal duplicated spans under content-mod sampling. */

@@ -194,8 +194,18 @@ object StreamOps {
         // everything this batch pinned once its writes have run.
         val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
         try {
+          // A crash AFTER this batch's own part=b<N> index/corpus writes
+          // but BEFORE the checkpoint commit replays the batch with its
+          // own docs already in the corpus — the probe would then emit
+          // self-pairs and intra-batch pairs the original run did not.
+          // Excluding the batch's partition makes replay output identical
+          // in that crash window too (partition pruning: the filter on
+          // the discovered `part` column never reads the excluded files).
+          val self = s"b$batchId"
           val index = spark.read.parquet(indexDir)
+            .filter(col("part") =!= self).drop("part")
           val corpus = spark.read.parquet(corpusDir)
+            .filter(col("part") =!= self).drop("part")
           graft.operators.MinHashDedup
             .incrementalPairs(index, corpus, b, "corpus_id", idCol, textCol,
               nGram, numHashes, numBands, threshold)

@@ -56,9 +56,21 @@ class MultimodalSpec extends AnyFunSuite {
         val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         buf.putInt(16, -8)
         b
-      })
+      },
+      // data chunk claiming more bytes than the file holds: truncation
+      // must NOT report plausible n_samples from the claimed size
+      Multimodal.encodeWav(1, 8000, new Array[Byte](64)).dropRight(32))
     cases.foreach(b =>
       assert(Multimodal.parseContainerMeta(b).getString(0) == "unknown"))
+  }
+
+  test("WAV: odd-length data chunk gets a RIFF pad byte and still round-trips") {
+    val b = Multimodal.encodeWav(1, 8000, new Array[Byte](7)) // 7 bytes, 1ch → odd data
+    assert(b.length == 44 + 7 + 1) // pad byte present
+    val riffSize = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4)
+    assert(riffSize == b.length - 8) // RIFF size covers the pad
+    val m = Multimodal.parseContainerMeta(b)
+    assert(m.getString(0) == "wav" && m.getLong(5) == 7L)
   }
 
   test("decodeContainerMeta runs the parse in the partition-batch path") {

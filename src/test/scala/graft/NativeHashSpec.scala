@@ -240,4 +240,79 @@ class NativeHashSpec extends AnyFunSuite {
       .as[Seq[Long]].head()
     assert(bits.size == 12 && bits.forall(b => b == 0L || b == 1L))
   }
+
+  // texts covering multi-byte code points, repeats, and short/empty edges
+  private lazy val selTexts = Seq(
+    "the quick brown fox jumps over the lazy dog and keeps on running far",
+    "abcabcabcabcabcabcabcabc",
+    "汉字文本的窗口选择必须按码点对齐汉字文本的窗口选择必须按码点对齐",
+    "mixed 汉字 and ascii in one document to cross byte widths 的 here",
+    "tiny",
+    ""
+  ).toDF("t")
+
+  test("md5_fold60 equals the interpreted hex-split fold (portableTokenHash)") {
+    val rows = selTexts.filter(length(col("t")) > 0).select(
+      NativeHash.fold60(col("t")).as("nw"),
+      graft.operators.SimHashDedup.portableTokenHash(col("t")).as("old"))
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nw, old) => assert(nw == old) }
+  }
+
+  test("portable_simhash60 equals the interpreted per-token fold + vote chain") {
+    val toks = Seq(
+      Seq("the", "quick", "brown", "fox", "the", "the"),
+      Seq("汉字", "文本", "汉字"),
+      Seq("lone"),
+      Seq.empty[String]
+    ).toDF("tk")
+    val rows = toks.select(
+      NativeHash.portableSimhash60(col("tk")).as("nw"),
+      graft.operators.SimHashDedup.portableSimhash(
+        transform(col("tk"), t => graft.operators.SimHashDedup.portableTokenHash(t))).as("old"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (nw, old) => assert(nw == old) }
+  }
+
+  test("content_mod_positions equals the interpreted per-position filter, both families") {
+    val window = 6
+    for (portable <- Seq(true, false); m <- Seq(1, 4)) {
+      val hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (portable) graft.operators.SimHashDedup.portableTokenHash else c => xxhash64(c)
+      val old = filter(
+        sequence(lit(1), length(col("t")) - (window - 1)),
+        i => pmod(hashOf(col("t").substr(i, lit(window))), lit(m.toLong)) === 0L)
+      val rows = selTexts.filter(length(col("t")) >= window).select(
+        NativeHash.contentModPositions(col("t"), window, m, portable).as("nw"),
+        transform(old, p => p.cast("long")).as("old"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (nw, o) => assert(nw == o, s"portable=$portable m=$m") }
+    }
+  }
+
+  test("winnow_positions equals the interpreted key-slice formulation, both families") {
+    val window = 6
+    for (portable <- Seq(true, false); guard <- Seq(1, 4, 8, 64)) {
+      val keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (portable) w => substring(md5(w.cast("binary")), 1, 16)
+        else w => lpad(hex(xxhash64(w)), 16, "0")
+      val nw = length(col("t")) - (window - 1)
+      val keys = transform(sequence(lit(1), nw), i =>
+        concat(keyOf(col("t").substr(i, lit(window))),
+          lpad((lit(1000000000) - i).cast("string"), 10, "0")))
+      val sel = array_distinct(transform(
+        sequence(lit(1), greatest(nw - (guard - 1), lit(1))),
+        j => array_min(slice(keys, j, lit(guard)))))
+      val oldPos = array_sort(transform(sel, k =>
+        lit(1000000000L) - substring(k, 17, 10).cast("long")))
+      val rows = selTexts.filter(length(col("t")) >= window).select(
+        NativeHash.winnowPositions(col("t"), window, guard, portable).as("nw"),
+        oldPos.as("old"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (nw, o) => assert(nw == o, s"portable=$portable guard=$guard") }
+    }
+  }
 }

@@ -179,6 +179,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"stream leaked persisted RDDs across batches: $leaked")
   }
 
+  test("incremental dedup replay after a crash mid-commit emits no self- or intra-batch pairs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_crashdedup").toString
+    val (indexDir, corpusDir, pairsDir, chk) =
+      (s"$root/index", s"$root/corpus", s"$root/pairs", s"$root/chk")
+    val tA = "alpha beta gamma delta epsilon zeta"
+    StreamOps.seedDedupIndex(
+      Seq((0L, tA)).toDF("doc_id", "text"), "doc_id", "text", indexDir, corpusDir)
+    // Simulate the crash window: a previous attempt of batch 0 wrote its
+    // OWN part=b0 index/corpus partitions, then died before the
+    // checkpoint commit. The replay (fresh checkpoint, same data, same
+    // batchId 0) must probe the index WITHOUT those partitions — else
+    // doc 10 "matches" itself at jaccard 1.0 and batchmates pair up.
+    val batchDocs = Seq((10L, tA), (11L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    graft.operators.MinHashDedup.bandIndex(batchDocs, "doc_id", "text", 3, 64, 16)
+      .withColumnRenamed("doc_id", "corpus_id").write.parquet(s"$indexDir/part=b0")
+    batchDocs.select(col("doc_id").as("corpus_id"), col("text"))
+      .write.parquet(s"$corpusDir/part=b0")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.incrementalDedupSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexDir, corpusDir, pairsDir, chk)
+    try {
+      in.addData((10L, tA), (11L, "seven eight nine ten eleven twelve"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.read.parquet(pairsDir)
+      .select("doc_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((10L, 0L, 1.0)),
+      s"replay must see only the pre-batch corpus; got ${pairs.sorted.mkString(", ")}")
+  }
+
   test("file source reads csv directories with the same pipeline shape") {
     import spark.implicits._
     import org.apache.spark.sql.types._
