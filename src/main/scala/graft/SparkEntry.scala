@@ -1710,31 +1710,36 @@ object SparkEntry {
         .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
         .sortBy(_._1).toSeq
       val c1 = Embeddings.lloydIterExact(vecs, "v", seed)
-      val assigned = vecs
-        .select(Embeddings.assignExact(col("v"), c1).as("cluster"), col("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // final means with the same decimal-exact shape as lloydIterExact
-      // (avg() would be partition-order-dependent before the rounding)
-      val l1 = assigned
+      // (avg() would be partition-order-dependent before the rounding).
+      // ONE pass over the cached vecs: the (cluster, pos) partial agg
+      // carries both the mean numerator and the member count (every
+      // member contributes every pos, so count at any pos = members) —
+      // no second corpus-sized cache of assignments + full vectors.
+      // assign and explode in separate selects: a generator sharing a
+      // projection with the struct-array argmin trips the analyzer
+      // (struct field names degrade to col1/col2 under the rewrite)
+      val perPos = vecs
+        .select(graft.functions.NativeHash.assignExact(col("v"), c1).as("cluster"), col("v"))
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "__v")))
         .groupBy("cluster", "pos")
         .agg((sum(col("__v").cast("decimal(28,12)")).cast("double")
-          / count(lit(1)).cast("double")).as("value"))
-        .select(col("cluster"), round(col("value"), 6).as("value"))
+          / count(lit(1)).cast("double")).as("value"),
+          count(lit(1)).as("__n"))
+      val out = perPos
+        .select(col("cluster"), round(col("value"), 6).as("value"), col("__n"))
         .groupBy("cluster")
         .agg(round(sum(abs(col("value")).cast("decimal(28,6)")).cast("double"), 6)
-          .as("centroid_l1"))
-      val cnt = assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
-      val out = cnt.join(l1, "cluster")
+          .as("centroid_l1"),
+          max(col("__n")).as("n_members"))
         .select(col("cluster").cast("long").as("cluster"), col("n_members"),
           col("centroid_l1"))
         .orderBy("cluster")
-      // k-row summary: materialize eagerly so both cached frames are
-      // RELEASED here (lazy return would leak two corpus-sized caches
+      // k-row summary: materialize eagerly so the cached frame is
+      // RELEASED here (lazy return would leak a corpus-sized cache
       // for the session — the Triangles.stats discipline)
       val rows = out.collect()
       val result = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-      assigned.unpersist()
       vecs.unpersist()
       result
     }),

@@ -726,6 +726,84 @@ object NativeHash {
     override def prettyName: String = "winnow_positions"
   }
 
+  // ---- decimal-exact centroid assignment (Embeddings hot path) ----
+
+  /** Compiled twin of [[graft.operators.Embeddings.assignExact]]: the
+    * nearest-centroid argmin whose squared distance is accumulated in
+    * decimal(28,18) so the result is partition-order-free and
+    * reproducible on any engine. The Column formulation is a per-centroid
+    * interpreted HOF fold (k·dim boxed decimal ops per row); this runs
+    * the whole argmin in one compiled loop over primitive doubles with
+    * java.math.BigDecimal accumulation — SAME numbers:
+    *  - per element, `(x−c)²` in IEEE double, then
+    *    `BigDecimal.valueOf(sq).setScale(18, HALF_UP)` — exactly Spark's
+    *    double→decimal(28,18) cast (valueOf is the shortest-repr string
+    *    path scala.math.BigDecimal uses; setScale is changePrecision's
+    *    HALF_UP);
+    *  - running sum at scale 18; any step whose precision exceeds 28
+    *    (Spark: cast-back overflow → null → raise_error) throws the
+    *    same overflow error the Column version raises;
+    *  - argmin by (sum, cid) — the struct array_min tie-break (equal
+    *    distances pick the smallest centroid id).
+    * Null elements, NaN/infinite squares, and length mismatches all
+    * throw (the Column version nulls the fold, and its coalesce guard
+    * turns that into raise_error).
+    */
+  final class AssignExactHelper(centroids: Array[(Int, Array[Double])]) extends Serializable {
+    require(centroids.nonEmpty, "assignExact: empty centroid set")
+    private val HALF_UP = java.math.RoundingMode.HALF_UP
+
+    def assign(vec: ArrayData): Int = {
+      val n = vec.numElements()
+      var best: java.math.BigDecimal = null
+      var bestCid = 0
+      var ci = 0
+      while (ci < centroids.length) {
+        val (cid, c) = centroids(ci)
+        if (c.length != n) fail(cid)
+        var sum = java.math.BigDecimal.ZERO.setScale(18)
+        var i = 0
+        while (i < n) {
+          if (vec.isNullAt(i)) fail(cid)
+          val diff = vec.getDouble(i) - c(i)
+          val sq = diff * diff
+          if (!java.lang.Double.isFinite(sq)) fail(cid)
+          val d = java.math.BigDecimal.valueOf(sq).setScale(18, HALF_UP)
+          if (d.precision > 28) fail(cid)
+          sum = sum.add(d)
+          if (sum.precision > 28) fail(cid)
+          i += 1
+        }
+        if (best == null || {
+          val cmp = sum.compareTo(best)
+          cmp < 0 || (cmp == 0 && cid < bestCid)
+        }) { best = sum; bestCid = cid }
+        ci += 1
+      }
+      bestCid
+    }
+
+    private def fail(cid: Int): Nothing = throw new IllegalStateException(
+      s"assignExact: null squared distance to cluster $cid — decimal(28,18) " +
+        "overflow (squared distance must stay < 1e10) or null vector/element")
+  }
+
+  case class AssignExactExpr(child: Expression, centroids: Array[(Int, Array[Double])])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = IntegerType
+    @transient private lazy val helper = new AssignExactHelper(centroids)
+    override def nullSafeEval(input: Any): Any =
+      helper.assign(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("assignExactHelper", helper, classOf[AssignExactHelper].getName)
+      defineCodeGen(ctx, ev, c => s"$h.assign($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): AssignExactExpr =
+      copy(child = newChild)
+    override def prettyName: String = "assign_exact"
+  }
+
   // ---- sorted intersection count ----
 
   /** |a ∩ b| for two SORTED long arrays by a single merge walk — zero
@@ -807,6 +885,9 @@ object NativeHash {
 
   def contentModPositions(text: Column, window: Int, sampleMod: Int, portable: Boolean): Column =
     Shims.column(ContentModPositionsExpr(Shims.expression(text), window, sampleMod, portable))
+
+  def assignExact(vec: Column, centroids: Seq[(Int, Array[Double])]): Column =
+    Shims.column(AssignExactExpr(Shims.expression(vec), centroids.toArray))
 
   def winnowPositions(text: Column, window: Int, guard: Int, portable: Boolean): Column =
     Shims.column(WinnowPositionsExpr(Shims.expression(text), window, guard, portable))

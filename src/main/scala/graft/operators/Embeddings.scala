@@ -54,6 +54,11 @@ object Embeddings {
     * overflow, a null vector, or a null element) raises instead.
     */
   def assignExact(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    // Interpreted REFERENCE formulation (k·dim boxed decimal HOF ops per
+    // row — it is the decimal fold the DuckDB oracle mirrors, in Column
+    // form); production paths use the bit-identical compiled twin
+    // [[graft.functions.NativeHash.assignExact]] — NativeHashSpec pins
+    // the two equal.
     // scale 18 with headroom precision: (28,18)+(28,18) promotes to
     // (29,18) — same scale, so the cast back to the accumulator type is
     // lossless (at precision 38 Spark would CAP and shave the scale)
@@ -63,10 +68,15 @@ object Embeddings {
         zip_with(vec, typedLit(c), (x, cc) => (x - cc) * (x - cc)),
         zero,
         (acc, d) => (acc + d.cast("decimal(28,18)")).cast("decimal(28,18)"))
-      val d2Checked = when(d2.isNull, raise_error(lit(
+      // overflow guard via coalesce, NOT when(d2.isNull, …).otherwise(d2):
+      // CaseWhen evaluates the branch predicate and the otherwise arm
+      // separately, so the interpreted decimal fold would run TWICE per
+      // centroid per row (measured 2× on the kmeans_iter gate); coalesce
+      // evaluates d2 once and only reaches raise_error on null
+      val d2Checked = coalesce(d2, raise_error(lit(
         s"assignExact: null squared distance to cluster $cid — decimal(28,18) " +
-          "overflow (squared distance must stay < 1e10) or null vector/element")))
-        .otherwise(d2)
+          "overflow (squared distance must stay < 1e10) or null vector/element"))
+        .cast("decimal(28,18)"))
       struct(d2Checked.as("d"), lit(cid).as("cid"))
     }
     array_min(array(dists: _*)).getField("cid")
@@ -86,7 +96,7 @@ object Embeddings {
       vecs: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] = {
     val assigned = vecs.select(
-      assignExact(col(vecCol), centroids).as("cluster"), col(vecCol))
+      graft.functions.NativeHash.assignExact(col(vecCol), centroids).as("cluster"), col(vecCol))
     assigned.select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "__v")))
       .groupBy(col("cluster"), col("pos"))
       .agg((sum(col("__v").cast("decimal(28,12)")).cast("double")

@@ -292,6 +292,48 @@ class NativeHashSpec extends AnyFunSuite {
     }
   }
 
+  test("assign_exact equals the interpreted decimal-fold argmin, ties to smallest cid") {
+    val rng = new scala.util.Random(7L)
+    val dim = 16
+    val cents: Seq[(Int, Array[Double])] =
+      (0 until 5).map(i => i -> Array.fill(dim)(rng.nextGaussian() * 10))
+    val vecs = (Seq.fill(40)(Array.fill(dim)(rng.nextGaussian() * 10)) ++
+      Seq(cents(3)._2.clone)) // exact centroid hit
+      .map(v => Tuple1(v.toSeq)).toDF("v")
+      .select(col("v").cast("array<double>").as("v"))
+    val rows = vecs.select(
+      NativeHash.assignExact(col("v"), cents).as("nw"),
+      graft.operators.Embeddings.assignExact(col("v"), cents).as("old"))
+      .as[(Int, Int)].collect()
+    assert(rows.length == 41)
+    rows.foreach { case (nw, old) => assert(nw == old) }
+    // duplicated centroid: equal distances must pick the smaller cid
+    val dupCents = Seq(2 -> cents.head._2, 0 -> cents.head._2)
+    val tie = vecs.limit(5).select(
+      NativeHash.assignExact(col("v"), dupCents).as("nw"),
+      graft.operators.Embeddings.assignExact(col("v"), dupCents).as("old"))
+      .as[(Int, Int)].collect()
+    tie.foreach { case (nw, old) => assert(nw == 0 && old == 0) }
+  }
+
+  test("assign_exact raises on null elements and on overflow, like the guarded fold") {
+    val cents = Seq(0 -> Array(0.0, 0.0))
+    val nullVec = Seq(Tuple1(Seq[java.lang.Double](1.0, null))).toDF("v")
+      .select(col("v").cast("array<double>").as("v"))
+    val e1 = intercept[Exception] {
+      nullVec.select(NativeHash.assignExact(col("v"), cents)).collect()
+    }
+    assert(e1.getMessage != null)
+    // squared distance 1e12 per element overflows decimal(28,18)'s 10
+    // integer digits
+    val big = Seq(Tuple1(Seq(1e6, 1e6))).toDF("v")
+      .select(col("v").cast("array<double>").as("v"))
+    val e2 = intercept[Exception] {
+      big.select(NativeHash.assignExact(col("v"), cents)).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("winnow_positions equals the interpreted key-slice formulation, both families") {
     val window = 6
     for (portable <- Seq(true, false); guard <- Seq(1, 4, 8, 64)) {
