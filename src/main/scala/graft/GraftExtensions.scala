@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
 import graft.functions.{NativeHash, Text}
 import org.apache.spark.sql.graft.Shims
@@ -112,6 +112,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => NativeHash.CosineExpr(a, b)
         case _ => throw new IllegalArgumentException(
           "cosine_sim(array<float>, array<float>) expects 2 arguments")
+      }))
+    // ---- portable md5-fold hash family + substring-window selection
+    // (the compiled round-8 expressions; SQL names match prettyName) ----
+    ext.injectFunction((
+      FunctionIdentifier("md5_fold60"),
+      new ExpressionInfo(classOf[NativeHash.Fold60Expr].getName, "md5_fold60"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e) => NativeHash.Fold60Expr(e)
+        case _ => throw new IllegalArgumentException("md5_fold60(string) expects 1 argument")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("portable_simhash60"),
+      new ExpressionInfo(classOf[NativeHash.PortableSimHash60Expr].getName, "portable_simhash60"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e) => NativeHash.PortableSimHash60Expr(e)
+        case _ => throw new IllegalArgumentException(
+          "portable_simhash60(array<string>) expects 1 argument")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_dup_ratio"),
+      new ExpressionInfo(classOf[NativeHash.ShingleDupRatioExpr].getName, "shingle_dup_ratio"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, Literal(n: Int, IntegerType)) => NativeHash.ShingleDupRatioExpr(e, n)
+        case _ => throw new IllegalArgumentException(
+          "shingle_dup_ratio(array<string>, n) expects a literal int n")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("content_mod_positions"),
+      new ExpressionInfo(classOf[NativeHash.ContentModPositionsExpr].getName, "content_mod_positions"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, Literal(w: Int, IntegerType), Literal(m: Int, IntegerType)) =>
+          NativeHash.ContentModPositionsExpr(e, w, m, portable = true)
+        case Seq(e, Literal(w: Int, IntegerType), Literal(m: Int, IntegerType),
+            Literal(p: Boolean, BooleanType)) =>
+          NativeHash.ContentModPositionsExpr(e, w, m, p)
+        case _ => throw new IllegalArgumentException(
+          "content_mod_positions(string, window, sampleMod[, portable]) expects literal sizes")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_positions"),
+      new ExpressionInfo(classOf[NativeHash.WinnowPositionsExpr].getName, "winnow_positions"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, Literal(w: Int, IntegerType), Literal(g: Int, IntegerType)) =>
+          NativeHash.WinnowPositionsExpr(e, w, g, portable = true)
+        case Seq(e, Literal(w: Int, IntegerType), Literal(g: Int, IntegerType),
+            Literal(p: Boolean, BooleanType)) =>
+          NativeHash.WinnowPositionsExpr(e, w, g, p)
+        case _ => throw new IllegalArgumentException(
+          "winnow_positions(string, window, guard[, portable]) expects literal sizes")
       }))
     ext.injectFunction((
       FunctionIdentifier("srp_bits"),

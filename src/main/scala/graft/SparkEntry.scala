@@ -1590,6 +1590,46 @@ object SparkEntry {
           col("channels"), col("sample_rate"), col("n_samples"), col("duration_us"))
         .orderBy("media_id")),
 
+    // REAL pixel decode, end to end: build pixel-bearing grayscale PNGs
+    // (cyclic text-byte fill, deflated IDAT, filter types cycling
+    // through all five), then fully DECODE them back — Inflater +
+    // un-filter — and emit global pixel stats. The oracle predicts every
+    // stat from cyclic-sum arithmetic on the text column, so a decoder
+    // bug in any filter path hash-mismatches instead of hiding.
+    "multimodal_pixels" -> ((s, dir) =>
+      Multimodal.pixelStats(
+          Multimodal.asPixelMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
+        .select(col("media_id"), col("width"), col("height"), col("n_px"),
+          col("px_sum"), col("px_min"), col("px_max"),
+          round(col("px_sum").cast("double") / col("n_px"), 6).as("px_mean"))
+        .orderBy("media_id")),
+
+    // REAL image resize: encode → decode → nearest-neighbor 4×4 →
+    // re-encode → re-decode. Five codec passes per row; the oracle
+    // recomputes the 16 NN-sampled pixels by index arithmetic.
+    "multimodal_resize_px" -> ((s, dir) =>
+      Multimodal.pixelStats(
+          Multimodal.resizeImage(
+              Multimodal.asPixelMedia(t(s, dir, "documents"), "doc_id", "text", "source"),
+              4, 4)
+            .select(col("media_id"), col("resized").as("payload")))
+        .select(col("media_id"), col("n_px").as("rs_npx"), col("px_sum").as("rs_sum"),
+          col("px_min").as("rs_min"), col("px_max").as("rs_max"))
+        .orderBy("media_id")),
+
+    // REAL PCM sample decode: the container WAVs carry the text bytes as
+    // 8-bit samples; decodeWav extracts every interleaved sample value
+    // and the stats must match byte arithmetic over the text prefix.
+    "multimodal_samples" -> ((s, dir) =>
+      Multimodal.sampleStats(
+          Multimodal.asContainerMedia(
+            t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", "source"))
+        .select(col("media_id"), col("channels"), col("sample_rate"), col("n_vals"),
+          col("s_sum"), col("s_min"), col("s_max"),
+          round(col("s_sum").cast("double") / col("n_vals"), 6).as("s_mean"))
+        .orderBy("media_id")),
+
     // ---- interval / trend analytics ----
 
     // longest consecutive-day activity streak per user: the classic
@@ -2946,8 +2986,80 @@ object SparkEntry {
         |            // (8000 * (1 + doc_id % 3)) ELSE NULL END AS duration_us
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // pixel decode predicted by cyclic arithmetic: pixels are the text
+    // bytes cycled to fill w×h, so px_sum = ⌊npx/n⌋·Σbytes + prefix-sum
+    // and min/max range over only the first min(npx, n) bytes
+    "multimodal_pixels" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    1 + length(text) % 127 AS w,
+        |    1 + (length(text) * 7) % 89 AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, w, h, w * h AS npx,
+        |    list_transform(range(1, CAST(n AS INT) + 1),
+        |      i -> ascii(substr(text, CAST(i AS INT), 1))) AS bytes
+        |  FROM t)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(npx AS BIGINT) AS n_px,
+        |  CAST((npx // n) * list_sum(bytes)
+        |    + CASE WHEN npx % n = 0 THEN 0
+        |           ELSE list_sum(list_slice(bytes, 1, CAST(npx % n AS INT))) END
+        |    AS BIGINT) AS px_sum,
+        |  CAST(list_min(list_slice(bytes, 1, CAST(least(npx, n) AS INT))) AS BIGINT) AS px_min,
+        |  CAST(list_max(list_slice(bytes, 1, CAST(least(npx, n) AS INT))) AS BIGINT) AS px_max,
+        |  round(CAST((npx // n) * list_sum(bytes)
+        |    + CASE WHEN npx % n = 0 THEN 0
+        |           ELSE list_sum(list_slice(bytes, 1, CAST(npx % n AS INT))) END
+        |    AS DOUBLE) / npx, 6) AS px_mean
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // nearest-neighbor 4×4: out(y,x) = pixel(⌊y·h/4⌋·w + ⌊x·w/4⌋),
+    // pixel(i) = byte(i mod n) — recomputed per output cell
+    "multimodal_resize_px" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    1 + length(text) % 127 AS w,
+        |    1 + (length(text) * 7) % 89 AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), i ->
+        |      ascii(substr(text,
+        |        CAST((((i // 4) * h // 4) * w + ((i % 4) * w // 4)) % n AS INT) + 1, 1))) AS px
+        |  FROM t)
+        |SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS rs_npx,
+        |  CAST(list_sum(px) AS BIGINT) AS rs_sum,
+        |  CAST(list_min(px) AS BIGINT) AS rs_min,
+        |  CAST(list_max(px) AS BIGINT) AS rs_max
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // 8-bit PCM sample decode: sample values ARE the text bytes, whole
+    // frames only (dl = n − n mod channels); stats over the prefix
+    "multimodal_samples" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, strlen(text) AS n,
+        |    1 + (doc_id // 2) % 2 AS ch,
+        |    8000 * (1 + doc_id % 3) AS rate
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |s AS (
+        |  SELECT doc_id, ch, rate, n - n % ch AS dl,
+        |    list_transform(range(1, CAST(n - n % ch AS INT) + 1),
+        |      i -> ascii(substr(text, CAST(i AS INT), 1))) AS vals
+        |  FROM t)
+        |SELECT doc_id AS media_id, CAST(ch AS BIGINT) AS channels,
+        |  CAST(rate AS BIGINT) AS sample_rate, CAST(dl AS BIGINT) AS n_vals,
+        |  CAST(list_sum(vals) AS BIGINT) AS s_sum,
+        |  CAST(list_min(vals) AS BIGINT) AS s_min,
+        |  CAST(list_max(vals) AS BIGINT) AS s_max,
+        |  round(CAST(list_sum(vals) AS DOUBLE) / dl, 6) AS s_mean
+        |FROM s ORDER BY media_id""".stripMargin,
+
     // documents.text is ASCII in the fixtures, so codepoint == byte and
-    // DuckDB's ascii() reproduces the stub decoder's byte-window mean;
+    // DuckDB's ascii() reproduces the raw-byte fallback's window mean
+    // (text/plain payloads are not containers, so decodeFeatures
+    // featurizes the raw bytes);
     // the mean's numerator is an exact integer sum on both sides, so the
     // float-vs-double division agrees at 3 decimals.
     "multimodal_features" ->

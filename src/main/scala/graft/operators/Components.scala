@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * minimum id in O(log^2 n) rounds. Scale shape: no driver-side graph,
   * no per-node adjacency state — every step is an ordinary shuffle on
   * node ids, so 10^11-edge pair sets partition like any other join.
-  * Lineage is cut per round with localCheckpoint (swap for
-  * `checkpoint` + a checkpoint dir on a real cluster).
+  * Lineage is cut per round with [[Par.cut]]: a RELIABLE
+  * `checkpoint()` when the session has a checkpoint dir (the
+  * production setting — survives executor loss), else eager
+  * localCheckpoint.
   */
 object Components {
 
@@ -51,7 +53,7 @@ object Components {
               greatest(col(srcCol), col(dstCol)).cast(idT).as("src"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+    e = Par.cut(e)
 
     var prev = checksum(e)
     val labels =
@@ -60,7 +62,7 @@ object Components {
         var iter = 0
         var converged = false
         while (!converged && iter < maxIter) {
-          val next = smallStar(largeStar(e)).localCheckpoint(true)
+          val next = Par.cut(smallStar(largeStar(e)))
           val cur = checksum(next)
           freeCheckpoint(e)
           e = next
@@ -76,21 +78,20 @@ object Components {
         // min; groupBy(min) also makes pre-convergence output well-defined
         e.groupBy(col("src").as("id")).agg(min("dst").as("component"))
       }
-    val vs = {
+    val vs = Par.cut({
       // one pass over the cached input (a union of two selects would
       // re-scan it twice); raw edges, so self-loop-only nodes survive
       val fromEdges = in.select(
         explode(array(col(srcCol).cast(idT), col(dstCol).cast(idT))).as("id"))
       vertices.map(v => fromEdges.union(v.toDF("id"))).getOrElse(fromEdges)
-    }.distinct().localCheckpoint(true)
+    }.distinct()) // eager: materialized before the input cache is dropped
     in.unpersist()
     // materialize the (vertex-sized) result so every intermediate
     // checkpoint — the per-round edge sets above plus vs and the final
     // fixpoint — can be freed NOW instead of lingering until RDD GC;
     // the one surviving checkpoint is the result itself
-    val out = vs.join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-      .localCheckpoint(true)
+    val out = Par.cut(vs.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component")))
     freeCheckpoint(vs)
     freeCheckpoint(e)
     out

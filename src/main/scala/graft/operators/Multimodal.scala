@@ -13,10 +13,18 @@ import org.apache.spark.sql.types._
   * (signature + IHDR, chunk CRC32 verified) and WAV (RIFF chunk walk,
   * fmt/data) headers from raw bytes — pure JVM, no codec libraries —
   * and `encodePng`/`encodeWav` build valid minimal containers for
-  * round-trip tests. Only PIXEL/SAMPLE-level work (feature extraction,
-  * resampling) is stubbed (`fakeFeatures` — deterministic byte stats),
-  * because pixel codecs aren't in this container. Swapping the stub for
-  * a JNI/ONNX decoder changes one function; the batch shape stays.
+  * round-trip tests.
+  *
+  * PIXEL/SAMPLE-level decode is ALSO real, pure JVM: `decodePng`
+  * inflates IDAT (`java.util.zip.Inflater`) and reverses all five PNG
+  * scanline filters (None/Sub/Up/Average/Paeth, spec §9) for 8-bit
+  * gray / gray+alpha / RGB / RGBA; `decodeWav` extracts 8-bit unsigned
+  * and 16-bit signed-LE PCM sample values. `decodeFeatures` feeds real
+  * pixels/samples into the feature windows when the payload parses as a
+  * PNG/WAV and falls back to raw-byte stats otherwise (text payloads,
+  * unknown codecs). Exotic codecs (JPEG, MP3, video) would still need a
+  * JNI/ONNX decoder — swapping one arm of `realFeatures` — but the
+  * repo's own containers decode for real, end to end.
   */
 object Multimodal {
 
@@ -43,24 +51,42 @@ object Multimodal {
 
   val FeatureDim = 8
 
-  /** STUB decoder: a real implementation would decode the image/audio
-    * payload and run feature extraction here, batch-at-a-time per
-    * partition. The fake is deterministic — mean/spread stats over byte
-    * windows — so tests and oracles are stable.
+  /** FeatureDim windowed means over an integer value sequence — the
+    * shared featurizer for decoded pixels, decoded samples, and raw
+    * bytes. Window = ⌊n/FeatureDim⌋ values; integer accumulation so the
+    * result is exact and cross-engine reproducible.
     */
-  private def fakeFeatures(payload: Array[Byte]): Array[Float] = {
+  private def windowMeans(n: Int, valueAt: Int => Int): Array[Float] = {
     val out = new Array[Float](FeatureDim)
-    if (payload == null || payload.isEmpty) return out
-    val window = math.max(1, payload.length / FeatureDim)
+    if (n <= 0) return out
+    val window = math.max(1, n / FeatureDim)
     var i = 0
     while (i < FeatureDim) {
-      var sum = 0L; var n = 0
+      var sum = 0L; var cnt = 0
       var j = i * window
-      while (j < math.min(payload.length, (i + 1) * window)) { sum += payload(j) & 0xff; n += 1; j += 1 }
-      out(i) = if (n == 0) 0f else sum.toFloat / n
+      while (j < math.min(n, (i + 1) * window)) { sum += valueAt(j); cnt += 1; j += 1 }
+      out(i) = if (cnt == 0) 0f else sum.toFloat / cnt
       i += 1
     }
     out
+  }
+
+  /** Feature extraction with REAL decode where the payload is one of the
+    * repo's containers: PNG → windowed means over decoded pixel samples,
+    * WAV → windowed means over decoded PCM sample values, anything else
+    * (text, unknown codecs, header-only containers) → windowed means
+    * over the raw bytes. Deterministic in every arm, so oracles stay
+    * stable across engines.
+    */
+  private def realFeatures(payload: Array[Byte]): Array[Float] = {
+    if (payload == null || payload.isEmpty) return new Array[Float](FeatureDim)
+    decodePng(payload) match {
+      case Some(img) => windowMeans(img.pixels.length, i => img.pixels(i) & 0xff)
+      case None => decodeWav(payload) match {
+        case Some(a) => windowMeans(a.samples.length, a.samples)
+        case None => windowMeans(payload.length, i => payload(i) & 0xff)
+      }
+    }
   }
 
   /** Per-partition batched "decode": binary payload → feature vector.
@@ -73,19 +99,19 @@ object Multimodal {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
-      // real decoder init would happen once per partition, here
+      // a heavier decoder (JNI/ONNX) would init once per partition, here
       rows.map { r =>
-        val feats = fakeFeatures(r.getAs[Array[Byte]](payloadIdx))
+        val feats = realFeatures(r.getAs[Array[Byte]](payloadIdx))
         Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(enc)
   }
 
-  /** STUB resize: a real implementation would decode, spatially resample
-    * to the target resolution, and re-encode; the deterministic fake
-    * stride-samples every ⌈len/target⌉-th byte so the output is ≤target
-    * bytes and starts at byte 0. Same mapPartitions batch shape as
-    * decodeFeatures (codec init amortizes per partition).
+  /** Byte-level downsample: stride-samples every ⌈len/target⌉-th byte so
+    * the output is ≤target bytes and starts at byte 0. This is the
+    * codec-agnostic path (works on any payload); PIXEL-level image
+    * resampling is `resizeImage` below. Same mapPartitions batch shape
+    * as decodeFeatures (codec init amortizes per partition).
     */
   def resize(media: DataFrame, targetBytes: Int = 64): DataFrame = {
     val outSchema = StructType(media.schema.fields :+ StructField("resized", BinaryType))
@@ -147,34 +173,216 @@ object Multimodal {
     }(enc)
   }
 
-  /** Minimal VALID PNG: signature, IHDR (8-bit truecolor) with proper
-    * CRC32, empty IDAT, IEND. Enough container for any header-level
-    * tool (identify, sniffers, this object's own parser) to read
-    * dimensions; there is deliberately no pixel data to fake.
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def writePngChunk(out: java.io.DataOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    out.writeInt(data.length)
+    val typed = typ.getBytes("US-ASCII") ++ data
+    out.write(typed)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typed)
+    out.writeInt(crc.getValue.toInt)
+  }
+
+  private def pngIhdr(width: Int, height: Int, colorType: Int): Array[Byte] = {
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+      .put(8.toByte)          // bit depth
+      .put(colorType.toByte)  // 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    ihdr.array()
+  }
+
+  /** Minimal VALID header-only PNG: signature, IHDR (8-bit truecolor)
+    * with proper CRC32, empty IDAT, IEND. Enough container for any
+    * header-level tool (identify, sniffers, this object's own parser)
+    * to read dimensions; `decodePng` rejects it (no pixel data), which
+    * is exactly right — the pixel-bearing overload is below.
     */
   def encodePng(width: Int, height: Int): Array[Byte] = {
     require(width > 0 && height > 0, s"PNG dims must be positive: ${width}x$height")
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
-    def chunk(typ: String, data: Array[Byte]): Unit = {
-      out.writeInt(data.length)
-      val typed = typ.getBytes("US-ASCII") ++ data
-      out.write(typed)
-      val crc = new java.util.zip.CRC32()
-      crc.update(typed)
-      out.writeInt(crc.getValue.toInt)
-    }
-    val ihdr = java.nio.ByteBuffer.allocate(13)
-    ihdr.putInt(width).putInt(height)
-      .put(8.toByte)  // bit depth
-      .put(2.toByte)  // color type: truecolor
-      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
-    chunk("IHDR", ihdr.array())
-    chunk("IDAT", Array.emptyByteArray)
-    chunk("IEND", Array.emptyByteArray)
+    out.write(PngSignature)
+    writePngChunk(out, "IHDR", pngIhdr(width, height, colorType = 2))
+    writePngChunk(out, "IDAT", Array.emptyByteArray)
+    writePngChunk(out, "IEND", Array.emptyByteArray)
     out.flush()
     bos.toByteArray
+  }
+
+  // ---- REAL pixel-level PNG codec (PNG spec §9 filters + zlib) ---- //
+
+  /** Decoded 8-bit PNG: `pixels` is row-major, `channels` interleaved
+    * samples per pixel (1 gray, 2 gray+alpha, 3 RGB, 4 RGBA).
+    */
+  final case class PngImage(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  private def colorTypeFor(channels: Int): Int = channels match {
+    case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+    case c => throw new IllegalArgumentException(s"unsupported channel count $c")
+  }
+
+  private def channelsFor(colorType: Int): Int = colorType match {
+    case 0 => 1; case 4 => 2; case 2 => 3; case 6 => 4
+    case _ => -1
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Full pixel-bearing PNG encode: filter each scanline (filter type
+    * chosen by `filterFor(rowIndex)` — default cycles through all five
+    * so every decoder path gets exercised), deflate the filtered bytes,
+    * emit signature/IHDR/IDAT/IEND with proper CRCs.
+    */
+  def encodePng(width: Int, height: Int, channels: Int, pixels: Array[Byte],
+      filterFor: Int => Int = _ % 5): Array[Byte] = {
+    require(width > 0 && height > 0, s"PNG dims must be positive: ${width}x$height")
+    val stride = width * channels
+    require(pixels.length == stride * height,
+      s"pixel buffer ${pixels.length} != $stride x $height")
+    val bpp = channels // 8-bit: bytes per pixel == channels
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val ft = filterFor(y)
+      require(ft >= 0 && ft <= 4, s"bad PNG filter type $ft")
+      val off = y * (1 + stride)
+      raw(off) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = pixels(y * stride + x) & 0xff
+        val a = if (x >= bpp) pixels(y * stride + x - bpp) & 0xff else 0
+        val b = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) pixels((y - 1) * stride + x - bpp) & 0xff else 0
+        val filt = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw(off + 1 + x) = filt.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(PngSignature)
+    writePngChunk(out, "IHDR", pngIhdr(width, height, colorTypeFor(channels)))
+    writePngChunk(out, "IDAT", zbuf.toByteArray)
+    writePngChunk(out, "IEND", Array.emptyByteArray)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Raw-pixel cap: reject headers claiming > 256 MiB of decoded pixel
+    * data before allocating — a hostile/corrupt IHDR must not OOM an
+    * executor that is batch-decoding millions of payloads.
+    */
+  private val MaxDecodedBytes = 256L << 20
+
+  /** REAL pixel decode, pure JVM: verify signature + per-chunk CRC32,
+    * parse IHDR (8-bit, non-interlaced, gray/gray+alpha/RGB/RGBA only),
+    * inflate the concatenated IDAT stream, reverse the scanline filter
+    * (None/Sub/Up/Average/Paeth) per row. Returns None — never garbage
+    * pixels — on anything corrupt: bad magic, CRC mismatch, truncation,
+    * wrong inflated size, unknown filter type, oversized dims.
+    */
+  def decodePng(bytes: Array[Byte]): Option[PngImage] = {
+    if (bytes == null || bytes.length < 45) return None // sig + IHDR + empty IDAT + IEND
+    if (!bytes.take(8).sameElements(PngSignature)) return None
+    var pos = 8
+    var width = -1; var height = -1; var channels = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 12 <= bytes.length) {
+      val buf = java.nio.ByteBuffer.wrap(bytes, pos, 8)
+      val len = buf.getInt
+      if (len < 0 || pos + 12L + len > bytes.length) return None
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      val stored = java.nio.ByteBuffer.wrap(bytes, pos + 8 + len, 4).getInt
+      if (crc.getValue.toInt != stored) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          val h = java.nio.ByteBuffer.wrap(bytes, pos + 8, 13)
+          width = h.getInt; height = h.getInt
+          val bitDepth = h.get() & 0xff
+          channels = channelsFor(h.get() & 0xff)
+          val compression = h.get() & 0xff
+          val filterMethod = h.get() & 0xff
+          val interlace = h.get() & 0xff
+          if (bitDepth != 8 || channels < 0 || compression != 0 ||
+              filterMethod != 0 || interlace != 0) return None
+          if (width <= 0 || height <= 0) return None
+          val rawLen = (1L + width.toLong * channels) * height
+          if (rawLen > MaxDecodedBytes) return None
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunk: CRC-checked above, content skipped
+      }
+      pos += 12 + len
+    }
+    if (!sawEnd || width <= 0) return None
+    val stride = width * channels
+    val expected = height * (1 + stride)
+    val raw = new Array[Byte](expected)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val n = try {
+      var got = 0
+      while (got < expected && !inflater.finished()) {
+        val k = inflater.inflate(raw, got, expected - got)
+        if (k == 0 && inflater.needsInput()) return None // truncated stream
+        got += k
+      }
+      got
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    if (n != expected) return None
+    // un-filter in place into the pixel buffer
+    val bpp = channels
+    val pixels = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      if (ft > 4) return None
+      val off = y * (1 + stride) + 1
+      var x = 0
+      while (x < stride) {
+        val filt = raw(off + x) & 0xff
+        val a = if (x >= bpp) pixels(y * stride + x - bpp) & 0xff else 0
+        val b = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) pixels((y - 1) * stride + x - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => filt
+          case 1 => filt + a
+          case 2 => filt + b
+          case 3 => filt + ((a + b) >> 1)
+          case 4 => filt + paeth(a, b, c)
+        }
+        pixels(y * stride + x) = recon.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngImage(width, height, channels, pixels))
   }
 
   /** Minimal valid WAV: RIFF header, PCM fmt chunk, data chunk holding
@@ -199,6 +407,80 @@ object Multimodal {
       .put(pcm, 0, dataLen)
     // pad byte (if any) is already zero from allocate
     buf.array()
+  }
+
+  /** Minimal valid 16-bit PCM WAV (signed little-endian samples,
+    * blockAlign = 2·channels) — the fixture encoder for real sample
+    * decode tests (e.g. a synthesized sine).
+    */
+  def encodeWav16(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0, s"bad WAV params: ch=$channels rate=$sampleRate")
+    val frames = samples.length / channels // whole frames only
+    val dataLen = frames * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                             // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)       // byte rate
+      .putShort((channels * 2).toShort)        // block align
+      .putShort(16)                            // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < frames * channels) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Decoded PCM audio: `samples` holds EVERY interleaved sample value
+    * (channels × frames entries) — 8-bit as unsigned 0..255, 16-bit as
+    * signed −32768..32767.
+    */
+  final case class WavAudio(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      samples: Array[Int])
+
+  /** REAL sample decode: walk RIFF chunks to fmt + data and extract the
+    * PCM sample values (8-bit unsigned / 16-bit signed-LE). Returns
+    * None — never garbage samples — on bad magic, non-PCM, unsupported
+    * bit depth, inconsistent blockAlign, or a data chunk that claims
+    * more bytes than the file holds (truncation).
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavAudio] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var channels = -1; var rate = -1; var blockAlign = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length && (channels < 0 || dataLen < 0)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = buf.getInt(pos + 4)
+      if (size < 0) return None
+      if (id == "fmt " && size >= 16 && pos + 8 + 16 <= bytes.length) {
+        val fmtTag = buf.getShort(pos + 8).toInt
+        if (fmtTag != 1) return None // PCM only
+        channels = buf.getShort(pos + 10).toInt
+        rate = buf.getInt(pos + 12)
+        blockAlign = buf.getShort(pos + 20).toInt
+        bits = buf.getShort(pos + 22).toInt
+      } else if (id == "data") {
+        if (pos + 8L + size > bytes.length) return None // truncated
+        dataOff = pos + 8; dataLen = size
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (channels <= 0 || rate <= 0 || dataLen < 0) return None
+    if (bits != 8 && bits != 16) return None
+    if (blockAlign != channels * (bits / 8)) return None
+    val nVals = dataLen / (bits / 8)
+    val samples = new Array[Int](nVals)
+    var i = 0
+    if (bits == 8) while (i < nVals) { samples(i) = bytes(dataOff + i) & 0xff; i += 1 }
+    else while (i < nVals) { samples(i) = buf.getShort(dataOff + 2 * i).toInt; i += 1 }
+    Some(WavAudio(channels, rate, bits, samples))
   }
 
   /** Decoded container header: `format` is "png" / "wav" / "unknown";
@@ -302,5 +584,155 @@ object Multimodal {
             sequence(lit(0), lastWindow.cast("int")),
             i => col("payload").substr(i * stride + 1, lit(stride))),
           1, maxFrames)).as(Seq("frame_no", "frame_bytes")))
+  }
+
+  // ---- pixel/sample-level DataFrame operators ---- //
+
+  /** Wrap a doc table as REAL pixel-bearing PNGs: 8-bit grayscale, dims
+    * from the char count (w = 1 + n % 127, h = 1 + 7n % 89 — small
+    * enough that deflate stays cheap at bench scale), pixels = the
+    * UTF-8 text bytes cycled row-major to fill w×h. Every pixel is pure
+    * integer arithmetic on the text column, so an external engine can
+    * predict full-image statistics without decoding a byte — which is
+    * what makes the PIXEL-level decode differential-testable end to end
+    * (the header-only twin is `asContainerMedia`).
+    */
+  def asPixelMedia(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val in = df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("bytes"),
+      col(sourceCol).as("source"))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(MediaSchema))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val source = r.getString(2)
+        val n = bytes.length
+        val w = 1 + n % 127
+        val h = 1 + (n.toLong * 7 % 89).toInt
+        val pixels = new Array[Byte](w * h)
+        if (n > 0) { var i = 0; while (i < pixels.length) { pixels(i) = bytes(i % n); i += 1 } }
+        val payload = encodePng(w, h, 1, pixels)
+        Row(id, payload, Row("image/png", payload.length.toLong, source))
+      }
+    }(enc)
+  }
+
+  private val PixelStatsSchema: StructType = StructType(Seq(
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_px", LongType),
+    StructField("px_sum", LongType),
+    StructField("px_min", LongType),
+    StructField("px_max", LongType)))
+
+  /** Decode each PNG payload (full inflate + un-filter) and emit global
+    * pixel statistics over every sample value; all-null stats for
+    * payloads that don't decode. mapPartitions batch shape, like
+    * decodeContainerMeta.
+    */
+  def pixelStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ PixelStatsSchema.fields)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val stats = decodePng(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some(img) =>
+            var sum = 0L; var min = 255L; var max = 0L
+            var i = 0
+            while (i < img.pixels.length) {
+              val v = img.pixels(i) & 0xff
+              sum += v; if (v < min) min = v; if (v > max) max = v
+              i += 1
+            }
+            val npx = img.width.toLong * img.height
+            Seq(img.width.toLong, img.height.toLong, npx, sum,
+              if (img.pixels.isEmpty) null else min,
+              if (img.pixels.isEmpty) null else max)
+          case None => Seq(null, null, null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ stats)
+      }
+    }(enc)
+  }
+
+  /** REAL image resize: decode the PNG, nearest-neighbor resample to
+    * tw×th (srcY = ⌊y·h/th⌋, srcX = ⌊x·w/tw⌋ — the standard NN mapping),
+    * re-encode as PNG. Adds a `resized` binary column; null when the
+    * payload doesn't decode. The byte-level codec-agnostic path is
+    * `resize` above.
+    */
+  def resizeImage(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    require(tw > 0 && th > 0, s"bad target dims ${tw}x$th")
+    val outSchema = StructType(media.schema.fields :+ StructField("resized", BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = decodePng(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some(img) =>
+            val ch = img.channels
+            val out = new Array[Byte](tw * th * ch)
+            var y = 0
+            while (y < th) {
+              val sy = y.toLong * img.height / th
+              var x = 0
+              while (x < tw) {
+                val sx = x.toLong * img.width / tw
+                val src = (sy * img.width + sx).toInt * ch
+                var k = 0
+                while (k < ch) { out((y * tw + x) * ch + k) = img.pixels(src + k); k += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            encodePng(tw, th, ch, out)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
+
+  private val SampleStatsSchema: StructType = StructType(Seq(
+    StructField("channels", LongType),
+    StructField("sample_rate", LongType),
+    StructField("bits", LongType),
+    StructField("n_vals", LongType),
+    StructField("s_sum", LongType),
+    StructField("s_min", LongType),
+    StructField("s_max", LongType)))
+
+  /** Decode each WAV payload (real PCM sample extraction) and emit
+    * global statistics over every interleaved sample value; all-null
+    * stats for payloads that don't decode.
+    */
+  def sampleStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ SampleStatsSchema.fields)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val stats = decodeWav(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some(a) =>
+            var sum = 0L; var min = Long.MaxValue; var max = Long.MinValue
+            var i = 0
+            while (i < a.samples.length) {
+              val v = a.samples(i)
+              sum += v; if (v < min) min = v; if (v > max) max = v
+              i += 1
+            }
+            Seq(a.channels.toLong, a.sampleRate.toLong, a.bitsPerSample.toLong,
+              a.samples.length.toLong, sum,
+              if (a.samples.isEmpty) null else min,
+              if (a.samples.isEmpty) null else max)
+          case None => Seq(null, null, null, null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ stats)
+      }
+    }(enc)
   }
 }

@@ -13,8 +13,10 @@ import org.apache.spark.storage.StorageLevel
   * against the out-normalized edge list (both hash-partitioned on the
   * src key — co-partitioned across iterations since the edge list is
   * persisted once) followed by a groupBy on dst with partial
-  * aggregation. Lineage is cut per iteration with localCheckpoint so
-  * the plan stays O(1) deep instead of O(iterations). The only
+  * aggregation. Lineage is cut per iteration with [[Par.cut]] (a
+  * reliable checkpoint when the session has a checkpoint dir, else
+  * eager localCheckpoint) so the plan stays O(1) deep instead of
+  * O(iterations). The only
   * driver-side scalar is the node count (one count job).
   *
   * Semantics: teleport (1-d)/n to every node; dangling-node mass is
@@ -43,14 +45,15 @@ object PageRank {
     val n = nodes.count()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
-      val next = nodes.join(
+      // Par.cut is eager: the new rank vector is materialized before the
+      // old one's blocks are freed
+      val next = Par.cut(nodes.join(
           norm.join(ranks, col("src") === col("node"))
             .groupBy(col("dst"))
             .agg(sum(col("rank") * col("p")).as("inflow")),
           col("node") === col("dst"), "left")
         .select(col("node"),
-          (lit((1 - damping) / n) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .localCheckpoint(true) // eager: materialized before the old rank blocks are freed
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank")))
       freeCheckpoint(ranks)   // no-op on the first (non-checkpointed) rank vector
       ranks = next
     }

@@ -22,4 +22,19 @@ object Par {
     val splits = df.queryExecution.toRdd.getNumPartitions
     if (splits < target) df.repartition(target) else df
   }
+
+  /** Cut lineage eagerly. With a checkpoint dir configured
+    * (`sparkContext.setCheckpointDir` — the production setting on a
+    * real cluster) this is a RELIABLE `checkpoint()`: blocks live in
+    * the fault-tolerant store, so an executor loss mid-iteration
+    * recomputes nothing. Without one it falls back to
+    * `localCheckpoint(eager)`: fast, but blocks die with their executor
+    * — acceptable on local[*], fragile on a cluster. Iterative
+    * operators (components, pagerank, dedup pair generation) route
+    * every cut through here so cluster users opt into fault tolerance
+    * with one session setting, no code change.
+    */
+  def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
 }

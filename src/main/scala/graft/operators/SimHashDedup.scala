@@ -64,10 +64,10 @@ object SimHashDedup {
     // the 64-vote simhash is the expensive branch and feeds both join
     // sides; persist so it is computed once per doc, materialize the
     // (small) pair result, and RELEASE the cache instead of leaking it
-    // for the session (localCheckpoint caveat: Components.scala)
+    // for the session (lineage-cut caveat: Components.scala)
     val sigs = Par.widen(df).select(col(idCol), simhash(Text.tokens(col(textCol))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try nearDupPairsFromSigs(sigs, idCol, "sig", maxDist).localCheckpoint(true)
+    try Par.cut(nearDupPairsFromSigs(sigs, idCol, "sig", maxDist))
     finally sigs.unpersist()
   }
 

@@ -134,9 +134,9 @@ object SubstringDedup {
     // wins feeds BOTH the distinct-doc aggregate and the span semi-join:
     // persist so the selection subtree executes once, and materialize
     // the (much smaller) merged-span result so the cache can be RELEASED
-    // here instead of leaking for the session. localCheckpoint ties the
-    // result to executor-local blocks — swap for `checkpoint` + a
-    // checkpoint dir on a real cluster (the Components.scala caveat).
+    // here instead of leaking for the session. Par.cut uses a reliable
+    // checkpoint when the session has a checkpoint dir (production),
+    // else executor-local blocks (the Components.scala caveat).
     val w = wins.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dup = w.groupBy("h1", "h2")
@@ -147,10 +147,10 @@ object SubstringDedup {
         .select(col("doc_id"), col("pos").as("span_start"),
           (col("pos") + (window - 1)).as("span_end"))
       TimeSeries.mergeIntervals(spans, "doc_id", "span_start", "span_end")
+      Par.cut(TimeSeries.mergeIntervals(spans, "doc_id", "span_start", "span_end")
         .select(col("doc_id"), col("span_start"), col("span_end"),
           (col("span_end") - col("span_start") + 1L).as("span_len"),
-          col("n_merged").as("n_windows"))
-        .localCheckpoint(true)
+          col("n_merged").as("n_windows")))
     } finally w.unpersist()
   }
 

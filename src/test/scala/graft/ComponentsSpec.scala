@@ -60,6 +60,38 @@ class ComponentsSpec extends AnyFunSuite {
     assert(leaked.size <= 1, s"leaked persisted RDDs beyond the result checkpoint: $leaked")
   }
 
+  test("Par.cut takes the RELIABLE checkpoint path when a checkpoint dir is set") {
+    import graft.operators.Par
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite assumes no ambient checkpoint dir")
+    val noDir = Par.cut(Seq(1L, 2L).toDF("x"))
+    assert(noDir.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val cut = Par.cut(Seq(3L, 4L).toDF("x"))
+      assert(cut.as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+      // reliable checkpoint writes RDD files under the dir; local
+      // checkpoint would leave it empty
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no checkpoint files written — Par.cut ignored the checkpoint dir")
+      // the distributed-alternation operator stays correct under
+      // reliable checkpointing end to end
+      val edges = (0L until 20L).map(i => (i + 1, i + 2)).toDF("a", "b")
+      val got = Components.connectedComponents(edges, "a", "b", localThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(got == (1L to 21L).map(_ -> 1L).toMap)
+    } finally {
+      // restore the no-dir default for other suites (package-private
+      // setter is unreachable; the field is driver-local config)
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("matches a brute-force union-find on a random-ish graph") {
     // deterministic pseudo-random edges over 60 nodes
     val edges = (0 until 80).map { i =>

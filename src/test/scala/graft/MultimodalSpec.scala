@@ -73,6 +73,130 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.getString(0) == "wav" && m.getLong(5) == 7L)
   }
 
+  // ---- REAL pixel-level codec ---- //
+
+  test("PNG pixel round-trip: every filter type, every color mode, exact bytes") {
+    // ≥5 rows so the default row%5 chooser exercises all five filters
+    val rnd = new scala.util.Random(42)
+    for (ch <- Seq(1, 2, 3, 4); (w, h) <- Seq((1, 1), (3, 7), (17, 6), (7, 5))) {
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val img = Multimodal.decodePng(Multimodal.encodePng(w, h, ch, px))
+        .getOrElse(fail(s"decode failed for ch=$ch ${w}x$h"))
+      assert(img.width == w && img.height == h && img.channels == ch)
+      assert(img.pixels.sameElements(px), s"pixel mismatch ch=$ch ${w}x$h")
+    }
+  }
+
+  test("PNG pixel round-trip: each single filter type in isolation") {
+    val rnd = new scala.util.Random(7)
+    val (w, h, ch) = (13, 9, 3)
+    val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+    for (ft <- 0 to 4) {
+      val img = Multimodal.decodePng(Multimodal.encodePng(w, h, ch, px, _ => ft))
+        .getOrElse(fail(s"decode failed for filter $ft"))
+      assert(img.pixels.sameElements(px), s"pixel mismatch under filter $ft")
+    }
+  }
+
+  test("PNG decode: known hand-computed fixture (Sub filter, gray)") {
+    // 3x2 gray, rows filtered with Sub: recon(x) = filt(x) + recon(x-1).
+    // pixels row0 = [10, 20, 30], row1 = [5, 5, 250]
+    val px = Array[Byte](10, 20, 30, 5, 5, 250.toByte)
+    val encoded = Multimodal.encodePng(3, 2, 1, px, _ => 1)
+    val img = Multimodal.decodePng(encoded).get
+    assert(img.pixels.map(_ & 0xff).toSeq == Seq(10, 20, 30, 5, 5, 250))
+  }
+
+  test("PNG decode rejects corruption: IDAT bit-flip, truncation, header-only") {
+    val px = Array.tabulate(64)(i => (i * 3).toByte)
+    val good = Multimodal.encodePng(8, 8, 1, px)
+    assert(Multimodal.decodePng(good).isDefined)
+    // flip a byte inside IDAT data: chunk CRC now stale → None, not garbage
+    val bad = good.clone()
+    bad(8 + 25 + 8 + 4) = (bad(8 + 25 + 8 + 4) ^ 0x40).toByte
+    assert(Multimodal.decodePng(bad).isEmpty)
+    assert(Multimodal.decodePng(good.dropRight(20)).isEmpty)   // truncated
+    assert(Multimodal.decodePng(Multimodal.encodePng(8, 8)).isEmpty) // no pixels
+    assert(Multimodal.decodePng(null).isEmpty)
+  }
+
+  test("WAV 16-bit sine round-trip: exact signed samples back out") {
+    val sine = Array.tabulate(800)(i =>
+      (math.sin(2 * math.Pi * i / 100) * 30000).toShort)
+    val a = Multimodal.decodeWav(Multimodal.encodeWav16(2, 16000, sine)).get
+    assert(a.channels == 2 && a.sampleRate == 16000 && a.bitsPerSample == 16)
+    assert(a.samples.length == 800)
+    assert(a.samples.sameElements(sine.map(_.toInt)))
+  }
+
+  test("WAV 8-bit decode: unsigned sample values, truncation rejected") {
+    val pcm = Array.tabulate(100)(i => (i * 17).toByte) // wraps past 127
+    val a = Multimodal.decodeWav(Multimodal.encodeWav(1, 8000, pcm)).get
+    assert(a.bitsPerSample == 8)
+    assert(a.samples.sameElements(pcm.map(_ & 0xff))) // unsigned, not sign-extended
+    assert(Multimodal.decodeWav(
+      Multimodal.encodeWav(1, 8000, new Array[Byte](64)).dropRight(32)).isEmpty)
+  }
+
+  test("decodeFeatures uses REAL pixels for PNG payloads, bytes otherwise") {
+    import spark.implicits._
+    // constant-gray image: every pixel 100 → every feature window mean 100
+    val px = Array.fill(40 * 5)(100.toByte)
+    val png = Multimodal.encodePng(40, 5, 1, px)
+    val media = Seq((1L, png), (2L, "plain text payload, no container".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit("x").as("mime"),
+          org.apache.spark.sql.functions.lit(0L).as("n_bytes"),
+          org.apache.spark.sql.functions.lit("s").as("source")).as("meta"))
+    val out = Multimodal.decodeFeatures(media).orderBy("media_id")
+      .select("features").as[Seq[Float]].collect()
+    assert(out(0).forall(_ == 100f)) // pixel stats, NOT compressed-byte stats
+    assert(out(1).exists(_ != 100f)) // text fell back to raw bytes
+  }
+
+  test("pixelStats + resizeImage: cyclic-fill arithmetic matches the decode") {
+    import spark.implicits._
+    val text = "abcdefghij" * 9 // n=90 → w = 1+90%127 = 91, h = 1+630%89 = 8
+    val docs = Seq((5L, text, "s1")).toDF("doc_id", "text", "source")
+    val media = Multimodal.asPixelMedia(docs, "doc_id", "text", "source")
+    val st = Multimodal.pixelStats(media)
+      .select("width", "height", "n_px", "px_sum", "px_min", "px_max").head()
+    val n = text.length; val w = 1 + n % 127; val h = 1 + (n * 7) % 89
+    val bytes = text.getBytes("UTF-8").map(_ & 0xff)
+    val npx = w * h
+    val expSum = (0 until npx).map(i => bytes(i % n).toLong).sum
+    assert(st.getLong(0) == w && st.getLong(1) == h && st.getLong(2) == npx)
+    assert(st.getLong(3) == expSum)
+    assert(st.getLong(4) == bytes.slice(0, math.min(npx, n)).min)
+    assert(st.getLong(5) == bytes.slice(0, math.min(npx, n)).max)
+    // resize to 4x4 then re-decode: nearest-neighbor source arithmetic
+    val rs = Multimodal.pixelStats(
+        Multimodal.resizeImage(media, 4, 4).select(col("media_id"), col("resized").as("payload")))
+      .select("n_px", "px_sum").head()
+    val expRs = (for (y <- 0 until 4; x <- 0 until 4) yield {
+      val sy = y * h / 4; val sx = x * w / 4
+      bytes((sy * w + sx) % n).toLong
+    }).sum
+    assert(rs.getLong(0) == 16 && rs.getLong(1) == expRs)
+  }
+
+  test("sampleStats: container WAVs yield real sample statistics") {
+    import spark.implicits._
+    val docs = Seq((2L, "wav payload bytes!", "s2")).toDF("doc_id", "text", "source")
+    val st = Multimodal.sampleStats(
+        Multimodal.asContainerMedia(docs, "doc_id", "text", "source"))
+      .select("channels", "sample_rate", "bits", "n_vals", "s_sum", "s_min", "s_max").head()
+    val bytes = "wav payload bytes!".getBytes("UTF-8").map(_ & 0xff)
+    val ch = 2 // id 2: 1 + (2/2) % 2
+    val dl = bytes.length - bytes.length % ch
+    assert(st.getLong(0) == ch && st.getLong(1) == 8000L * 3 && st.getLong(2) == 8L)
+    assert(st.getLong(3) == dl)
+    assert(st.getLong(4) == bytes.take(dl).map(_.toLong).sum)
+    assert(st.getLong(5) == bytes.take(dl).min && st.getLong(6) == bytes.take(dl).max)
+  }
+
   test("decodeContainerMeta runs the parse in the partition-batch path") {
     import spark.implicits._
     val docs = Seq((1L, "hello png world", "s1"), (2L, "wav payload bytes!", "s2"))

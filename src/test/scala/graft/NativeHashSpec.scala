@@ -241,6 +241,40 @@ class NativeHashSpec extends AnyFunSuite {
     assert(bits.size == 12 && bits.forall(b => b == 0L || b == 1L))
   }
 
+  test("SQL surface: md5-fold family and window-selection functions resolve") {
+    docs.createOrReplaceTempView("nh_docs4")
+    // each SQL call must agree with its Column-API twin, value for value
+    val viaSql = spark.sql(
+      """SELECT md5_fold60(concat_ws(' ', sh)) AS f,
+        |       portable_simhash60(sh) AS psh,
+        |       shingle_dup_ratio(sh, 2) AS dup FROM nh_docs4""".stripMargin)
+      .as[(Long, Long, Double)].collect().toSeq
+    val viaCol = docs.select(
+        NativeHash.fold60(concat_ws(" ", col("sh"))).as("f"),
+        NativeHash.portableSimhash60(col("sh")).as("psh"),
+        NativeHash.shingleDupRatio(col("sh"), 2).as("dup"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaSql == viaCol)
+
+    Seq("abcdefghij abcdefghij abcdefghij xyz").toDF("txt")
+      .createOrReplaceTempView("nh_txt")
+    val (cmp, cmpNative, win, winNative) = spark.sql(
+      """SELECT content_mod_positions(txt, 8, 4) AS cmp,
+        |       content_mod_positions(txt, 8, 4, false) AS cmp_native,
+        |       winnow_positions(txt, 8, 4) AS win,
+        |       winnow_positions(txt, 8, 4, false) AS win_native FROM nh_txt""".stripMargin)
+      .as[(Seq[Long], Seq[Long], Seq[Long], Seq[Long])].head()
+    val expected = spark.table("nh_txt").select(
+        NativeHash.contentModPositions(col("txt"), 8, 4, portable = true).as("cmp"),
+        NativeHash.contentModPositions(col("txt"), 8, 4, portable = false).as("cmp_native"),
+        NativeHash.winnowPositions(col("txt"), 8, 4, portable = true).as("win"),
+        NativeHash.winnowPositions(col("txt"), 8, 4, portable = false).as("win_native"))
+      .as[(Seq[Long], Seq[Long], Seq[Long], Seq[Long])].head()
+    assert((cmp, cmpNative, win, winNative) == expected)
+    assert(cmp.nonEmpty && win.nonEmpty)
+    assert(win == win.distinct.sorted) // winnow contract: distinct ascending
+  }
+
   // texts covering multi-byte code points, repeats, and short/empty edges
   private lazy val selTexts = Seq(
     "the quick brown fox jumps over the lazy dog and keeps on running far",
