@@ -1167,6 +1167,58 @@ object SparkEntry {
           col("span_len"), col("n_windows"))
         .orderBy("doc_id", "span_start", "span_end")),
 
+    // the NATIVE (xxhash64) substring-dedup path under the official
+    // gate: the production pipeline (compiled content_mod_positions
+    // selection + builtin-xxhash64 grouping + span merge) is recomputed
+    // by an INDEPENDENT all-builtin formulation — HOF position filter
+    // over every window, same dup/semi-join/island steps in plain
+    // DataFrame ops — and the row asserts exact span-set equality.
+    // DuckDB can't reproduce xxhash64, so (like ann_ivf's recall row)
+    // the oracle predicts the data-predictable field + the assertion.
+    "dedup_substring_native" -> ((s, dir) => {
+      val window = 40; val sampleMod = 4; val minDocs = 2
+      val d = docs(s, dir)
+      val native = SubstringDedup.duplicatedSpans(d, "doc_id", "text",
+          window = window, sampleMod = sampleMod, minDocs = minDocs, portable = false)
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_len"), col("n_windows"))
+      val base = d.filter(length(col("text")) >= window)
+        .select(col("doc_id"), col("text").as("__t"))
+      // selection reference: EVERY window hashed via the builtin, kept
+      // iff pmod(hash, m) = 0 — same rule as the compiled helper but a
+      // disjoint code path (interpreted HOF over builtin xxhash64)
+      val sel = base.select(col("doc_id"),
+        explode(filter(sequence(lit(1), length(col("__t")) - lit(window - 1)),
+          i => pmod(xxhash64(col("__t").substr(i, lit(window))), lit(sampleMod)) === 0))
+          .as("p"),
+        col("__t"))
+      val wins = sel.select(col("doc_id"), col("p").cast("long").as("pos"),
+        xxhash64(col("__t").substr(col("p"), lit(window))).as("h1"),
+        xxhash64(col("__t").substr(col("p"), lit(window)), lit(1)).as("h2"))
+      val dup = wins.groupBy("h1", "h2").agg(countDistinct("doc_id").as("__nd"))
+        .filter(col("__nd") >= minDocs).select("h1", "h2")
+      val flagged = wins.join(dup, Seq("h1", "h2"), "left_semi")
+        .select(col("doc_id"), col("pos").as("s"),
+          (col("pos") + (window - 1)).as("e"))
+      val w = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+      val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val ref = flagged
+        .withColumn("island",
+          sum(when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min("s").as("span_start"), max("e").as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1L).as("span_len"), col("n_windows"))
+      val onlyNative = native.exceptAll(ref).count()
+      val onlyRef = ref.exceptAll(native).count()
+      val nDocs = base.count()
+      import s.implicits._
+      Seq((nDocs, onlyNative == 0L && onlyRef == 0L))
+        .toDF("n_docs", "spans_match")
+    }),
+
     // char-n-gram flavor for unsegmented/short text (charShingles): the
     // zh-labeled slice stands in for text where word tokens are
     // meaningless
@@ -2323,6 +2375,13 @@ object SparkEntry {
         |  max(e) - min(s) + 1 AS span_len, COUNT(*) AS n_windows
         |FROM islands GROUP BY doc_id, island
         |ORDER BY doc_id, span_start, span_end""".stripMargin,
+
+    // assertion row (ann_ivf precedent): DuckDB predicts the eligible-doc
+    // count; the span-set equality is computed Spark-side against an
+    // independent builtin-only formulation of the same native pipeline
+    "dedup_substring_native" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS spans_match
+        |FROM documents WHERE length(text) >= 40""".stripMargin,
 
     "dedup_substring_stats" ->
       s"""WITH w AS (
