@@ -3062,15 +3062,19 @@ object SparkEntry {
         |SELECT doc_id AS media_id,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(npx AS BIGINT) AS n_px,
-        |  CAST((npx // n) * list_sum(bytes)
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE (npx // n) * list_sum(bytes)
         |    + CASE WHEN npx % n = 0 THEN 0
-        |           ELSE list_sum(list_slice(bytes, 1, CAST(npx % n AS INT))) END
+        |           ELSE list_sum(list_slice(bytes, 1, CAST(npx % n AS INT))) END END
         |    AS BIGINT) AS px_sum,
-        |  CAST(list_min(list_slice(bytes, 1, CAST(least(npx, n) AS INT))) AS BIGINT) AS px_min,
-        |  CAST(list_max(list_slice(bytes, 1, CAST(least(npx, n) AS INT))) AS BIGINT) AS px_max,
-        |  round(CAST((npx // n) * list_sum(bytes)
+        |  CAST(CASE WHEN n = 0 THEN 0
+        |    ELSE list_min(list_slice(bytes, 1, CAST(least(npx, n) AS INT))) END
+        |    AS BIGINT) AS px_min,
+        |  CAST(CASE WHEN n = 0 THEN 0
+        |    ELSE list_max(list_slice(bytes, 1, CAST(least(npx, n) AS INT))) END
+        |    AS BIGINT) AS px_max,
+        |  round(CAST(CASE WHEN n = 0 THEN 0 ELSE (npx // n) * list_sum(bytes)
         |    + CASE WHEN npx % n = 0 THEN 0
-        |           ELSE list_sum(list_slice(bytes, 1, CAST(npx % n AS INT))) END
+        |           ELSE list_sum(list_slice(bytes, 1, CAST(npx % n AS INT))) END END
         |    AS DOUBLE) / npx, 6) AS px_mean
         |FROM s ORDER BY media_id""".stripMargin,
 
@@ -3085,8 +3089,8 @@ object SparkEntry {
         |s AS (
         |  SELECT doc_id,
         |    list_transform(range(0, 16), i ->
-        |      ascii(substr(text,
-        |        CAST((((i // 4) * h // 4) * w + ((i % 4) * w // 4)) % n AS INT) + 1, 1))) AS px
+        |      CASE WHEN n = 0 THEN 0 ELSE ascii(substr(text,
+        |        CAST((((i // 4) * h // 4) * w + ((i % 4) * w // 4)) % n AS INT) + 1, 1)) END) AS px
         |  FROM t)
         |SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS rs_npx,
         |  CAST(list_sum(px) AS BIGINT) AS rs_sum,

@@ -97,15 +97,10 @@ object Components {
     out
   }
 
-  /** localCheckpoint persists the underlying RDD directly (NOT through
-    * the cache manager), so Dataset.unpersist() does not release its
-    * blocks; pull the RDD out of the LogicalRDD leaf and unpersist it
-    * explicitly. Safe on non-checkpointed frames (no LogicalRDD leaf).
-    */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
+  /** Release a prior iteration's cut (blocks + any reliable
+    * checkpoint files) via [[Par.free]]; safe no-op on
+    * non-checkpointed frames. */
+  private def freeCheckpoint(df: DataFrame): Unit = Par.free(df)
 
   /** Driver union-find over a bounded edge list. Union-by-min with path
     * compression: the smaller id always stays root, so each final root

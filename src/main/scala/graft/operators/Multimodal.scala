@@ -470,7 +470,10 @@ object Multimodal {
         if (pos + 8L + size > bytes.length) return None // truncated
         dataOff = pos + 8; dataLen = size
       }
-      pos += 8 + size + (size & 1)
+      // long arithmetic: a crafted size near Int.MaxValue must end the
+      // walk, not wrap pos negative and crash the `new String` above
+      val next = pos.toLong + 8L + size + (size & 1)
+      pos = if (next > bytes.length) bytes.length else next.toInt
     }
     if (channels <= 0 || rate <= 0 || dataLen < 0) return None
     if (bits != 8 && bits != 16) return None
@@ -541,7 +544,10 @@ object Multimodal {
             if (pos + 8L + size > bytes.length) return unknown
             dataLen = size.toLong
           }
-          pos += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+          // RIFF chunks are 2-byte aligned; long arithmetic so a crafted
+          // size near Int.MaxValue ends the walk instead of wrapping pos
+          val next = pos.toLong + 8L + size + (size & 1)
+          pos = if (next > bytes.length) bytes.length else next.toInt
         }
       }
       if (channels <= 0 || rate <= 0 || blockAlign <= 0 || dataLen < 0) unknown

@@ -62,13 +62,8 @@ object PageRank {
     ranks
   }
 
-  /** localCheckpoint persists its RDD outside the cache manager, so
-    * Dataset.unpersist() won't free it — release the LogicalRDD leaf's
-    * blocks directly (same pattern as Components.freeCheckpoint); safe
-    * no-op on non-checkpointed frames.
-    */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
+  /** Release a prior iteration's cut (blocks + any reliable
+    * checkpoint files) via [[Par.free]]; safe no-op on
+    * non-checkpointed frames. */
+  private def freeCheckpoint(df: DataFrame): Unit = Par.free(df)
 }

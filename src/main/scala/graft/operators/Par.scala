@@ -37,4 +37,29 @@ object Par {
   def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(true)
+
+  /** Release a frame produced by [[cut]] once no successor's lineage
+    * needs it (i.e. after the NEXT cut has materialized). Both
+    * checkpoint flavors persist their RDD outside the cache manager,
+    * so Dataset.unpersist() won't free the blocks — pull the RDD out
+    * of the LogicalRDD leaf and unpersist it directly. For a RELIABLE
+    * checkpoint, unpersist alone still leaves the checkpoint files on
+    * disk for the session lifetime (a disk leak over a long iterative
+    * job), so also delete the rdd's checkpoint directory; for a local
+    * checkpoint `getCheckpointFile` is None and only the blocks drop.
+    * Safe no-op on non-checkpointed frames (no LogicalRDD leaf).
+    */
+  def free(df: DataFrame): Unit = {
+    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach { rdd =>
+      rdd.getCheckpointFile.foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        try p.getFileSystem(hadoopConf).delete(p, true)
+        catch { case _: java.io.IOException => () } // best-effort cleanup
+      }
+      rdd.unpersist(false)
+    }
+  }
 }

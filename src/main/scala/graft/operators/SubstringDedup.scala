@@ -146,7 +146,6 @@ object SubstringDedup {
       val spans = w.join(dup, Seq("h1", "h2"), "left_semi")
         .select(col("doc_id"), col("pos").as("span_start"),
           (col("pos") + (window - 1)).as("span_end"))
-      TimeSeries.mergeIntervals(spans, "doc_id", "span_start", "span_end")
       Par.cut(TimeSeries.mergeIntervals(spans, "doc_id", "span_start", "span_end")
         .select(col("doc_id"), col("span_start"), col("span_end"),
           (col("span_end") - col("span_start") + 1L).as("span_len"),

@@ -64,6 +64,21 @@ class MultimodalSpec extends AnyFunSuite {
       assert(Multimodal.parseContainerMeta(b).getString(0) == "unknown"))
   }
 
+  test("WAV: chunk size near Int.MaxValue must not wrap pos negative") {
+    // a crafted (non-"data") chunk whose size would overflow Int when
+    // advancing the walk: both decoders must return None/unknown, not
+    // throw StringIndexOutOfBoundsException from a negative pos
+    def crafted(): Array[Byte] = {
+      val b = Multimodal.encodeWav(1, 8000, new Array[Byte](8))
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(12, 0x4b4e554a) // rename "fmt " chunk to junk id
+      buf.putInt(16, Int.MaxValue - 4) // size that overflows pos + 8 + size
+      b
+    }
+    assert(Multimodal.decodeWav(crafted()).isEmpty)
+    assert(Multimodal.parseContainerMeta(crafted()).getString(0) == "unknown")
+  }
+
   test("WAV: odd-length data chunk gets a RIFF pad byte and still round-trips") {
     val b = Multimodal.encodeWav(1, 8000, new Array[Byte](7)) // 7 bytes, 1ch → odd data
     assert(b.length == 44 + 7 + 1) // pad byte present
