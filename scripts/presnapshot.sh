@@ -30,14 +30,8 @@ echo "== presnapshot: duckdb localcheck =="
 python3 scripts/localcheck.py "$SF_DIR" "$OUT_DIR"
 
 echo "== presnapshot: per-round CHANGES narrative =="
-# Three consecutive verdicts asked for CHANGES_r{N}.md; a snapshot
-# without one fails loudly. Round = highest N among driver artifacts.
-ROUND="$(ls VERDICT.md CORRECTNESS_r*.json BENCH_r*.json 2>/dev/null \
-  | grep -oE 'r[0-9]+' | tr -d r | sort -n | tail -1)"
-ROUND="$(( ${ROUND:-0} + 1 ))"
-if [[ ! -f "CHANGES_r${ROUND}.md" ]]; then
-  echo "FATAL: CHANGES_r${ROUND}.md missing — write the round narrative before snapshotting" >&2
-  exit 1
-fi
+# Shared with the git pre-commit hook, which is what actually makes the
+# gate fire (round 10 proved a script nobody runs gates nothing).
+bash scripts/check_changes.sh
 
 echo "== presnapshot: ALL GREEN =="
