@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.functions.{NativeHash, Text}
+import graft.functions.{NativeHash, StringSim, Text, Vectors}
 import org.apache.spark.sql.graft.Shims
 
 /** SparkSessionExtensions entry point: exposes the engine's native
@@ -31,6 +31,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(s"$name(expr) expects 1 argument")
       }))
 
+  /** 2-arg flavor of [[column1]] (vector math, string similarity). */
+  private def column2(ext: SparkSessionExtensions, name: String)(
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[Vectors.type].getName, name),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => Shims.catalystExpression(f(Shims.column(a), Shims.column(b)))
+        case _ => throw new IllegalArgumentException(s"$name(a, b) expects 2 arguments")
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     column1(ext, "quality_score")(Text.qualityScore)
     column1(ext, "lang_id")(Text.langId)
@@ -38,6 +49,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     column1(ext, "bpeish_token_count")(Text.bpeishTokenCount)
     column1(ext, "redact_pii")(Text.redactPii)
     column1(ext, "doc_fingerprint")(Text.fingerprint)
+    // vector math (Column-composites over array<float>) + string
+    // similarity (native codegen'd expressions) — same SQL surface as
+    // the text family, so ANN scoring and fuzzy matching work from
+    // spark.sql(...) without importing graft.functions
+    column2(ext, "vec_dot")(Vectors.dot)
+    column1(ext, "vec_norm")(Vectors.norm)
+    column2(ext, "vec_l2_distance")(Vectors.l2Distance)
+    column2(ext, "jaro")(StringSim.jaro)
+    column2(ext, "jaro_winkler")(StringSim.jaroWinkler)
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[NativeHash.MinHashSigExpr].getName, "minhash_sig"),

@@ -64,15 +64,7 @@ object Triangles {
     // two joins fall back to shuffles on the vertex key.
     val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
     val adjSide = if (m <= broadcastEdgeLimit) broadcast(adj) else adj
-    val closures = oriented
-      .join(adjSide.select(col("src").as("__u"), col("nbrs").as("nu")),
-        col("src") === col("__u"), "left")
-      .join(adjSide.select(col("src").as("__v"), col("nbrs").as("nv")),
-        col("dst") === col("__v"), "left")
-      // nu is never null (N⁺(u) holds this edge's own v); nv is null for
-      // sink vertices — zero common out-neighbors by definition
-      .select(when(col("nv").isNull, lit(0L))
-        .otherwise(size(array_intersect(col("nu"), col("nv"))).cast("long")).as("nc"))
+    val closures = closureCounts(oriented, adjSide)
     // three one-row aggregates crossed together (broadcast-trivial);
     // Σ deg·(deg−1) sums as DECIMAL and halves with integer `div` —
     // double division would silently round past 2^53, exactly the
@@ -98,4 +90,20 @@ object Triangles {
     oriented.unpersist()
     result
   }
+
+  /** Per-edge closure counts {u→v: |N⁺(u) ∩ N⁺(v)|}: two vertex-keyed
+    * joins with the intersection in the projection — the Σ-d_out²-sized
+    * wedge relation of the join formulation never exists as a plan
+    * node. Package-private so PlanShapeSpec can pin that shape.
+    */
+  private[graft] def closureCounts(oriented: DataFrame, adjSide: DataFrame): DataFrame =
+    oriented
+      .join(adjSide.select(col("src").as("__u"), col("nbrs").as("nu")),
+        col("src") === col("__u"), "left")
+      .join(adjSide.select(col("src").as("__v"), col("nbrs").as("nv")),
+        col("dst") === col("__v"), "left")
+      // nu is never null (N⁺(u) holds this edge's own v); nv is null for
+      // sink vertices — zero common out-neighbors by definition
+      .select(when(col("nv").isNull, lit(0L))
+        .otherwise(size(array_intersect(col("nu"), col("nv"))).cast("long")).as("nc"))
 }

@@ -45,4 +45,24 @@ class StringSimSpec extends AnyFunSuite {
     assert(got(3) == ((0.0, 0.0))) // window ⌊2/2⌋−1 = 0 and nothing on the diagonal
     assert(got(4) == ((0.8888888888888888, 0.9111111111111111))) // boosted: prefix 2
   }
+
+  test("SQL surface: jaro/jaro_winkler and vec_* resolve via GraftExtensions") {
+    import spark.implicits._
+    Seq(("martha", "marhta", Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 1.0f, 2.0f)))
+      .toDF("a", "b", "va", "vb").createOrReplaceTempView("sim_rows")
+    val r = spark.sql(
+      """SELECT jaro(a, b) AS j, jaro_winkler(a, b) AS jw,
+        |       vec_dot(va, vb) AS d, vec_norm(va) AS n,
+        |       vec_l2_distance(va, vb) AS l2, cosine_sim(va, vb) AS cos
+        |FROM sim_rows""".stripMargin).collect().head
+    assert(r.getAs[Double]("j") == 0.9444444444444445)
+    assert(r.getAs[Double]("jw") == 0.9611111111111111)
+    assert(r.getAs[Double]("d") == 8.0) // 1·2 + 2·1 + 2·2
+    assert(r.getAs[Double]("n") == 3.0) // √(1+4+4)
+    assert(r.getAs[Double]("l2") == math.sqrt(2.0))
+    // SQL and Column paths agree exactly (same expressions underneath)
+    val viaCol = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 1.0f, 2.0f))).toDF("va", "vb")
+      .select(graft.functions.Vectors.cosine(col("va"), col("vb"))).as[Double].head()
+    assert(math.abs(r.getAs[Double]("cos") - viaCol) < 1e-12)
+  }
 }

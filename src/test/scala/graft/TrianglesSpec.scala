@@ -38,4 +38,22 @@ class TrianglesSpec extends AnyFunSuite {
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
     assert(stats(g) == ((4L, 5L, 8L, 2L, Some(0.75))))
   }
+
+  test("shuffle fallback (broadcastEdgeLimit=0) matches the broadcast arm exactly") {
+    // the billion-edge code path: degree + adjacency joins fall back to
+    // shuffles on the vertex key instead of driver broadcasts. A seeded
+    // G(60, 0.15) graph is big enough to exercise multi-partition
+    // shuffles and rich enough that an orientation/counting bug in the
+    // fallback arm can't cancel out.
+    val rnd = new scala.util.Random(7)
+    val g = for { i <- 1L to 60L; j <- (i + 1) to 60L if rnd.nextDouble() < 0.15 }
+      yield (i, j)
+    val edges = g.toDF("a", "b").repartition(8)
+    val viaBroadcast = Triangles.stats(edges, "a", "b")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    val viaShuffle = Triangles.stats(edges, "a", "b", broadcastEdgeLimit = 0L)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(viaShuffle == viaBroadcast)
+    assert(viaBroadcast._4 > 0L) // the fixture actually has triangles
+  }
 }
