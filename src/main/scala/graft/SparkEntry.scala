@@ -1656,6 +1656,20 @@ object SparkEntry {
           round(col("px_sum").cast("double") / col("n_px"), 6).as("px_mean"))
         .orderBy("media_id")),
 
+    // REAL JPEG decode, end to end: build grayscale baseline JPEGs
+    // (constant 8×8 blocks of cycled text bytes, all-ones quantizer —
+    // the lossy codec's exact corner), then fully DECODE them back —
+    // Huffman + dequantize + IDCT — and emit global pixel stats. The
+    // oracle predicts every stat from block-constant arithmetic, so a
+    // bug anywhere in the entropy decoder or IDCT hash-mismatches.
+    "multimodal_jpeg_pixels" -> ((s, dir) =>
+      Multimodal.pixelStats(
+          Multimodal.asJpegMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
+        .select(col("media_id"), col("width"), col("height"), col("n_px"),
+          col("px_sum"), col("px_min"), col("px_max"),
+          round(col("px_sum").cast("double") / col("n_px"), 6).as("px_mean"))
+        .orderBy("media_id")),
+
     // REAL image resize: encode → decode → nearest-neighbor 4×4 →
     // re-encode → re-decode. Five codec passes per row; the oracle
     // recomputes the 16 NN-sampled pixels by index arithmetic.
@@ -3076,6 +3090,41 @@ object SparkEntry {
         |    + CASE WHEN npx % n = 0 THEN 0
         |           ELSE list_sum(list_slice(bytes, 1, CAST(npx % n AS INT))) END END
         |    AS DOUBLE) / npx, 6) AS px_mean
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // JPEG pixels are block-constant: block k of the (1+n%5)×(1+3n%4)
+    // grid holds byte(k mod n), every block is 64 px, so px_sum =
+    // 64·(⌊nb/n⌋·Σbytes + prefix(nb mod n)) and min/max range over the
+    // first min(nb, n) bytes — same cyclic arithmetic as the PNG
+    // oracle, at block rather than pixel granularity
+    "multimodal_jpeg_pixels" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    1 + length(text) % 5 AS wb,
+        |    1 + (length(text) * 3) % 4 AS hb
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, wb, hb, wb * hb AS nb,
+        |    list_transform(range(1, CAST(n AS INT) + 1),
+        |      i -> ascii(substr(text, CAST(i AS INT), 1))) AS bytes
+        |  FROM t)
+        |SELECT doc_id AS media_id,
+        |  CAST(wb * 8 AS BIGINT) AS width, CAST(hb * 8 AS BIGINT) AS height,
+        |  CAST(nb * 64 AS BIGINT) AS n_px,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE 64 * ((nb // n) * list_sum(bytes)
+        |    + CASE WHEN nb % n = 0 THEN 0
+        |           ELSE list_sum(list_slice(bytes, 1, CAST(nb % n AS INT))) END) END
+        |    AS BIGINT) AS px_sum,
+        |  CAST(CASE WHEN n = 0 THEN 0
+        |    ELSE list_min(list_slice(bytes, 1, CAST(least(nb, n) AS INT))) END
+        |    AS BIGINT) AS px_min,
+        |  CAST(CASE WHEN n = 0 THEN 0
+        |    ELSE list_max(list_slice(bytes, 1, CAST(least(nb, n) AS INT))) END
+        |    AS BIGINT) AS px_max,
+        |  round(CAST(CASE WHEN n = 0 THEN 0 ELSE 64 * ((nb // n) * list_sum(bytes)
+        |    + CASE WHEN nb % n = 0 THEN 0
+        |           ELSE list_sum(list_slice(bytes, 1, CAST(nb % n AS INT))) END) END
+        |    AS DOUBLE) / (nb * 64), 6) AS px_mean
         |FROM s ORDER BY media_id""".stripMargin,
 
     // nearest-neighbor 4×4: out(y,x) = pixel(⌊y·h/4⌋·w + ⌊x·w/4⌋),

@@ -18,13 +18,14 @@ import org.apache.spark.sql.types._
   * PIXEL/SAMPLE-level decode is ALSO real, pure JVM: `decodePng`
   * inflates IDAT (`java.util.zip.Inflater`) and reverses all five PNG
   * scanline filters (None/Sub/Up/Average/Paeth, spec §9) for 8-bit
-  * gray / gray+alpha / RGB / RGBA; `decodeWav` extracts 8-bit unsigned
-  * and 16-bit signed-LE PCM sample values. `decodeFeatures` feeds real
-  * pixels/samples into the feature windows when the payload parses as a
-  * PNG/WAV and falls back to raw-byte stats otherwise (text payloads,
-  * unknown codecs). Exotic codecs (JPEG, MP3, video) would still need a
-  * JNI/ONNX decoder — swapping one arm of `realFeatures` — but the
-  * repo's own containers decode for real, end to end.
+  * gray / gray+alpha / RGB / RGBA; `Jpeg.decode` implements baseline
+  * sequential JPEG (T.81: Huffman, dequantize, IDCT, YCbCr→RGB);
+  * `decodeWav` extracts 8-bit unsigned and 16-bit signed-LE PCM sample
+  * values. `decodeFeatures` feeds real pixels/samples into the feature
+  * windows when the payload parses as a PNG/JPEG/WAV and falls back to
+  * raw-byte stats otherwise (text payloads, unknown codecs). Remaining
+  * exotic codecs (MP3, video) would still need a JNI/ONNX decoder —
+  * swapping one arm of `realFeatures`.
   */
 object Multimodal {
 
@@ -80,7 +81,7 @@ object Multimodal {
     */
   private def realFeatures(payload: Array[Byte]): Array[Float] = {
     if (payload == null || payload.isEmpty) return new Array[Float](FeatureDim)
-    decodePng(payload) match {
+    decodeImage(payload) match {
       case Some(img) => windowMeans(img.pixels.length, i => img.pixels(i) & 0xff)
       case None => decodeWav(payload) match {
         case Some(a) => windowMeans(a.samples.length, a.samples)
@@ -88,6 +89,16 @@ object Multimodal {
       }
     }
   }
+
+  /** Image decode across the supported still-image codecs: PNG
+    * (`decodePng`) or baseline JPEG (`Jpeg.decode`, as of round 11 —
+    * the formerly-documented swap point), normalized to the same
+    * row-major interleaved-8-bit `PngImage` shape. Both decoders
+    * magic-sniff first, so the wrong-format probe is two byte reads.
+    */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[PngImage] =
+    decodePng(bytes).orElse(
+      Jpeg.decode(bytes).map(j => PngImage(j.width, j.height, j.channels, j.pixels)))
 
   /** Per-partition batched "decode": binary payload → feature vector.
     * mapPartitions (not per-row map) so a real decoder can amortize
@@ -486,7 +497,8 @@ object Multimodal {
     Some(WavAudio(channels, rate, bits, samples))
   }
 
-  /** Decoded container header: `format` is "png" / "wav" / "unknown";
+  /** Decoded container header: `format` is "png" / "jpeg" / "wav" /
+    * "unknown";
     * image fields are null for audio and vice versa. All-null fields
     * (format "unknown") mean the bytes failed validation — wrong magic,
     * truncated header, or a PNG IHDR whose CRC doesn't check out.
@@ -523,6 +535,11 @@ object Multimodal {
       val w = buf.getInt.toLong & 0xffffffffL
       val h = buf.getInt.toLong & 0xffffffffL
       Row("png", w, h, null, null, null, null)
+    } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      Jpeg.parseMeta(bytes) match {
+        case Some((w, h, nc)) => Row("jpeg", w.toLong, h.toLong, nc.toLong, null, null, null)
+        case None => unknown
+      }
     } else if (new String(bytes, 0, 4, "US-ASCII") == "RIFF"
         && new String(bytes, 8, 4, "US-ASCII") == "WAVE") {
       val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -626,6 +643,34 @@ object Multimodal {
     }(enc)
   }
 
+  /** Wrap a doc table as pixel-bearing grayscale JPEGs: block grid
+    * (1 + n%5) × (1 + 3n%4), block k constant at text-byte (k mod n) —
+    * constant blocks + all-ones quantizer make the lossy codec exact
+    * (see [[Jpeg.encodeGrayBlocks]]), so every decoded pixel stat is
+    * predictable by the same cyclic-byte arithmetic as the PNG path.
+    */
+  def asJpegMedia(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val in = df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("bytes"),
+      col(sourceCol).as("source"))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(MediaSchema))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val source = r.getString(2)
+        val n = bytes.length
+        val wB = 1 + n % 5
+        val hB = 1 + (n.toLong * 3 % 4).toInt
+        val payload = Jpeg.encodeGrayBlocks(wB, hB,
+          k => if (n == 0) 0 else bytes(k % n) & 0xff)
+        Row(id, payload, Row("image/jpeg", payload.length.toLong, source))
+      }
+    }(enc)
+  }
+
   private val PixelStatsSchema: StructType = StructType(Seq(
     StructField("width", LongType),
     StructField("height", LongType),
@@ -634,10 +679,10 @@ object Multimodal {
     StructField("px_min", LongType),
     StructField("px_max", LongType)))
 
-  /** Decode each PNG payload (full inflate + un-filter) and emit global
-    * pixel statistics over every sample value; all-null stats for
-    * payloads that don't decode. mapPartitions batch shape, like
-    * decodeContainerMeta.
+  /** Decode each image payload (PNG inflate + un-filter, or baseline
+    * JPEG Huffman + IDCT) and emit global pixel statistics over every
+    * sample value; all-null stats for payloads that don't decode.
+    * mapPartitions batch shape, like decodeContainerMeta.
     */
   def pixelStats(media: DataFrame): DataFrame = {
     val outSchema = StructType(media.schema.fields ++ PixelStatsSchema.fields)
@@ -645,7 +690,7 @@ object Multimodal {
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val stats = decodePng(r.getAs[Array[Byte]](payloadIdx)) match {
+        val stats = decodeImage(r.getAs[Array[Byte]](payloadIdx)) match {
           case Some(img) =>
             var sum = 0L; var min = 255L; var max = 0L
             var i = 0
@@ -665,9 +710,11 @@ object Multimodal {
     }(enc)
   }
 
-  /** REAL image resize: decode the PNG, nearest-neighbor resample to
-    * tw×th (srcY = ⌊y·h/th⌋, srcX = ⌊x·w/tw⌋ — the standard NN mapping),
-    * re-encode as PNG. Adds a `resized` binary column; null when the
+  /** REAL image resize: decode the image (PNG or baseline JPEG),
+    * nearest-neighbor resample to tw×th (srcY = ⌊y·h/th⌋,
+    * srcX = ⌊x·w/tw⌋ — the standard NN mapping), re-encode as PNG
+    * (the lossless interchange choice: resizing must not add a second
+    * lossy pass). Adds a `resized` binary column; null when the
     * payload doesn't decode. The byte-level codec-agnostic path is
     * `resize` above.
     */
@@ -678,7 +725,7 @@ object Multimodal {
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val resized = decodePng(r.getAs[Array[Byte]](payloadIdx)) match {
+        val resized = decodeImage(r.getAs[Array[Byte]](payloadIdx)) match {
           case Some(img) =>
             val ch = img.channels
             val out = new Array[Byte](tw * th * ch)
