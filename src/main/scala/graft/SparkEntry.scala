@@ -18,12 +18,14 @@ import graft.sources.Source
   *     share physical row order;
   *   - double SUM/AVG go through DECIMAL accumulation then a final cast
   *     to double — FP addition isn't associative, decimal is exact;
-  *   - `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-  *     read as a timestamp; the session sets
-  *     `spark.sql.legacy.parquet.nanosAsLong` (GraftSession) and the
-  *     `events` helper below rebuilds a µs timestamp with
-  *     `timestamp_micros(ts div 1000)` — DuckDB's `CAST(ts AS TIMESTAMP)`
-  *     truncates ns→µs identically;
+  *   - `events.ts` has shipped in two physical forms across testdata
+  *     generations: parquet TIMESTAMP(NANOS) (arrives as Long under the
+  *     session's `nanosAsLong` conf) and TIMESTAMP(µs,
+  *     isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ). The `events`
+  *     helper below normalizes either to TimestampType µs UTC — matching
+  *     DuckDB's `CAST(ts AS TIMESTAMP)` on the same file (ns→µs truncation
+  *     in the first form, identity in the second; session tz is UTC so the
+  *     NTZ wall clock maps to the same instant DuckDB's epoch_us sees);
   *   - regexes restricted to RE2-safe syntax (DuckDB) that Java matches
   *     identically.
   */
@@ -32,13 +34,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet with `ts` restored to TimestampType (µs). The file's
-    * TIMESTAMP(NANOS) arrives as Long nanos under the session's
-    * nanosAsLong conf; `div 1000` truncates toward the epoch exactly like
-    * DuckDB's ns→µs cast (all test timestamps are post-1970).
+  /** events.parquet with `ts` normalized to TimestampType (µs).
+    * Schema-adaptive because the driver has regenerated the file with a
+    * different physical type between rounds:
+    *   - Long = TIMESTAMP(NANOS) under nanosAsLong → `div 1000` truncates
+    *     toward the epoch exactly like DuckDB's ns→µs cast (all test
+    *     timestamps are post-1970);
+    *   - TIMESTAMP_NTZ = TIMESTAMP(µs, isAdjustedToUTC=false) → cast to
+    *     TimestampType reinterprets the wall clock in the session tz
+    *     (UTC), the same instant DuckDB assigns the naive value.
     */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
 
   /** documents.parquet widened to the session's parallelism: the test
     * files are single-split, which would serialize the regex/tokenize
