@@ -81,6 +81,33 @@ object SparkEntry {
        |        c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c)-87 ELSE ascii(c)-48 END AS BIGINT))),
        |      (acc, d) -> acc*16 + d)""".stripMargin
 
+  /** Components oracle: exact bigram-Jaccard pair set (same as
+    * dedup_ngram_jaccard), then min reachable label via recursive CTE
+    * (UNION dedups, so the fixpoint terminates). Shared verbatim by
+    * `dedup_clusters` and `dedup_clusters_scalable` — the two Spark
+    * plans must agree with one truth.
+    */
+  private val dedupClustersOracle: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
+      |      i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
+      |           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3),
+      |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+      |r AS (
+      |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.b AS id, r.lbl FROM r JOIN e ON e.a = r.id)
+      |SELECT id AS doc_id, min(lbl) AS cluster_id
+      |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Interval-island merge over a `sp(doc_id, s, e)` CTE — the
     * interval_merge pattern on character offsets, shared by the
     * substring-dedup oracles. Ends with an `islands` CTE (no trailing
@@ -1255,6 +1282,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
         .orderBy("doc_id")
     }),
+
+    // the replication-proof twin (same oracle, same result — the
+    // quantiles/quantiles_scalable pattern): operators/ClusterDedup
+    // contracts near-identical copies FIRST (exact-set collapse +
+    // LSH star contraction), generates PPJoin candidates at CLUSTER
+    // granularity, and exact-verifies members only for surviving
+    // cluster pairs. Costs a fixed few seconds of extra phases at toy
+    // scale; on a g×-replicated corpus the direct plan's candidate set
+    // grows g² while this one stays at distinct-content level (10×
+    // soak: 244 s direct vs 29 s, gap widening quadratically with g)
+    "dedup_clusters_scalable" -> ((s, dir) =>
+      ClusterDedup.components(docs(s, dir), "doc_id", "text",
+          nGram = 2, threshold = 0.3)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")),
 
     // canonical selection on top of the clusters: keep exactly the
     // cluster-minimum document — the deduplicated corpus a training
@@ -2466,26 +2508,11 @@ object SparkEntry {
     // components oracle: same exact-Jaccard pair set as
     // dedup_ngram_jaccard, then min reachable label via recursive CTE
     // (UNION dedups, so the fixpoint terminates)
-    "dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
-        |      i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
-        |           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3),
-        |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
-        |r AS (
-        |  SELECT doc_id AS id, doc_id AS lbl FROM documents
-        |  UNION
-        |  SELECT e.b AS id, r.lbl FROM r JOIN e ON e.a = r.id)
-        |SELECT id AS doc_id, min(lbl) AS cluster_id
-        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersOracle,
+
+    // the scalable twin is gated against the IDENTICAL oracle — two
+    // plans, one truth
+    "dedup_clusters_scalable" -> dedupClustersOracle,
 
     "dedup_canonical" ->
       """WITH RECURSIVE sh AS (

@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NativeHash, Text}
+
+/** Duplicate-CLUSTER labeling (exact n-gram-Jaccard connected
+  * components) with a replication-proof candidate path.
+  *
+  * The direct pipeline — [[JaccardDedup.nearDupPairs]] then
+  * [[Components.connectedComponents]] — is exact but its candidate join
+  * costs Σ_s dfP(s)² over prefix-shingle document frequencies. That is
+  * the wrong shape for the corpora clustering is FOR: boilerplate-heavy
+  * crawls where the same page recurs with small edits. g near-identical
+  * copies multiply every prefix df by g, so candidates (and the
+  * pair-distinct exchange, and the verify) grow g² — measured on the
+  * 10×-replicated soak corpus: 634M raw candidates vs 6.3M at 1×, 332 s
+  * vs ~2 s. This operator returns the IDENTICAL labeling with candidate
+  * volume back at the distinct-content level:
+  *
+  *   1. EXACT-SET COLLAPSE — group docs by their full sorted
+  *      shingle-hash array. Set-identical docs have J = 1 (≥ any
+  *      t ∈ (0,1]) with each other and identical J against everything
+  *      else, so each group contracts to its min-id representative.
+  *      Empty shingle sets are excluded: J = 0/0 is no-edge (matching
+  *      the pair operator, whose explode drops them), so those docs
+  *      stay isolated singletons.
+  *   2. LSH CONTRACTION — MinHash band buckets over representatives,
+  *      candidates exact-verified at the USER threshold t, then ONE
+  *      star-contraction pass (cl(x) = min(x, min t-neighbor)).
+  *      Contraction is valid whenever each contracted set lies inside
+  *      one t-component — true t-edges to a shared hub give exactly
+  *      that — so LSH recall (the reason banding can't replace the
+  *      exact join) costs nothing here: missed edges only mean less
+  *      contraction, caught ones collapse the near-identical cliques
+  *      that cause g². Verification keeps soundness: a bucket-collision
+  *      pair with true J < t is never used as an edge.
+  *   3. CLUSTER-LEVEL CANDIDATES — the PPJoin prefix index
+  *      ([[JaccardDedup.prefixIndex]], same global rarity order, so the
+  *      same losslessness proof applies to every member pair) projected
+  *      to (shingle, cluster) DISTINCT. g collapsed copies post each
+  *      prefix shingle once, so the self-join is Σ_s dfC(s)² over
+  *      CLUSTER frequencies — the g² term is gone. A cluster-level size
+  *      filter (some member pair could satisfy t·max ≤ min) prunes
+  *      pairs no member pair can qualify for.
+  *   4. SOUND CLUSTER-PAIR BOUND — with U_C the union of member
+  *      shingle sets and minN_C the smallest member size:
+  *      c(a,b) ≤ |U_A ∩ U_B| and max(n_a,n_b) ≥ max(minN_A,minN_B), so
+  *      J(a,b) ≤ |U_A∩U_B| / max(minN_A, minN_B). One merge walk per
+  *      cluster pair retires almost every false candidate without
+  *      touching |A|·|B| member pairs. Clusters whose union exceeds
+  *      `unionCap` skip the prune (bound unavailable ≠ bound failed) —
+  *      the prune is an optimization, never a correctness arm.
+  *   5. EXACT VERIFY — surviving cluster pairs expand to member pairs,
+  *      re-checked with the doc-level size filter and the early-exit
+  *      sorted-intersection walk at exactly [[JaccardDedup]]'s α bound
+  *      (same ±1e-9 fp guards). True cross-cluster edges + the
+  *      contraction edges of steps 1-2 span the same components as the
+  *      full t-graph, so the final labels — min reachable id through
+  *      cluster-graph components — equal the direct pipeline's.
+  *
+  * Scale shape: every step is a narrow-key shuffle (shingle hash,
+  * cluster id) or a bounded per-cluster aggregate; no driver
+  * materialization anywhere (components themselves go through
+  * [[Components]]' adaptive local/distributed arms).
+  */
+object ClusterDedup {
+
+  /** Fp guard shared with [[JaccardDedup]]'s pruning bounds. */
+  private val Eps = 1e-9
+
+  /** (id, component) for every input doc — component = min doc id
+    * reachable through the exact J ≥ threshold n-gram pair graph.
+    * Result is row-identical to
+    * `Components.connectedComponents(JaccardDedup.nearDupPairs(...))`
+    * over the same input.
+    */
+  def components(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 2,
+      threshold: Double = 0.3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      unionCap: Int = 1 << 15): DataFrame = {
+    require(threshold > 0, "threshold must be > 0")
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val hashed = Par.widen(df)
+      .select(col(idCol).as("id"),
+        NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram).as("__sh"))
+      .select(col("id"), col("__sh"),
+        coalesce(size(col("__sh")), lit(0)).as("n"))
+      .persist(MEMORY_AND_DISK)
+
+    // ---- 1. exact-set collapse (array group key: exact, no hash-
+    // collision arm; one corpus-sized narrow exchange, same magnitude
+    // as the exploded index the pair join already pays) ----
+    val nonEmpty = hashed.where(col("n") > 0)
+    // Par.cut (not persist) on the fan-out frames: persist caches
+    // EXECUTION but leaves the full logical subtree in every consumer's
+    // plan — with this many mutually-referencing stages the analyzer
+    // re-walks a combinatorially duplicated tree per downstream frame
+    // (measured: thousands of repeated subtree nodes in the final
+    // explain, and driver planning time dwarfing the actual work at
+    // toy scale). A lineage cut truncates consumers to a leaf.
+    val docRep = Par.cut(nonEmpty
+      .select(col("id"), min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__sh"))).as("rep")))
+    val reps = Par.cut(
+      nonEmpty.join(docRep.where(col("id") === col("rep")).select("id"), Seq("id")))
+
+    // ---- 2. LSH contraction over representatives ----
+    val buckets = reps
+      .select(col("id"),
+        posexplode(NativeHash.minhashBandBucketsHashed(col("__sh"), numHashes, numBands))
+          .as(Seq("band", "bucket")))
+    val lshCand = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val alphaOf = (na: String, nb: String) =>
+      ceil((col(na) + col(nb)) * (threshold / (1.0 + threshold)) - lit(Eps)).cast("int")
+    val edges1 = lshCand
+      .join(reps.select(col("id").as("id_a"), col("__sh").as("__sha"), col("n").as("n_a")), Seq("id_a"))
+      .join(reps.select(col("id").as("id_b"), col("__sh").as("__shb"), col("n").as("n_b")), Seq("id_b"))
+      .filter(greatest(col("n_a"), col("n_b")) * threshold <=
+        least(col("n_a"), col("n_b")) + lit(Eps))
+      .withColumn("c", NativeHash.sortedIntersectAtLeast(
+        col("__sha"), col("__shb"), alphaOf("n_a", "n_b")))
+      .filter(col("c") >= 0)
+      .filter(col("c") / (col("n_a") + col("n_b") - col("c")) >= threshold)
+      .select("id_a", "id_b")
+    // contraction labels by ONE-PASS star contraction, not a full
+    // components run: cl(x) = min(x, min t-neighbor). Validity needs
+    // only that each contracted set lies within ONE t-component —
+    // {x : cl(x) = v} ⊆ N(v) ∪ {v} gives exactly that (every member is
+    // t-adjacent to v), even when v itself stars to a smaller hub.
+    // Splitting a clique across hubs costs contraction quality, never
+    // correctness: step 5 finds every cross-cluster edge, and the final
+    // components pass re-merges. One groupBy+join vs O(log²) rounds.
+    val nbrMin = edges1.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .union(edges1.select(col("id_b").as("id"), col("id_a").as("nb")))
+      .groupBy("id").agg(min("nb").as("__nbmin"))
+    val repCluster = Par.cut(reps.select(col("id"))
+      .join(nbrMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("__nbmin"), col("id"))).as("cl")))
+
+    // ---- 3. cluster-level candidate generation ----
+    // Postings lift the PPJoin prefix index to clusters with the doc-
+    // level prunes RELAXED soundly (so singleton clusters — the normal
+    // case on low-duplication corpora — degenerate to exactly the
+    // doc-level filters, and candidate volume at 1× replication matches
+    // the direct pipeline's):
+    //   - positional: per (s, cluster) keep mr = max over members of
+    //     (n − pos). A qualifying member pair survives through its
+    //     first-shared-element posting s*, where
+    //     1 + min(n_a−p_a, n_b−p_b) ≥ α(n_a,n_b) ≥ α(minN_A,minN_B)
+    //     (α is increasing in sizes), and n−p ≤ mr by construction —
+    //     so 1 + min(mr_a, mr_b) ≥ α(minN_A, minN_B) holds for s*.
+    //   - size: some member pair could satisfy t·max ≤ min only if
+    //     t·max(minN_A, minN_B) ≤ min(maxN_A, maxN_B).
+    val index = reps.select(col("id"), explode(col("__sh")).as("s"), col("n"))
+    val member = Par.cut(reps.join(repCluster, Seq("id"))) // (id, __sh, n, cl)
+    val cStats = member.groupBy("cl")
+      .agg(min("n").as("minN"), max("n").as("maxN"), count(lit(1)).as("nm"))
+    val cpost = Par.cut(JaccardDedup.prefixIndex(index, "id", threshold)
+      .join(repCluster, Seq("id"))
+      .groupBy(col("s"), col("cl"))
+      .agg(max(col("n") - col("pos")).as("mr"))
+      .join(cStats, Seq("cl")))
+    val alphaMin = ceil((col("__mna") + col("__mnb")) * (threshold / (1.0 + threshold)) - lit(Eps))
+    val candCl = cpost.select(col("s").as("__sa"), col("cl").as("cl_a"), col("mr").as("__mra"),
+        col("minN").as("__mna"), col("maxN").as("__mxa"), col("nm").as("__nma"))
+      .join(cpost.select(col("s").as("__sb"), col("cl").as("cl_b"), col("mr").as("__mrb"),
+          col("minN").as("__mnb"), col("maxN").as("__mxb"), col("nm").as("__nmb")),
+        col("__sa") === col("__sb") &&
+        col("cl_a") < col("cl_b") &&
+        least(col("__mxa"), col("__mxb")) + lit(Eps) >=
+          greatest(col("__mna"), col("__mnb")) * threshold &&
+        lit(1) + least(col("__mra"), col("__mrb")) >= alphaMin)
+      .select(col("cl_a"), col("cl_b"), col("__nma"), col("__nmb"))
+      .distinct() // sole consumer is the prune below — no persist: caching
+                  // millions of candidate rows costs more (GC + a blocking
+                  // materialization) than the one streaming evaluation
+
+    // ---- 4. union-set bound prune — routed to the pairs where it can
+    // pay (a multi-member side): for singleton-singleton pairs the
+    // bound walk IS the verify walk, so they bypass straight to step 5
+    // as a cached filter instead of dragging 4 joins over the whole
+    // candidate set. Unions are built from multi-member clusters only.
+    // Over-cap unions skip the prune (bound unavailable ≠ bound failed).
+    val exploded = member
+      .join(cStats.where(col("nm") > 1).select("cl"), Seq("cl"))
+      .select(col("cl"), explode(col("__sh")).as("s")).distinct()
+      .persist(MEMORY_AND_DISK)
+    val uSize = exploded.groupBy("cl").agg(count(lit(1)).as("usz"))
+    val unions = exploded
+      .join(uSize.where(col("usz") <= unionCap).select("cl"), Seq("cl"))
+      .groupBy("cl").agg(sort_array(collect_list(col("s"))).as("u"))
+    // One pass, no union-split: the stats/union joins broadcast (cluster-
+    // sized / multi-cluster-sized sides), so the whole prune fuses into a
+    // single map-side stage over the cached candidate set. Singleton-
+    // singleton pairs short-circuit on the nm arm; pairs missing a union
+    // (over cap, or singleton side) pass on the null arms.
+    val pruned = candCl
+      .join(cStats.select(col("cl").as("cl_a"), col("minN").as("minA")), Seq("cl_a"))
+      .join(cStats.select(col("cl").as("cl_b"), col("minN").as("minB")), Seq("cl_b"))
+      .join(unions.select(col("cl").as("cl_a"), col("u").as("u_a")), Seq("cl_a"), "left")
+      .join(unions.select(col("cl").as("cl_b"), col("u").as("u_b")), Seq("cl_b"), "left")
+      .filter((col("__nma") === 1 && col("__nmb") === 1) ||
+        col("u_a").isNull || col("u_b").isNull ||
+        NativeHash.sortedIntersectCount(col("u_a"), col("u_b")) >=
+          greatest(col("minA"), col("minB")) * threshold - lit(Eps))
+      .select("cl_a", "cl_b")
+
+    // ---- 5. exact member verification of surviving cluster pairs ----
+    val crossEdges = pruned
+      .join(member.select(col("cl").as("cl_a"), col("__sh").as("__sha"), col("n").as("n_a")), Seq("cl_a"))
+      .join(member.select(col("cl").as("cl_b"), col("__sh").as("__shb"), col("n").as("n_b")), Seq("cl_b"))
+      .filter(greatest(col("n_a"), col("n_b")) * threshold <=
+        least(col("n_a"), col("n_b")) + lit(Eps))
+      .withColumn("c", NativeHash.sortedIntersectAtLeast(
+        col("__sha"), col("__shb"), alphaOf("n_a", "n_b")))
+      .filter(col("c") >= 0)
+      .filter(col("c") / (col("n_a") + col("n_b") - col("c")) >= threshold)
+      .select(col("cl_a"), col("cl_b")).distinct()
+      // edge-sized; the cut keeps the whole candidate/prune pipeline out
+      // of the components pass's (twice-referencing) plan
+      .transform(Par.cut)
+
+    // ---- assemble: cluster-graph components, then fan labels back out
+    // through contraction (cl) and collapse (rep). Cluster ids are min
+    // member doc ids (star hubs and reps are both mins), so the final
+    // min-cluster label IS the min reachable doc id. Components runs
+    // over edge-touched clusters only — untouched clusters coalesce to
+    // themselves in the label join, sparing the vertex-union pass.
+    val clComp = Components.connectedComponents(crossEdges, "cl_a", "cl_b")
+      .select(col("id").as("cl"), col("component"))
+    val labeled = docRep.select(col("id"), col("rep"))
+      .join(repCluster.select(col("id").as("rep"), col("cl")), Seq("rep"))
+      .join(clComp, Seq("cl"), "left")
+      .select(col("id"), coalesce(col("component"), col("cl")).as("component"))
+    // isolated docs (empty shingle set): own singleton component
+    val isolated = hashed.where(col("n") === 0)
+      .select(col("id"), col("id").as("component"))
+    val out = Par.cut(labeled.union(isolated))
+    Seq(hashed, exploded).foreach(_.unpersist(false))
+    Seq(docRep, reps, repCluster, member, cpost, crossEdges).foreach(Par.free)
+    out
+  }
+}

@@ -90,6 +90,13 @@ object SoakSf1 {
       SubstringDedup.duplicatedSpans(docs, "doc_id", "text",
         window = 40, sampleMod = 4, minDocs = 2, portable = false).count()
     }
+    soak("dedup_clusters_scalable") {
+      ClusterDedup.components(docs, "doc_id", "text",
+        nGram = 2, threshold = 0.3).count()
+    }
+    // the direct pipeline (the `dedup_clusters` driver row), kept
+    // measurable for the comparison — the g² candidate pathology:
+    // 331.8 s in the r11 soak, 244 s same-host r12
     soak("dedup_clusters") {
       val pairs = JaccardDedup.nearDupPairs(docs, "doc_id", "text",
         nGram = 2, threshold = 0.3)

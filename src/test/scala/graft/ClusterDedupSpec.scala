@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ClusterDedup, Components, JaccardDedup}
+
+/** ClusterDedup.components must be ROW-IDENTICAL to the direct
+  * pipeline (JaccardDedup.nearDupPairs → Components) on every corpus —
+  * the collapse/contraction/bound-prune steps are optimizations whose
+  * losslessness these tests pin, including the shapes that motivated
+  * the operator (replica cliques) and the shapes that could break it
+  * (empty docs, exact duplicates, threshold-boundary pairs, clusters
+  * above the union cap).
+  */
+class ClusterDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def direct(df: DataFrame, t: Double, nGram: Int = 2): Set[(Long, Long)] =
+    Components.connectedComponents(
+        JaccardDedup.nearDupPairs(df, "doc_id", "text", nGram, t),
+        "id_a", "id_b", Some(df.select(col("doc_id"))))
+      .as[(Long, Long)].collect().toSet
+
+  private def clustered(df: DataFrame, t: Double, nGram: Int = 2,
+      unionCap: Int = 1 << 15): Set[(Long, Long)] =
+    ClusterDedup.components(df, "doc_id", "text", nGram, t, unionCap = unionCap)
+      .as[(Long, Long)].collect().toSet
+
+  test("matches the direct pipeline on sf0.001 documents (t=0.3, the driver query's params)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    assert(clustered(docs, 0.3) == direct(docs, 0.3))
+  }
+
+  test("replica-marked corpus (the soak shape): identical labels, near-identical copies cluster") {
+    // 8 base docs × 5 replicas; r=0 exact, r>0 two-token marker — the
+    // g² candidate pathology in miniature. Base docs 0 and 1 are also
+    // true near-dups of each other, so components span replica groups.
+    val base = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again and again",
+      1L -> "the quick brown fox jumps over the lazy dog again and once",
+      2L -> "completely different content about spark catalyst optimizer rules",
+      3L -> "a third unrelated document mentioning parquet column pruning",
+      4L -> "watermark semantics for late arriving events in streaming mode",
+      5L -> "broadcast joins beat shuffles when one side fits in memory",
+      6L -> "salting skewed keys spreads hot partitions across the cluster",
+      7L -> "exactly once sinks need idempotent writes and stable epochs")
+    val docs = base.flatMap { case (id, text) =>
+      (0 until 5).map { r =>
+        (id * 10 + r, if (r == 0) text else s"$text rep $r")
+      }
+    }.toDF("doc_id", "text")
+    assert(clustered(docs, 0.3) == direct(docs, 0.3))
+  }
+
+  test("exact duplicates collapse losslessly (J=1 cliques, several group sizes)") {
+    val docs = (Seq.fill(6)("all six of these documents are byte identical content") ++
+      Seq.fill(3)("these three are identical to each other but not to the six") ++
+      Seq("a singleton document unlike anything else in this corpus"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(clustered(docs, 0.3) == direct(docs, 0.3))
+  }
+
+  test("empty and sub-shingle docs stay isolated singletons (J=0/0 is no-edge)") {
+    val docs = Seq(
+      (0L, "one"),            // 1 token, 0 bigrams
+      (1L, "one"),            // identical — still no shingles, no edge
+      (2L, ""),               // empty
+      (3L, "shared words here exactly"), (4L, "shared words here exactly"),
+      (5L, "totally disjoint vocabulary row")).toDF("doc_id", "text")
+    val got = clustered(docs, 0.3)
+    assert(got == direct(docs, 0.3))
+    // the empty-shingle docs each label themselves
+    assert(got.contains((0L, 0L)) && got.contains((1L, 1L)) && got.contains((2L, 2L)))
+    assert(got.contains((3L, 3L)) && got.contains((4L, 3L)))
+  }
+
+  test("threshold-boundary pairs survive the cluster-level bound (J exactly at t)") {
+    // bigram sets sized so J = 1/3 exactly at t = 1/3: a=(x y z w) has
+    // 3 bigrams, b=(x y u v) has 3, intersection {x y} = 1 → J = 1/5…
+    // build instead docs with J exactly 0.5: 2 shared of 3 total each
+    // → J = 2/4 = 0.5
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),  // bigrams: ab, bg, gd
+      (1L, "alpha beta gamma epsilon"), // ab, bg, ge → ∩=2, ∪=4, J=0.5
+      (2L, "zeta eta theta iota")).toDF("doc_id", "text")
+    assert(clustered(docs, 0.5) == direct(docs, 0.5))
+    assert(clustered(docs, 0.5).contains((1L, 0L)))
+  }
+
+  test("unionCap=0 (bound prune disabled everywhere) still exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .limit(120)
+    assert(clustered(docs, 0.3, unionCap = 0) == direct(docs, 0.3))
+  }
+
+  test("chain through mid-similarity links: components merge transitively across clusters") {
+    // a—b and b—c above t, a—c below t: one component {a,b,c}
+    val docs = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (11L, "w1 w2 w3 w4 w5 w6 x7 x8"),
+      (12L, "x5 x6 w1 w2 w3 w4 x7 x8"),
+      (13L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+    val got = clustered(docs, 0.4)
+    assert(got == direct(docs, 0.4))
+    assert(got.contains((12L, 10L)) || !direct(docs, 0.4).contains((12L, 10L)))
+  }
+}
