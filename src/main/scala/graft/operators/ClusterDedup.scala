@@ -85,7 +85,11 @@ object ClusterDedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       unionCap: Int = 1 << 15): DataFrame = {
-    require(threshold > 0, "threshold must be > 0")
+    // Upper bound matters for the row-identity contract: the exact-set
+    // collapse assumes identical docs (J=1) always merge, which is only
+    // valid for thresholds in (0, 1] — the direct pipeline would emit no
+    // edges at all for t > 1.
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val spark = df.sparkSession
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 

@@ -107,6 +107,9 @@ class ClusterDedupSpec extends AnyFunSuite {
       (13L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
     val got = clustered(docs, 0.4)
     assert(got == direct(docs, 0.4))
-    assert(got.contains((12L, 10L)) || !direct(docs, 0.4).contains((12L, 10L)))
+    // Hand-verified bigram Jaccards: J(10,11)=5/9, J(11,12)=4/10=t,
+    // J(10,12)=3/11<t — so {10,11,12} merge transitively through 11
+    // (min-id label 10) and 13 stays a singleton.
+    assert(got == Set((10L, 10L), (11L, 10L), (12L, 10L), (13L, 13L)))
   }
 }
