@@ -2014,6 +2014,24 @@ object SparkEntry {
           && col("o_totalprice") === col("mx_day"))
         .select(col("o_orderkey"), col("day"), col("o_totalprice"))
         .orderBy("day", "o_orderkey")
+    }),
+
+    // the scale-safe twin (same oracle — the ntile_spend_chunked
+    // pattern): SkewWindow.globalRunningMax replaces the one-task
+    // global range window with a chunk-partitioned one + broadcast
+    // prefix maxima, so the strictly-earlier running max of the fact
+    // table parallelizes across the cluster
+    "skyline_orders_chunked" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"),
+        expr("unix_date(to_date(o_orderdate))").cast("long").as("day"))
+      val wDay = Window.partitionBy("day")
+      SkewWindow.globalRunningMax(o, "day", "o_totalprice")
+        .withColumn("mx_day", max("o_totalprice").over(wDay))
+        .filter((col("running_max").isNull || col("o_totalprice") > col("running_max"))
+          && col("o_totalprice") === col("mx_day"))
+        .select(col("o_orderkey"), col("day"), col("o_totalprice"))
+        .orderBy("day", "o_orderkey")
     })
   )
 
@@ -3769,6 +3787,20 @@ object SparkEntry {
         |FROM na, ne, tri""".stripMargin,
 
     "skyline_orders" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM orders)
+        |SELECT o_orderkey, day, o_totalprice FROM o a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM o b
+        |  WHERE b.day <= a.day AND b.o_totalprice >= a.o_totalprice
+        |    AND (b.day < a.day OR b.o_totalprice > a.o_totalprice))
+        |ORDER BY day, o_orderkey""".stripMargin,
+
+    // the chunked plan must agree with the same truth as the
+    // sequential one — shared oracle text, verbatim
+    "skyline_orders_chunked" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_totalprice,
         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day

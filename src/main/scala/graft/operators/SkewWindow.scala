@@ -189,6 +189,69 @@ object SkewWindow {
     } finally in.unpersist()
   }
 
+  /** Skew-safe `max(value) OVER (ORDER BY order RANGE BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` — the running max over STRICTLY
+    * EARLIER order values (the Pareto-frontier/skyline shape). Adds a
+    * `running_max` column, null while no strictly-earlier non-null
+    * value exists, exactly like the sequential window.
+    *
+    * Same chunking scheme as [[globalRunningSum]]: order-monotone chunk
+    * ids from sampled quantile boundaries (boundary ties share a
+    * chunk, so every row in an EARLIER chunk has a strictly smaller
+    * order value), a chunk-partitioned range window within, and a
+    * broadcast prefix — here the cumulative max of earlier chunks'
+    * maxima, computed by a ≤`chunks`-row window. Max is idempotent
+    * and order-insensitive, so chunked == sequential exactly (no
+    * decimal dance needed — this is an order statistic, not an
+    * accumulation).
+    *
+    * Contract: `orderCol` must be an INTEGRAL numeric total order
+    * (the `RANGE … AND -1` frame means "order value ≤ current − 1",
+    * which equals "strictly earlier" only on integral domains —
+    * epoch-cast dates/timestamps first).
+    */
+  def globalRunningMax(
+      df: DataFrame, orderCol: String, valueCol: String, chunks: Int = 32): DataFrame = {
+    require(chunks >= 1, "need at least one chunk")
+    Seq("running_max", "__chunk", "__mx", "__pre").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column"))
+    require(Seq("byte", "short", "int", "long", "integer", "bigint", "smallint", "tinyint")
+        .contains(df.schema(orderCol).dataType.typeName),
+      s"orderCol '$orderCol' must be integral — cast dates/timestamps to epoch first")
+    val valueType = df.schema(valueCol).dataType
+    // persist for the eager probe passes, release before returning
+    // (see globalRunningSum — same leak-vs-one-extra-scan trade)
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probs = (1 until chunks).map(_.toDouble / chunks).toArray
+      val bounds =
+        if (probs.isEmpty) Array.empty[Double]
+        else in.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+      val chunkId = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+      }
+      val chunked = in.withColumn("__chunk", chunkId)
+      val wIn = Window.partitionBy("__chunk").orderBy(col(orderCol))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val within = chunked.withColumn("__mx", max(col(valueCol)).over(wIn))
+      // prefix maxima: cumulative max of earlier chunks' maxima — a
+      // bounded (≤ chunks rows) window, then a broadcast literal chain
+      val prefixes = chunked.groupBy("__chunk").agg(max(col(valueCol)).as("__cm"))
+        .withColumn("__pre", max(col("__cm")).over(
+          Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)))
+        .select("__chunk", "__pre").collect()
+        .map(r => r.getInt(0) -> r.get(1))
+      val preCol = prefixes.foldLeft(lit(null).cast(valueType)) { case (acc, (c, v)) =>
+        when(col("__chunk") === c, lit(v).cast(valueType)).otherwise(acc)
+      }
+      // greatest() skips nulls: null within-chunk + non-null prefix (or
+      // vice versa) resolves to the non-null side; both null = a true
+      // "no earlier value" — matching the sequential frame
+      within.withColumn("running_max", greatest(col("__mx"), preCol))
+        .drop("__chunk", "__mx")
+    } finally in.unpersist()
+  }
+
   /** Skew-safe `ntile(n) OVER (ORDER BY …)`: global rank via
     * `globalRank`, then the ANSI ntile bucket formula (first `N mod n`
     * buckets take the extra row) applied as a plain expression — adds

@@ -82,4 +82,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashExchanges(p) == 1, s"plan:\n$p")
     assert(nodes(p, "[A-Za-z]*Join") == 0, s"plan:\n$p")
   }
+
+  test("skyline_orders_chunked: running max windows on ≥2 parallel chunks, not one task") {
+    val p = plan(SparkEntry.queries("skyline_orders_chunked")(spark, dir))
+    // the strictly-earlier running max must run under a chunk-hash
+    // exchange (the sequential twin plans an empty partition spec —
+    // Spark's one-task global sort)
+    assert(p.contains("hashpartitioning(__chunk"), s"plan:\n$p")
+    // and the sampled day boundaries genuinely split the domain: ≥2
+    // chunks at even the smallest SF (≥1 distinct interior boundary)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(expr("unix_date(to_date(o_orderdate))").cast("long").as("day"))
+    val bounds = o.stat
+      .approxQuantile("day", (1 until 32).map(_.toDouble / 32).toArray, 0.001)
+      .distinct
+    assert(bounds.length >= 1, s"degenerate day domain: $bounds")
+  }
 }

@@ -114,8 +114,60 @@ class SkewWindowSpec extends AnyFunSuite {
     SkewWindow.globalRank(dft, "p", tieBreak = Seq(col("id").asc), chunks = 8).count()
     SkewWindow.globalRankBySample(dfs, "k", Seq(col("id").asc), chunks = 8).count()
     SkewWindow.globalNtile(dft, "p", 4, tieBreak = Seq(col("id").asc), chunks = 8).count()
+    SkewWindow.globalRunningMax(dft, "id", "p", chunks = 8).count()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
+
+  test("globalRunningMax equals the sequential strictly-earlier range window") {
+    // heavy order-value ties (day-like key: 200 rows over 23 distinct
+    // days) so boundary ties and same-day groups are both exercised
+    val dfm = (1 to 200).map(i => (i.toLong, (i % 23).toLong, (i * 37 % 101).toDouble))
+      .toDF("id", "day", "price")
+    val naive = dfm.withColumn("running_max",
+        max("price").over(Window.orderBy("day")
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      .select("id", "running_max").as[(Long, Option[Double])].collect().toMap
+    for (c <- Seq(1, 7, 32)) {
+      val got = SkewWindow.globalRunningMax(dfm, "day", "price", chunks = c)
+        .select("id", "running_max").as[(Long, Option[Double])].collect().toMap
+      assert(got == naive, s"chunks=$c")
+    }
+  }
+
+  test("globalRunningMax: null values are skipped, incl. an all-null leading chunk") {
+    val dfn = Seq[(Long, Long, Option[Double])](
+      (1L, 0L, None), (2L, 1L, None), (3L, 2L, Some(5.0)),
+      (4L, 3L, None), (5L, 4L, Some(2.0)), (6L, 5L, Some(9.0)), (7L, 6L, None)
+    ).toDF("id", "day", "price")
+    val naive = dfn.withColumn("running_max",
+        max("price").over(Window.orderBy("day")
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      .select("id", "running_max").as[(Long, Option[Double])].collect().toMap
+    for (c <- Seq(1, 3, 8)) {
+      val got = SkewWindow.globalRunningMax(dfn, "day", "price", chunks = c)
+        .select("id", "running_max").as[(Long, Option[Double])].collect().toMap
+      assert(got == naive, s"chunks=$c")
+    }
+  }
+
+  test("globalRunningMax partitions the window by chunk — no one-task global sort") {
+    val dfm = (1 to 5000).map(i => (i.toLong, (i % 365).toLong, i.toDouble)).toDF("id", "day", "price")
+    val plan = SkewWindow.globalRunningMax(dfm, "day", "price", chunks = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__chunk"),
+      s"expected a chunk-partitioned window exchange:\n${plan.take(2000)}")
+  }
+
+  test("globalRunningMax rejects non-integral order keys and name collisions") {
+    val bad = Seq((1.5, 1.0)).toDF("day", "price")
+    intercept[IllegalArgumentException] {
+      SkewWindow.globalRunningMax(bad, "day", "price")
+    }
+    val clash = Seq((1L, 1.0, 0.0)).toDF("day", "price", "running_max")
+    intercept[IllegalArgumentException] {
+      SkewWindow.globalRunningMax(clash, "day", "price")
+    }
   }
 
   test("globalRankBySample equals the one-task row_number on string keys with heavy ties") {
