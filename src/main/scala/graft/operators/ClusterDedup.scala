@@ -70,6 +70,16 @@ object ClusterDedup {
   /** Fp guard shared with [[JaccardDedup]]'s pruning bounds. */
   private val Eps = 1e-9
 
+  /** Lazy intermediate frames of the candidate path, captured so
+    * PlanShapeSpec can pin the scale-shape claims on
+    * `explain("formatted")` (cluster-keyed postings aggregate, bound
+    * prune strictly upstream of member expansion, no driver-side
+    * relation anywhere on the path). Plans only — executing them
+    * re-runs the stages without the call's transient caches.
+    */
+  private[graft] final case class Probes(
+      cpost: DataFrame, candCl: DataFrame, pruned: DataFrame, crossEdges: DataFrame)
+
   /** (id, component) for every input doc — component = min doc id
     * reachable through the exact J ≥ threshold n-gram pair graph.
     * Result is row-identical to
@@ -84,7 +94,20 @@ object ClusterDedup {
       threshold: Double = 0.3,
       numHashes: Int = 64,
       numBands: Int = 16,
-      unionCap: Int = 1 << 15): DataFrame = {
+      unionCap: Int = 1 << 15): DataFrame =
+    componentsProbed(df, idCol, textCol, nGram, threshold,
+      numHashes, numBands, unionCap)._1
+
+  /** [[components]] plus the candidate-path [[Probes]]. */
+  private[graft] def componentsProbed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 2,
+      threshold: Double = 0.3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      unionCap: Int = 1 << 15): (DataFrame, Probes) = {
     // Upper bound matters for the row-identity contract: the exact-set
     // collapse assumes identical docs (J=1) always merge, which is only
     // valid for thresholds in (0, 1] — the direct pipeline would emit no
@@ -173,11 +196,12 @@ object ClusterDedup {
     val member = Par.cut(reps.join(repCluster, Seq("id"))) // (id, __sh, n, cl)
     val cStats = member.groupBy("cl")
       .agg(min("n").as("minN"), max("n").as("maxN"), count(lit(1)).as("nm"))
-    val cpost = Par.cut(JaccardDedup.prefixIndex(index, "id", threshold)
+    val cpostRaw = JaccardDedup.prefixIndex(index, "id", threshold)
       .join(repCluster, Seq("id"))
       .groupBy(col("s"), col("cl"))
       .agg(max(col("n") - col("pos")).as("mr"))
-      .join(cStats, Seq("cl")))
+      .join(cStats, Seq("cl"))
+    val cpost = Par.cut(cpostRaw)
     val alphaMin = ceil((col("__mna") + col("__mnb")) * (threshold / (1.0 + threshold)) - lit(Eps))
     val candCl = cpost.select(col("s").as("__sa"), col("cl").as("cl_a"), col("mr").as("__mra"),
         col("minN").as("__mna"), col("maxN").as("__mxa"), col("nm").as("__nma"))
@@ -224,7 +248,7 @@ object ClusterDedup {
       .select("cl_a", "cl_b")
 
     // ---- 5. exact member verification of surviving cluster pairs ----
-    val crossEdges = pruned
+    val crossEdgesRaw = pruned
       .join(member.select(col("cl").as("cl_a"), col("__sh").as("__sha"), col("n").as("n_a")), Seq("cl_a"))
       .join(member.select(col("cl").as("cl_b"), col("__sh").as("__shb"), col("n").as("n_b")), Seq("cl_b"))
       .filter(greatest(col("n_a"), col("n_b")) * threshold <=
@@ -234,9 +258,9 @@ object ClusterDedup {
       .filter(col("c") >= 0)
       .filter(col("c") / (col("n_a") + col("n_b") - col("c")) >= threshold)
       .select(col("cl_a"), col("cl_b")).distinct()
-      // edge-sized; the cut keeps the whole candidate/prune pipeline out
-      // of the components pass's (twice-referencing) plan
-      .transform(Par.cut)
+    // edge-sized; the cut keeps the whole candidate/prune pipeline out
+    // of the components pass's (twice-referencing) plan
+    val crossEdges = Par.cut(crossEdgesRaw)
 
     // ---- assemble: cluster-graph components, then fan labels back out
     // through contraction (cl) and collapse (rep). Cluster ids are min
@@ -256,6 +280,6 @@ object ClusterDedup {
     val out = Par.cut(labeled.union(isolated))
     Seq(hashed, exploded).foreach(_.unpersist(false))
     Seq(docRep, reps, repCluster, member, cpost, crossEdges).foreach(Par.free)
-    out
+    (out, Probes(cpostRaw, candCl, pruned, crossEdgesRaw))
   }
 }

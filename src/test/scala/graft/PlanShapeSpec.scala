@@ -83,6 +83,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodes(p, "[A-Za-z]*Join") == 0, s"plan:\n$p")
   }
 
+  test("ClusterDedup candidate path: cluster-keyed postings, bound-prune before expansion, no driver relation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val probes = graft.operators.ClusterDedup
+      .componentsProbed(docs, "doc_id", "text", nGram = 2, threshold = 0.3)._2
+
+    // (shingle, cluster) DISTINCT postings: the prefix index aggregates
+    // on [s, cl] BEFORE the candidate self-join — the g²-killing step
+    val pPost = plan(probes.cpost)
+    val postingKeys = pPost.linesIterator
+      .filter(l => l.contains("Keys") && l.contains("s#") && l.contains("cl#"))
+    assert(postingKeys.nonEmpty, s"no (s, cl)-keyed aggregate in postings plan:\n$pPost")
+
+    // bound prune strictly upstream of member expansion: the pruned
+    // frame runs the union-intersection walk (sorted_intersect_count)
+    // and contains NO member verify (sorted_intersect_at_least) —
+    // expansion only happens in crossEdges, whose plan holds both
+    val pPruned = plan(probes.pruned)
+    assert(pPruned.contains("sorted_intersect_count"), s"plan:\n$pPruned")
+    assert(!pPruned.contains("sorted_intersect_at_least"), s"plan:\n$pPruned")
+    val pCross = plan(probes.crossEdges)
+    assert(pCross.contains("sorted_intersect_at_least") &&
+      pCross.contains("sorted_intersect_count"), s"plan:\n$pCross")
+
+    // no driver materialization anywhere on the candidate path: every
+    // leaf is a distributed scan (parquet / checkpoint RDD / cache),
+    // never a collected local relation
+    for ((n, p) <- Seq("candCl" -> plan(probes.candCl), "pruned" -> pPruned,
+        "crossEdges" -> pCross)) {
+      assert(!p.contains("LocalTableScan") && !p.contains("CollectLimit"),
+        s"driver-side relation in $n:\n$p")
+    }
+  }
+
   test("skyline_orders_chunked: running max windows on ≥2 parallel chunks, not one task") {
     val p = plan(SparkEntry.queries("skyline_orders_chunked")(spark, dir))
     // the strictly-earlier running max must run under a chunk-hash
