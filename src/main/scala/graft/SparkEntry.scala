@@ -1285,11 +1285,14 @@ object SparkEntry {
     // cluster-minimum document — the deduplicated corpus a training
     // pipeline actually emits downstream
     "dedup_canonical" -> ((s, dir) => {
+      // rides the replication-proof ClusterDedup path (row-identical to
+      // the direct pairs→components pipeline — ClusterDedupSpec pins
+      // the equivalence, dedup_clusters keeps the direct plan under the
+      // same oracle): the r13 soak measured the direct canonical at
+      // 241 s on the 10× corpus vs ~20 s via the collapsed path
       val d = docs(s, dir)
-      val pairs = JaccardDedup.nearDupPairs(d, "doc_id", "text",
+      val cc = ClusterDedup.components(d, "doc_id", "text",
         nGram = 2, threshold = 0.3)
-      val cc = Components.connectedComponents(pairs, "id_a", "id_b",
-        Some(d.select(col("doc_id"))))
       d.join(cc.where(col("id") === col("component"))
           .select(col("id").as("doc_id")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"))
@@ -1689,6 +1692,20 @@ object SparkEntry {
           Multimodal.asContainerMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("channels"), col("sample_rate"), col("n_samples"), col("duration_us"))
+        .orderBy("media_id")),
+
+    // MP3 frame-header walk (ISO 11172-3), end to end: build MPEG1
+    // Layer III streams whose every parameter is integer arithmetic on
+    // the char count, then PARSE them back — sync + index tables +
+    // exact per-frame lengths give the frame count without decoding a
+    // Huffman bit. The oracle predicts channels/rate/samples/duration
+    // from the same arithmetic, so a table slip or a frame-length
+    // off-by-one hash-mismatches instead of hiding.
+    "multimodal_mp3_meta" -> ((s, dir) =>
+      Multimodal.decodeContainerMeta(
+          Multimodal.asMp3Media(t(s, dir, "documents"), "doc_id", "text", "source"))
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("n_samples"), col("duration_us"))
         .orderBy("media_id")),
 
     // REAL pixel decode, end to end: build pixel-bearing grayscale PNGs
@@ -3077,6 +3094,23 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // predicts the MP3 frame-walk output from the same integer
+    // arithmetic asMp3Media encodes with: frames = 1 + n%5, rate from
+    // the samplerate index n%3, channels from the mono/stereo bit,
+    // 1152 samples per MPEG1 Layer III frame, integer-µs duration
+    "multimodal_mp3_meta" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + n % 5 AS BIGINT) AS frames,
+        |    CAST(CASE n % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS BIGINT) AS rate,
+        |    CAST(1 + n % 2 AS BIGINT) AS ch
+        |  FROM t)
+        |SELECT doc_id AS media_id, 'mp3' AS format, ch AS channels,
+        |  rate AS sample_rate, frames * 1152 AS n_samples,
+        |  frames * 1152 * 1000000 // rate AS duration_us
+        |FROM p ORDER BY media_id""".stripMargin,
 
     // stride-sampled "resize" stub: stride = ceil(len/64), output length
     // ceil(len/stride), first sampled byte = first char (ASCII corpus)

@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * batches (the Spark-side plumbing a real decoder plugs into).
   *
   * Container-level decode is REAL: `parseContainerMeta` parses PNG
-  * (signature + IHDR, chunk CRC32 verified) and WAV (RIFF chunk walk,
-  * fmt/data) headers from raw bytes — pure JVM, no codec libraries —
-  * and `encodePng`/`encodeWav` build valid minimal containers for
-  * round-trip tests.
+  * (signature + IHDR, chunk CRC32 verified), WAV (RIFF chunk walk,
+  * fmt/data) and MP3 (ISO 11172-3 frame-header walk: sync, version/
+  * layer/bitrate/samplerate indices, exact per-frame lengths → frame
+  * count, n_samples, duration) headers from raw bytes — pure JVM, no
+  * codec libraries — and `encodePng`/`encodeWav`/`encodeMp3` build
+  * valid minimal containers for round-trip tests.
   *
   * PIXEL/SAMPLE-level decode is ALSO real, pure JVM: `decodePng`
   * inflates IDAT (`java.util.zip.Inflater`) and reverses all five PNG
@@ -23,9 +25,9 @@ import org.apache.spark.sql.types._
   * `decodeWav` extracts 8-bit unsigned and 16-bit signed-LE PCM sample
   * values. `decodeFeatures` feeds real pixels/samples into the feature
   * windows when the payload parses as a PNG/JPEG/WAV and falls back to
-  * raw-byte stats otherwise (text payloads, unknown codecs). Remaining
-  * exotic codecs (MP3, video) would still need a JNI/ONNX decoder —
-  * swapping one arm of `realFeatures`.
+  * raw-byte stats otherwise (text payloads, unknown codecs). MP3
+  * SAMPLE-level decode and video frame decode remain the documented
+  * JNI/ONNX boundary — swapping one arm of `realFeatures`.
   */
 object Multimodal {
 
@@ -182,6 +184,154 @@ object Multimodal {
         Row(id, payload, Row(mime, payload.length.toLong, source))
       }
     }(enc)
+  }
+
+  /** Wrap a doc table as deterministic MP3 streams (MPEG1 Layer III,
+    * every parameter pure integer arithmetic on the char count, so an
+    * external engine predicts the parsed meta without decoding bytes):
+    * frames = 1 + n%5, bitrate index = 1 + n%14, samplerate index =
+    * n%3, stereo iff n odd.
+    */
+  def asMp3Media(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val in = df.select(
+      col(idCol).cast("long").as("media_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      col(sourceCol).as("source"))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(MediaSchema))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        val payload = encodeMp3(
+          nFrames = 1 + (n % 5).toInt,
+          bitrateIdx = 1 + (n % 14).toInt,
+          srIdx = (n % 3).toInt,
+          stereo = n % 2 == 1)
+        Row(id, payload, Row("audio/mpeg", payload.length.toLong, r.getString(2)))
+      }
+    }(enc)
+  }
+
+  // ---- MPEG audio (MP3) frame-header codec, ISO/IEC 11172-3 §2.4.1.3 ----
+  // Header-level only (like the PNG IHDR / RIFF walks): sync + version/
+  // layer/bitrate/samplerate indices give exact frame lengths, so the
+  // frame count — and with it n_samples and duration — parses without
+  // touching a single Huffman bit. Sample-level MP3 decode stays out of
+  // scope (the documented JNI/ONNX boundary).
+
+  /** bits/s by [versionRow][layerIndex][bitrateIndex]; row 0 = MPEG1,
+    * row 1 = MPEG2/2.5. Index 0 ("free format") and 15 are unusable for
+    * frame-length arithmetic → parse returns unknown.
+    */
+  private val Mp3Bitrates: Array[Array[Array[Int]]] = {
+    def k(xs: Int*) = (0 +: xs :+ 0).map(_ * 1000).toArray
+    Array(
+      Array( // MPEG1: layer idx 3=I, 2=II, 1=III
+        null,
+        k(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+        k(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+        k(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)),
+      Array( // MPEG2 / MPEG2.5
+        null,
+        k(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        k(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        k(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)))
+  }
+
+  /** Hz by [versionBits][samplerateIndex]; versionBits 0=MPEG2.5,
+    * 2=MPEG2, 3=MPEG1 (1 is reserved).
+    */
+  private val Mp3SampleRates: Array[Array[Int]] = Array(
+    Array(11025, 12000, 8000), null, Array(22050, 24000, 16000),
+    Array(44100, 48000, 32000))
+
+  /** Build a valid fixed-header MPEG1 Layer III stream: `nFrames`
+    * frames of silence-shaped zero payload. For round-trip tests and
+    * the deterministic fake-media builders.
+    */
+  def encodeMp3(nFrames: Int, bitrateIdx: Int, srIdx: Int,
+      stereo: Boolean = false): Array[Byte] = {
+    require(nFrames > 0, "need at least one frame")
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, s"bad bitrate index $bitrateIdx")
+    require(srIdx >= 0 && srIdx <= 2, s"bad samplerate index $srIdx")
+    val bitrate = Mp3Bitrates(0)(1)(bitrateIdx)
+    val rate = Mp3SampleRates(3)(srIdx)
+    val frameLen = 144 * bitrate / rate // padding bit 0
+    val out = new Array[Byte](frameLen * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val off = f * frameLen
+      out(off) = 0xff.toByte
+      out(off + 1) = 0xfb.toByte // sync|MPEG1|Layer III|no CRC
+      out(off + 2) = ((bitrateIdx << 4) | (srIdx << 2)).toByte
+      out(off + 3) = (if (stereo) 0x00 else 0xc0).toByte // mode: stereo/mono
+      f += 1
+    }
+    out
+  }
+
+  /** MPEG audio parse: optional ID3v2 skip, then a full frame walk —
+    * each frame's length computed from its own header (VBR-safe), with
+    * version/layer/samplerate pinned to the first frame's. Returns
+    * (channels, sampleRate, nSamples) or None when no complete valid
+    * frame exists (free-format bitrate included: frame length unknowable).
+    */
+  private[graft] def parseMp3(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    var pos = 0
+    // ID3v2: "ID3" ver(2) flags(1) size(4 syncsafe 7-bit bytes)
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      pos = 10 + sz
+    }
+    if (pos < 0 || pos + 4 > bytes.length) return None
+    var frames = 0L
+    var firstVer = -1; var firstLayer = -1; var firstSr = -1; var channels = -1
+    var done = false
+    while (!done && pos + 4 <= bytes.length) {
+      val b1 = bytes(pos) & 0xff; val b2 = bytes(pos + 1) & 0xff
+      val b3 = bytes(pos + 2) & 0xff; val b4 = bytes(pos + 3) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) done = true
+      else {
+        val ver = (b2 >> 3) & 3      // 0=2.5, 2=2, 3=1
+        val layer = (b2 >> 1) & 3    // 3=I, 2=II, 1=III
+        val brIdx = (b3 >> 4) & 0xf
+        val srIdx = (b3 >> 2) & 3
+        val padding = (b3 >> 1) & 1
+        if (ver == 1 || layer == 0 || brIdx == 0 || brIdx == 15 || srIdx == 3) done = true
+        else if (firstVer >= 0 && (ver != firstVer || layer != firstLayer || srIdx != firstSr))
+          done = true
+        else {
+          val vRow = if (ver == 3) 0 else 1
+          val bitrate = Mp3Bitrates(vRow)(layer)(brIdx)
+          val rate = Mp3SampleRates(ver)(srIdx)
+          val frameLen =
+            if (layer == 3) (12 * bitrate / rate + padding) * 4
+            else {
+              val spf = if (layer == 2 || ver == 3) 1152 else 576
+              spf / 8 * bitrate / rate + padding
+            }
+          if (frameLen < 4 || pos + frameLen > bytes.length) done = true
+          else {
+            if (firstVer < 0) {
+              firstVer = ver; firstLayer = layer; firstSr = srIdx
+              channels = if (((b4 >> 6) & 3) == 3) 1 else 2
+            }
+            frames += 1
+            pos += frameLen
+          }
+        }
+      }
+    }
+    if (frames == 0) None
+    else {
+      val spf =
+        if (firstLayer == 3) 384L
+        else if (firstLayer == 2) 1152L
+        else if (firstVer == 3) 1152L else 576L
+      Some((channels, Mp3SampleRates(firstVer)(firstSr), frames * spf))
+    }
   }
 
   private val PngSignature: Array[Byte] =
@@ -498,10 +648,11 @@ object Multimodal {
   }
 
   /** Decoded container header: `format` is "png" / "jpeg" / "wav" /
-    * "unknown";
+    * "mp3" / "unknown";
     * image fields are null for audio and vice versa. All-null fields
     * (format "unknown") mean the bytes failed validation — wrong magic,
-    * truncated header, or a PNG IHDR whose CRC doesn't check out.
+    * truncated header, a PNG IHDR whose CRC doesn't check out, or an
+    * MP3 stream without one complete valid frame.
     */
   val ContainerMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -514,9 +665,10 @@ object Multimodal {
 
   /** REAL header decode, pure JVM: sniff the magic, then parse PNG
     * IHDR (verifying the chunk CRC32 — a corrupted header must not
-    * yield plausible-looking dimensions) or walk RIFF chunks to fmt +
-    * data. Returns (format, width, height, channels, sample_rate,
-    * n_samples, duration_us) with nulls where not applicable.
+    * yield plausible-looking dimensions), walk RIFF chunks to fmt +
+    * data, or walk MPEG audio frames (`parseMp3`). Returns (format,
+    * width, height, channels, sample_rate, n_samples, duration_us)
+    * with nulls where not applicable.
     */
   def parseContainerMeta(bytes: Array[Byte]): Row = {
     val unknown = Row("unknown", null, null, null, null, null, null)
@@ -538,6 +690,14 @@ object Multimodal {
     } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
       Jpeg.parseMeta(bytes) match {
         case Some((w, h, nc)) => Row("jpeg", w.toLong, h.toLong, nc.toLong, null, null, null)
+        case None => unknown
+      }
+    } else if (((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0) ||
+        (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')) {
+      parseMp3(bytes) match {
+        case Some((channels, rate, nSamples)) =>
+          Row("mp3", null, null, channels.toLong, rate.toLong, nSamples,
+            nSamples * 1000000L / rate)
         case None => unknown
       }
     } else if (new String(bytes, 0, 4, "US-ASCII") == "RIFF"

@@ -231,4 +231,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wav.getLong(5) == 8000L * 3)    // rate = 8000 * (1 + 2 % 3)
     assert(wav.getLong(6) == 18L / 2)      // 18 bytes → 9 two-byte frames
   }
+
+  test("MP3 round-trip: frame count, rate, channels and duration from the header walk") {
+    for {
+      frames <- Seq(1, 3, 7)
+      brIdx <- Seq(1, 9, 14) // 32, 160, 320 kbps
+      srIdx <- 0 to 2
+      stereo <- Seq(false, true)
+    } {
+      val bytes = Multimodal.encodeMp3(frames, brIdx, srIdx, stereo)
+      val m = Multimodal.parseContainerMeta(bytes)
+      val rate = Seq(44100L, 48000L, 32000L)(srIdx)
+      assert(m.getString(0) == "mp3", s"f=$frames br=$brIdx sr=$srIdx")
+      assert(m.getLong(3) == (if (stereo) 2L else 1L))
+      assert(m.getLong(4) == rate)
+      assert(m.getLong(5) == frames * 1152L)
+      assert(m.getLong(6) == frames * 1152L * 1000000L / rate)
+    }
+  }
+
+  test("MP3: ID3v2 tag (syncsafe size) is skipped before the frame walk") {
+    val audio = Multimodal.encodeMp3(nFrames = 2, bitrateIdx = 9, srIdx = 0)
+    // 300-byte tag body: syncsafe 300 = (2, 44): 2<<7 | 44
+    val tag = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 2, 44) ++ new Array[Byte](300)
+    val m = Multimodal.parseContainerMeta(tag ++ audio)
+    assert(m.getString(0) == "mp3" && m.getLong(5) == 2 * 1152L)
+    // a tag whose claimed size runs past the payload is unknown, not a crash
+    val truncated = Array[Byte]('I', 'D', '3', 3, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f) ++ audio
+    assert(Multimodal.parseContainerMeta(truncated).getString(0) == "unknown")
+  }
+
+  test("MP3: truncation, free-format bitrate, and mid-stream junk handled soundly") {
+    val one = Multimodal.encodeMp3(nFrames = 1, bitrateIdx = 5, srIdx = 1)
+    // a frame cut short is not a frame
+    assert(Multimodal.parseContainerMeta(one.dropRight(1)).getString(0) == "unknown")
+    // free-format (bitrate index 0): frame length unknowable → unknown
+    val free = one.clone(); free(2) = (free(2) & 0x0f).toByte
+    assert(Multimodal.parseContainerMeta(free).getString(0) == "unknown")
+    // trailing garbage after complete frames: count stops, meta stands
+    val junk = one ++ Array[Byte](0x00, 0x42)
+    val m = Multimodal.parseContainerMeta(junk)
+    assert(m.getString(0) == "mp3" && m.getLong(5) == 1152L)
+    // reserved version bits (0xff 0xea) must not parse
+    val reserved = one.clone(); reserved(1) = 0xea.toByte
+    assert(Multimodal.parseContainerMeta(reserved).getString(0) == "unknown")
+  }
 }
