@@ -1323,6 +1323,20 @@ object SparkEntry {
           minOverlap = 30)
         .orderBy("id_a", "id_b")),
 
+    // the replication-proof twin (same oracle — the dedup_clusters
+    // pattern): the r13 10× soak measured the direct prefix self-join
+    // at 29.7× wall on 10× data (the suite's one super-linear query);
+    // OverlapJoin.pairsClustered generates candidates at cluster
+    // granularity (exact-set collapse + verified-LSH contraction +
+    // (element, cluster) DISTINCT rarity-order postings + union bound)
+    // and only verified member pairs pay doc-level work
+    "overlap_join_clustered" -> ((s, dir) =>
+      OverlapJoin.pairsClustered(
+          docs(s, dir).select(col("doc_id"), col("text")), "doc_id",
+          graft.functions.NativeHash.shingleHashes(Text.tokens(col("text")), 1),
+          minOverlap = 30)
+        .orderBy("id_a", "id_b")),
+
     // same contamination semantics through the Bloom-pruned train scan
     // (lossless superset prune + exact verify — identical oracle)
     "decontaminate_bloom" -> ((s, dir) => {
@@ -2618,6 +2632,19 @@ object SparkEntry {
     // (xxhash64 collision-free at corpus vocabulary sizes — same
     // assumption documented on the Jaccard oracles)
     "overlap_join" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tk
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS overlap
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.tk, b.tk)) >= 30
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the clustered plan must agree with the same truth as the direct
+    // one — shared oracle text, verbatim
+    "overlap_join_clustered" ->
       """WITH s AS (
         |  SELECT doc_id,
         |    list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tk

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{NativeHash, Text}
+import graft.operators.{JaccardDedup, OverlapJoin}
+
+/** OverlapJoin.pairsClustered must be ROW-IDENTICAL (ids AND overlap
+  * values) to the direct prefix self-join on every corpus — collapse,
+  * contraction, postings and the union bound are optimizations whose
+  * losslessness these tests pin, including the replica-clique shape
+  * that motivated the operator and the shapes that could break it
+  * (exact duplicates, at-threshold pairs, sub-threshold sets, clusters
+  * above the union cap).
+  */
+class OverlapJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tokens1 = NativeHash.shingleHashes(Text.tokens(col("text")), 1)
+
+  private def direct(df: DataFrame, k: Int): Set[(Long, Long, Long)] =
+    JaccardDedup.overlapJoin(df, "doc_id", tokens1, k)
+      .as[(Long, Long, Long)].collect().toSet
+
+  private def clustered(df: DataFrame, k: Int, unionCap: Int = 1 << 15): Set[(Long, Long, Long)] =
+    OverlapJoin.pairsClustered(df, "doc_id", tokens1, k, unionCap = unionCap)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("matches the direct join on sf0.001 documents at the driver query's k=30") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    assert(clustered(docs, 30) == direct(docs, 30))
+  }
+
+  test("replica-marked corpus (the soak shape): identical pairs and overlap values") {
+    val base = Seq(
+      0L -> ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      1L -> ("w1 w2 w3 w4 w5 w6 w7 w8 x9 x10 x11 x12"),
+      2L -> ("z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"))
+    val docs = base.flatMap { case (id, text) =>
+      (0 until 4).map(r => (id * 10 + r, if (r == 0) text else s"$text rep$r"))
+    }.toDF("doc_id", "text")
+    for (k <- Seq(6, 8, 12)) {
+      assert(clustered(docs, k) == direct(docs, k), s"k=$k")
+    }
+  }
+
+  test("exact duplicates fan out losslessly with overlap = set size") {
+    val docs = (Seq.fill(5)("a b c d e f") ++ Seq.fill(3)("a b c x y z") ++
+      Seq("p q r s t u"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (k <- Seq(3, 6)) {
+      val got = clustered(docs, k)
+      assert(got == direct(docs, k), s"k=$k")
+    }
+    // the identical-set arm carries the exact value: 6-token dups → 6
+    assert(clustered(docs, 6).contains((0L, 1L, 6L)))
+  }
+
+  test("pairs exactly AT the threshold survive; one below do not") {
+    // docs sharing exactly 4 tokens of their 6
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d x y"),  // overlap 4 with doc 0
+      (2L, "a b q r s t")   // overlap 2 with doc 0, 2 with doc 1
+    ).toDF("doc_id", "text")
+    assert(clustered(docs, 4) == direct(docs, 4))
+    assert(clustered(docs, 4) == Set((0L, 1L, 4L)))
+    assert(clustered(docs, 5) == direct(docs, 5))
+    assert(clustered(docs, 5).isEmpty)
+  }
+
+  test("sets shorter than k emit nothing, even when identical") {
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a b c d e")).toDF("doc_id", "text")
+    assert(clustered(docs, 3) == direct(docs, 3))
+    assert(!clustered(docs, 3).exists(p => p._1 == 0L || p._2 == 1L && p._1 < 2))
+  }
+
+  test("unionCap=0 (bound prune disabled everywhere) still exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .limit(150)
+    assert(clustered(docs, 20, unionCap = 0) == direct(docs, 20))
+  }
+}
