@@ -95,13 +95,30 @@ object SimilaritySearch {
     * are same-bucket-in-any-table pairs, deduped, then verified by exact
     * cosine.
     *
-    * Scale shape: exploded index rows carry ONLY (id, tbl, bucket) — the
-    * embeddings are re-joined after the candidate pair set is distinct,
-    * so the bucket join never ships vectors and the per-pair work is one
-    * cosine. Defaults (r=8, L=96) give ~0.99 recall at cosine 0.5;
-    * at larger corpora raise `bitsPerTable` toward log2(n) to keep the
-    * random-collision candidate count sub-quadratic, and raise `tables`
-    * to buy recall back.
+    * Replication-proof candidate generation via FULL-SIGNATURE
+    * COLLAPSE: vectors agreeing on the bucket of EVERY table (the whole
+    * L-entry signature array) have identical bucket membership, hence
+    * identical candidate neighborhoods — scaled copies of a vector
+    * (sign(w·v) is scale-invariant) land here. Each signature group
+    * contracts to its min-id representative for the bucket self-join;
+    * group-level candidate pairs then expand to member pairs, and
+    * intra-group member pairs (same bucket in every table) are
+    * enumerated directly. The expansion is EXACTLY the naive member-
+    * level candidate set — two docs share a (tbl, bucket) iff their
+    * groups do — so the verified output is row-identical to the
+    * uncollapsed join while the g² bucket-join and pair-distinct
+    * volumes drop to group granularity (the 10× soak's embedding
+    * replicas are cosine-identical: member-level candidates grew 100×
+    * per 10× data; group-level stay put).
+    *
+    * Scale shape: exploded index rows carry ONLY (gid, tbl, bucket) —
+    * the embeddings are re-joined after the candidate pair set is
+    * distinct, so the bucket join never ships vectors and the per-pair
+    * work is one fused native cosine (dot and both norms in a single
+    * compiled loop). Defaults (r=8, L=96) give ~0.99 recall at cosine
+    * 0.5; at larger corpora raise `bitsPerTable` toward log2(n) to keep
+    * the random-collision candidate count sub-quadratic, and raise
+    * `tables` to buy recall back.
     */
   def cosineNearDupPairs(
       corpus: DataFrame, // (id, vec)
@@ -110,28 +127,53 @@ object SimilaritySearch {
       bitsPerTable: Int = 8,
       tables: Int = 96,
       seed: Long = 42L): DataFrame = {
-    val sigs = Par.widen(corpus)
-      // fused native expression: L·r plane dots + per-table bucket fold
-      // in one compiled pass per row
-      .select(col("id"),
-        posexplode(graft.functions.NativeHash.srpBuckets(
-          col("vec"), dim, bitsPerTable, tables, seed)).as(Seq("tbl", "bucket")))
-      // both candidate-join sides read the signature index; persist so
-      // the L·r plane dots run once per vector
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = sigs.select(col("tbl"), col("bucket"), col("id").as("id_a"))
-      .join(sigs.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // fused native expression: L·r plane dots + per-table bucket fold
+    // in one compiled pass per row; persisted so the collapse window,
+    // the rep filter and the bucket explode all reuse one computation.
+    // Null vectors yield a null signature and are dropped — the
+    // uncollapsed posexplode did the same.
+    val sig = Par.widen(corpus)
+      .select(col("id"), graft.functions.NativeHash.srpBuckets(
+        col("vec"), dim, bitsPerTable, tables, seed).as("__sig"))
+      .where(col("__sig").isNotNull)
+      .persist(MEMORY_AND_DISK)
+    // Par.cut, not persist, on the fan-out frames — see ClusterDedup on
+    // analyzer re-walks of duplicated subtrees
+    val groups = Par.cut(sig.select(col("id"),
+      min(col("id")).over(Window.partitionBy(col("__sig"))).as("gid")))
+    val reps = Par.cut(
+      sig.join(groups.where(col("id") === col("gid")).select("id"), Seq("id")))
+    val buckets = reps.select(col("id").as("gid"),
+      posexplode(col("__sig")).as(Seq("tbl", "bucket")))
+    val gcand = buckets.select(col("tbl"), col("bucket"), col("gid").as("g_a"))
+      .join(buckets.select(col("tbl"), col("bucket"), col("gid").as("g_b")), Seq("tbl", "bucket"))
+      .filter(col("g_a") < col("g_b"))
+      .select("g_a", "g_b")
+      .distinct()
+    // expand group pairs to member pairs; member ids interleave across
+    // groups, so re-order with least/greatest (group reps being ordered
+    // does not order the members)
+    val cross = gcand
+      .join(groups.select(col("gid").as("g_a"), col("id").as("ia")), Seq("g_a"))
+      .join(groups.select(col("gid").as("g_b"), col("id").as("ib")), Seq("g_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+    val intra = groups.select(col("gid"), col("id").as("id_a"))
+      .join(groups.select(col("gid"), col("id").as("id_b")), Seq("gid"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
-    // verify: one fused native cosine per surviving pair (dot and both
-    // norms in a single compiled loop — no per-pair HOF interpretation,
-    // no pre-normalized vector table to join)
-    cand
+    // each member pair appears exactly once (cross: one distinct group
+    // pair × one member combo; intra: one group) — no pair-distinct
+    // needed after expansion
+    val out = Par.cut(cross.union(intra)
       .join(corpus.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(corpus.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.NativeHash.cosine(col("vec_a"), col("vec_b")).as("cos"))
-      .filter(col("cos") >= threshold)
+      .filter(col("cos") >= threshold))
+    sig.unpersist(false)
+    Seq(groups, reps).foreach(Par.free)
+    out
   }
 }

@@ -175,4 +175,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)), "jittered neighbor at cos>0.99 must be found")
     assert(pairs.forall { case (a, b) => (a / 10) == (b / 10) })
   }
+
+  test("cosineNearDupPairs signature collapse: replica-heavy corpus matches brute-force pairs") {
+    // the soak shape — every vector plus 4 scaled copies (sign(w·v) is
+    // scale-invariant, so copies share the FULL signature and collapse);
+    // the collapsed path must still emit every member pair, including
+    // the intra-group ones, with the exact verified cosine
+    val replicated = (for {
+      (id, v) <- Seq((0L, vec(0, 0.0)), (1L, vec(0, 0.05)), (10L, vec(3, 0.0)))
+      r <- 0 until 5
+    } yield (id + r * 100L, v.map(x => (x * (1.0f + r / 1000.0f))))).toDF("id", "vec")
+    val got = SimilaritySearch.cosineNearDupPairs(replicated, dim = 8, threshold = 0.9,
+        bitsPerTable = 4, tables = 16)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b, math.rint(c * 1e9) / 1e9) }.toSet
+    // exact all-pairs baseline over the same threshold
+    val rows = replicated.as[(Long, Seq[Float])].collect()
+    val exact = (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x.toDouble * y }.sum
+      na = math.sqrt(va.map(x => x.toDouble * x).sum)
+      nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+      c = dot / (na * nb) if c >= 0.9
+    } yield (ia, ib, math.rint(c * 1e9) / 1e9)).toSet
+    assert(got == exact, s"collapsed pairs diverge: missing=${exact -- got} extra=${got -- exact}")
+    // and the pair set must include intra-group (scaled-copy) pairs
+    assert(got.exists { case (a, b, _) => b - a == 100L })
+  }
 }
