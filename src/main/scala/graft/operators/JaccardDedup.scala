@@ -257,9 +257,21 @@ object JaccardDedup {
   /** Cross-corpus contamination pairs: (left_id, right_id, jaccard) for
     * every left doc sharing ≥ threshold n-gram Jaccard with a right doc
     * — the train-vs-benchmark decontamination check of LLM pipelines.
-    * Same lossless inverted-index shape as the self-join variant; the
-    * (usually much smaller) right corpus indexes once and the join is
-    * left-index ⋈ right-index on the shingle hash.
+    *
+    * PPJoin-style prefix filtering, cross-corpus flavor: both sides'
+    * prefixes are selected under ONE global order — ascending document
+    * frequency summed across the two corpora, ties by hash — and the
+    * lossless-candidate proof is the self-join's verbatim (a pair at
+    * J ≥ t shares a shingle inside the first n − ⌈t·n⌉ + 1 elements of
+    * each side under ANY common fixed order). The pre-prefix-filter
+    * inverted-index join this replaces shipped every (shingle, left,
+    * right) co-occurrence row into a pair-count exchange — Σ_s
+    * dfL(s)·dfR(s) rows, ×100 under 10× near-dup replication (the r13
+    * soak's 28× wall); prefixes at t = 0.5 halve each index and the
+    * rarity order keeps viral shingles out of every prefix, so the
+    * distinct exchange carries candidate PAIRS, not co-occurrences.
+    * Verification is the same early-exit sorted merge walk as the
+    * self-join — exact c, exact jaccard, identical output.
     */
   def crossPairs(
       left: DataFrame, leftId: String,
@@ -268,24 +280,55 @@ object JaccardDedup {
       nGram: Int = 2,
       threshold: Double = 0.3): DataFrame = {
     require(threshold > 0, "threshold must be > 0")
-    def indexOf(df: DataFrame, idCol: String, outId: String) = df
+    // one persisted doc table per side carries the sorted hash array
+    // (feeds the df count, the prefix window AND verify); no derived-
+    // column filter before the persist — it would be pushed below
+    // Par.widen's exchange and shingle the corpus on one core
+    def docsOf(df: DataFrame, idCol: String, outId: String) = Par.widen(df)
       .select(col(idCol).as(outId),
-        graft.functions.NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram).as("sh"))
-      .select(col(outId), explode(col("sh")).as("s"), size(col("sh")).as(s"n_$outId"))
+        graft.functions.NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram).as("__sh"))
+      .select(col(outId), col("__sh"), size(col("__sh")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val li = indexOf(Par.widen(left), leftId, "left_id")
-    val ri = indexOf(Par.widen(right), rightId, "right_id")
+    val ld = docsOf(left, leftId, "left_id")
+    val rd = docsOf(right, rightId, "right_id")
+    // the common global rarity order: df summed over BOTH corpora
+    val dfreq = ld.select(explode(col("__sh")).as("s"))
+      .union(rd.select(explode(col("__sh")).as("s")))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    def prefixOf(docs: DataFrame, idCol: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("df").asc, col("s").asc)
+      docs.select(col(idCol), explode(col("__sh")).as("s"), col("n"))
+        .join(dfreq, Seq("s"))
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= col("n") - ceil(col("n") * threshold - lit(Eps)) + 1)
+        .select(col("s"), col(idCol), col("n").as(s"n_$idCol"), col("pos").as(s"p_$idCol"))
+    }
     // benchmark corpora are small by nature (that is the decontamination
-    // use case), so the right index is broadcast: the train index — the
-    // 100 TB side — streams map-side and never shuffles for this join;
-    // only the candidate pairs reach the groupBy exchange
-    val counts = li.select(col("s"), col("left_id"))
-      .join(broadcast(ri.select(col("s"), col("right_id"))), Seq("s"))
-      .groupBy("left_id", "right_id").agg(count(lit(1)).as("c"))
-    counts
-      .join(li.select(col("left_id"), col("n_left_id")).distinct(), Seq("left_id"))
-      .join(ri.select(col("right_id"), col("n_right_id")).distinct(), Seq("right_id"))
-      .withColumn("jaccard", col("c") / (col("n_left_id") + col("n_right_id") - col("c")))
+    // use case), so the right prefix index is broadcast: the train index
+    // — the 100 TB side — streams map-side and never shuffles for this
+    // join; only distinct candidate pairs reach an exchange. The size
+    // and positional filters run INSIDE the join condition, so pruned
+    // rows never reach the pair-distinct exchange.
+    val alpha = ceil((col("n_left_id") + col("n_right_id")) * (threshold / (1.0 + threshold)) - lit(Eps))
+    val lp = prefixOf(ld, "left_id")
+    val rp = prefixOf(rd, "right_id")
+    val candidates = lp.join(broadcast(rp),
+        lp("s") === rp("s") &&
+        greatest(col("n_left_id"), col("n_right_id")) * threshold <=
+          least(col("n_left_id"), col("n_right_id")) + lit(Eps) &&
+        lit(1) + least(col("n_left_id") - col("p_left_id"),
+          col("n_right_id") - col("p_right_id")) >= alpha)
+      .select("left_id", "right_id")
+      .distinct()
+    val alphaV = ceil((col("n_l") + col("n_r")) * (threshold / (1.0 + threshold)) - lit(Eps)).cast("int")
+    candidates
+      .join(ld.select(col("left_id"), col("__sh").as("__shl"), col("n").as("n_l")), Seq("left_id"))
+      .join(broadcast(rd.select(col("right_id"), col("__sh").as("__shr"), col("n").as("n_r"))), Seq("right_id"))
+      .withColumn("c", graft.functions.NativeHash.sortedIntersectAtLeast(
+        col("__shl"), col("__shr"), alphaV))
+      .filter(col("c") >= 0)
+      .withColumn("jaccard", col("c") / (col("n_l") + col("n_r") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }

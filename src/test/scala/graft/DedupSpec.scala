@@ -150,6 +150,50 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("crossPairs prefix filter is lossless: pairs and jaccard values match the quadratic baseline") {
+    import graft.functions.Text
+    // corpus engineered with a viral shingle ("the data") on every doc
+    // (rarity order must keep it out of prefixes without losing pairs),
+    // boundary-exact pairs, and docs appearing on BOTH sides
+    val train = Seq(
+      (1L, "the data quick brown fox jumps over the lazy dog"),
+      (2L, "the data completely unrelated columnar storage engines"),
+      (3L, "the data quick brown fox jumps over the lazy cat"),
+      (4L, "the data quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (10L, "the data short one"),
+      (5L, ""),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the data quick brown fox jumps over the lazy dog"),
+      (110L, "the data short one"),
+      (120L, "benchmark only content nothing shared")
+    ).toDF("bench_id", "text")
+    def brute(t: Double): Set[(Long, Long, Double)] = {
+      val l = train.select(col("doc_id"),
+          Text.shingles(Text.tokens(col("text")), 2).as("sh"))
+        .as[(Long, Seq[String])].collect().filter(r => r._2 != null && r._2.nonEmpty)
+      val r = bench.select(col("bench_id"),
+          Text.shingles(Text.tokens(col("text")), 2).as("sh"))
+        .as[(Long, Seq[String])].collect().filter(r => r._2 != null && r._2.nonEmpty)
+      (for {
+        (il, sl) <- l; (ir, sr) <- r
+        inter = (sl.toSet & sr.toSet).size
+        uni = (sl.toSet | sr.toSet).size
+        j = inter.toDouble / uni if j >= t
+      } yield (il, ir, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    }
+    for (t <- Seq(0.3, 0.5, 0.9, 1.0)) {
+      val got = JaccardDedup.crossPairs(train, "doc_id", bench, "bench_id", "text",
+          nGram = 2, threshold = t)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2,
+          BigDecimal(r._3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(got == brute(t), s"cross prefix filter lost/invented pairs at t=$t: " +
+        s"missing=${brute(t) -- got} extra=${got -- brute(t)}")
+    }
+  }
+
   test("bloom-pruned crossPairs is identical to the exact operator") {
     // the prune is a superset filter (J >= t implies overlap >= t*n_a,
     // bloom fps only overcount) + exact verify -> bit-identical pairs
