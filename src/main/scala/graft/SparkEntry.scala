@@ -81,6 +81,27 @@ object SparkEntry {
        |        c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c)-87 ELSE ascii(c)-48 END AS BIGINT))),
        |      (acc, d) -> acc*16 + d)""".stripMargin
 
+  /** Exact bigram-Jaccard pair oracle, shared verbatim by
+    * `dedup_ngram_jaccard` (direct PPJoin prefix self-join) and
+    * `dedup_ngram_jaccard_clustered` (ClusterDedup.pairsClustered) —
+    * two plans, one truth.
+    */
+  private val ngramJaccardPairsOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
+      |      i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
+      |           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Components oracle: exact bigram-Jaccard pair set (same as
     * dedup_ngram_jaccard), then min reachable label via recursive CTE
     * (UNION dedups, so the fixpoint terminates). Shared verbatim by
@@ -1148,6 +1169,19 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       JaccardDedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          nGram = 2, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // the replication-proof twin (same oracle — the dedup_clusters /
+    // overlap_join pattern): pair listing is Ω(output) and output is
+    // quadratic in near-duplication, but the direct prefix self-join
+    // additionally walks candidates ∝ Σ dfP² (634M candidates for 250k
+    // output pairs on the 10× soak corpus, 91× wall on 10× data);
+    // ClusterDedup.pairsClustered generates candidates at cluster
+    // granularity and only verified member pairs pay doc-level work
+    "dedup_ngram_jaccard_clustered" -> ((s, dir) =>
+      ClusterDedup.pairsClustered(t(s, dir, "documents"), "doc_id", "text",
           nGram = 2, threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
@@ -2453,21 +2487,11 @@ object SparkEntry {
         |WHERE bit_count(xor(a.sig, b.sig)) <= 7
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
-        |      i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
-        |           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardPairsOracle,
+
+    // the clustered twin is gated against the IDENTICAL oracle — two
+    // plans, one truth
+    "dedup_ngram_jaccard_clustered" -> ngramJaccardPairsOracle,
 
     // substring spans: regenerate every window's 60-bit md5 fold (the
     // portableTokenHash family), apply the SAME content-mod selection

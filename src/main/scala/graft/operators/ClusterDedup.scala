@@ -98,6 +98,24 @@ object ClusterDedup {
     componentsProbed(df, idCol, textCol, nGram, threshold,
       numHashes, numBands, unionCap)._1
 
+  /** Candidate-path frames shared by [[components]] and
+    * [[pairsClustered]]: everything through the union-bound prune
+    * (steps 1-4 of the object doc), plus the bookkeeping the consumers
+    * need to verify, fan out, and release resources. The heavy frames
+    * are already lineage-cut; `persisted`/`cuts` are released by the
+    * consumer AFTER its own output is eagerly cut.
+    */
+  private final case class Core(
+      hashed: DataFrame,     // (id, __sh, n) — all docs, persisted
+      docRep: DataFrame,     // (id, rep) — exact-set collapse, non-empty docs
+      reps: DataFrame,       // (id, __sh, n) — one per distinct set
+      repCluster: DataFrame, // (id, cl) — LSH star contraction of reps
+      member: DataFrame,     // (id, __sh, n, cl)
+      pruned: DataFrame,     // (cl_a, cl_b) cluster pairs surviving the bound
+      probes: Probes,
+      persisted: Seq[DataFrame],
+      cuts: Seq[DataFrame])
+
   /** [[components]] plus the candidate-path [[Probes]]. */
   private[graft] def componentsProbed(
       df: DataFrame,
@@ -108,6 +126,144 @@ object ClusterDedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       unionCap: Int = 1 << 15): (DataFrame, Probes) = {
+    val core = candidateCore(df, idCol, textCol, nGram, threshold,
+      numHashes, numBands, unionCap)
+
+    // ---- 5. exact member verification of surviving cluster pairs ----
+    // (connectivity only: the ids and jaccard values are dropped — the
+    // pair-listing consumer keeps them, see pairsClustered)
+    val crossEdges = Par.cut(verifiedMemberPairs(core.pruned, core.member, threshold)
+      .select(col("cl_a"), col("cl_b")).distinct())
+
+    // ---- assemble: cluster-graph components, then fan labels back out
+    // through contraction (cl) and collapse (rep). Cluster ids are min
+    // member doc ids (star hubs and reps are both mins), so the final
+    // min-cluster label IS the min reachable doc id. Components runs
+    // over edge-touched clusters only — untouched clusters coalesce to
+    // themselves in the label join, sparing the vertex-union pass.
+    val clComp = Components.connectedComponents(crossEdges, "cl_a", "cl_b")
+      .select(col("id").as("cl"), col("component"))
+    val labeled = core.docRep.select(col("id"), col("rep"))
+      .join(core.repCluster.select(col("id").as("rep"), col("cl")), Seq("rep"))
+      .join(clComp, Seq("cl"), "left")
+      .select(col("id"), coalesce(col("component"), col("cl")).as("component"))
+    // isolated docs (empty shingle set): own singleton component
+    val isolated = core.hashed.where(col("n") === 0)
+      .select(col("id"), col("id").as("component"))
+    val out = Par.cut(labeled.union(isolated))
+    core.persisted.foreach(_.unpersist(false))
+    (core.cuts :+ crossEdges).foreach(Par.free)
+    (out, core.probes)
+  }
+
+  /** The exact J ≥ threshold pair LISTING — (id_a, id_b, jaccard),
+    * id_a < id_b — through the same replication-proof candidate path.
+    * Row-identical to `JaccardDedup.nearDupPairs(df, idCol, textCol,
+    * nGram, threshold)`: cross-cluster member pairs of bound-surviving
+    * cluster pairs plus intra-cluster member pairs all run the exact
+    * early-exit merge walk (star contraction guarantees hub adjacency,
+    * not cliqueness — intra-cluster pairs are verified, never assumed),
+    * then results fan out through the exact-set collapse: members of a
+    * collapsed group share their set, so a rep-level pair's jaccard IS
+    * each expanded pair's jaccard, and intra-group pairs are J = 1
+    * exactly (n > 0 by construction; the direct operator computes
+    * n/(2n−n) = 1 for them).
+    *
+    * Pair listing has Ω(output) cost and the output itself is quadratic
+    * in near-duplication (g replicas → g² pairs) — what this path
+    * removes is the candidate volume ABOVE output: the direct prefix
+    * self-join walked 634M candidates for 250k output pairs on the 10×
+    * soak corpus (91× wall on 10× data); cluster-granularity candidates
+    * put the join and distinct exchanges back at distinct-content
+    * scale.
+    */
+  def pairsClustered(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 2,
+      threshold: Double = 0.3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      unionCap: Int = 1 << 15): DataFrame = {
+    val core = candidateCore(df, idCol, textCol, nGram, threshold,
+      numHashes, numBands, unionCap)
+
+    // ---- 5'. exact member verification, KEEPING ids + jaccard ----
+    val cross = verifiedMemberPairs(core.pruned, core.member, threshold)
+      .select(least(col("ida"), col("idb")).as("ra"),
+        greatest(col("ida"), col("idb")).as("rb"), col("jaccard"))
+    // intra-cluster pairs: the cluster exists because members share a
+    // hub, not because they pairwise qualify — verify each pair
+    val alphaV = ceil((col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - lit(Eps))
+      .cast("int")
+    val intra = core.member.select(col("cl"), col("id").as("ra"), col("__sh").as("__sha"), col("n").as("n_a"))
+      .join(core.member.select(col("cl"), col("id").as("rb"), col("__sh").as("__shb"), col("n").as("n_b")), Seq("cl"))
+      .filter(col("ra") < col("rb"))
+      .filter(greatest(col("n_a"), col("n_b")) * threshold <=
+        least(col("n_a"), col("n_b")) + lit(Eps))
+      .withColumn("c", NativeHash.sortedIntersectAtLeast(
+        col("__sha"), col("__shb"), alphaV))
+      .filter(col("c") >= 0)
+      .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ra"), col("rb"), col("jaccard"))
+    val repPairs = Par.cut(cross.union(intra))
+
+    // ---- fan out through the exact-set collapse ----
+    val groups = core.docRep // (id, rep), non-empty docs only
+    val crossGroups = repPairs
+      .join(groups.select(col("rep").as("ra"), col("id").as("ia")), Seq("ra"))
+      .join(groups.select(col("rep").as("rb"), col("id").as("ib")), Seq("rb"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    val intraGroups = groups.select(col("rep"), col("id").as("id_a"))
+      .join(groups.select(col("rep"), col("id").as("id_b")), Seq("rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    val out = Par.cut(crossGroups.union(intraGroups))
+    core.persisted.foreach(_.unpersist(false))
+    (core.cuts :+ repPairs).foreach(Par.free)
+    out
+  }
+
+  /** Shared step 5 verify: expand bound-surviving cluster pairs to
+    * member pairs and run the doc-level size filter + exact early-exit
+    * walk at [[JaccardDedup]]'s α bound. Returns
+    * (cl_a, cl_b, ida, idb, jaccard) — consumers project what they
+    * need.
+    */
+  private def verifiedMemberPairs(
+      pruned: DataFrame, member: DataFrame, threshold: Double): DataFrame = {
+    val alphaV = ceil((col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - lit(Eps))
+      .cast("int")
+    pruned
+      .join(member.select(col("cl").as("cl_a"), col("id").as("ida"),
+        col("__sh").as("__sha"), col("n").as("n_a")), Seq("cl_a"))
+      .join(member.select(col("cl").as("cl_b"), col("id").as("idb"),
+        col("__sh").as("__shb"), col("n").as("n_b")), Seq("cl_b"))
+      .filter(greatest(col("n_a"), col("n_b")) * threshold <=
+        least(col("n_a"), col("n_b")) + lit(Eps))
+      .withColumn("c", NativeHash.sortedIntersectAtLeast(
+        col("__sha"), col("__shb"), alphaV))
+      .filter(col("c") >= 0)
+      .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("cl_a"), col("cl_b"), col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** Steps 1-4 of the object doc — everything up to (and including)
+    * the union-bound prune over cluster pairs.
+    */
+  private def candidateCore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int,
+      threshold: Double,
+      numHashes: Int,
+      numBands: Int,
+      unionCap: Int): Core = {
     // Upper bound matters for the row-identity contract: the exact-set
     // collapse assumes identical docs (J=1) always merge, which is only
     // valid for thresholds in (0, 1] — the direct pipeline would emit no
@@ -247,39 +403,15 @@ object ClusterDedup {
           greatest(col("minA"), col("minB")) * threshold - lit(Eps))
       .select("cl_a", "cl_b")
 
-    // ---- 5. exact member verification of surviving cluster pairs ----
-    val crossEdgesRaw = pruned
-      .join(member.select(col("cl").as("cl_a"), col("__sh").as("__sha"), col("n").as("n_a")), Seq("cl_a"))
-      .join(member.select(col("cl").as("cl_b"), col("__sh").as("__shb"), col("n").as("n_b")), Seq("cl_b"))
-      .filter(greatest(col("n_a"), col("n_b")) * threshold <=
-        least(col("n_a"), col("n_b")) + lit(Eps))
-      .withColumn("c", NativeHash.sortedIntersectAtLeast(
-        col("__sha"), col("__shb"), alphaOf("n_a", "n_b")))
-      .filter(col("c") >= 0)
-      .filter(col("c") / (col("n_a") + col("n_b") - col("c")) >= threshold)
+    // probe frame for step 5's plan shape (plans only — executing the
+    // consumers re-runs the same stages): connectivity projection of
+    // the shared verify
+    val crossEdgesProbe = verifiedMemberPairs(pruned, member, threshold)
       .select(col("cl_a"), col("cl_b")).distinct()
-    // edge-sized; the cut keeps the whole candidate/prune pipeline out
-    // of the components pass's (twice-referencing) plan
-    val crossEdges = Par.cut(crossEdgesRaw)
 
-    // ---- assemble: cluster-graph components, then fan labels back out
-    // through contraction (cl) and collapse (rep). Cluster ids are min
-    // member doc ids (star hubs and reps are both mins), so the final
-    // min-cluster label IS the min reachable doc id. Components runs
-    // over edge-touched clusters only — untouched clusters coalesce to
-    // themselves in the label join, sparing the vertex-union pass.
-    val clComp = Components.connectedComponents(crossEdges, "cl_a", "cl_b")
-      .select(col("id").as("cl"), col("component"))
-    val labeled = docRep.select(col("id"), col("rep"))
-      .join(repCluster.select(col("id").as("rep"), col("cl")), Seq("rep"))
-      .join(clComp, Seq("cl"), "left")
-      .select(col("id"), coalesce(col("component"), col("cl")).as("component"))
-    // isolated docs (empty shingle set): own singleton component
-    val isolated = hashed.where(col("n") === 0)
-      .select(col("id"), col("id").as("component"))
-    val out = Par.cut(labeled.union(isolated))
-    Seq(hashed, exploded).foreach(_.unpersist(false))
-    Seq(docRep, reps, repCluster, member, cpost, crossEdges).foreach(Par.free)
-    (out, Probes(cpostRaw, candCl, pruned, crossEdgesRaw))
+    Core(hashed, docRep, reps, repCluster, member, pruned,
+      Probes(cpostRaw, candCl, pruned, crossEdgesProbe),
+      persisted = Seq(hashed, exploded),
+      cuts = Seq(docRep, reps, repCluster, member, cpost))
   }
 }

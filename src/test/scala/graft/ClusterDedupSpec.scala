@@ -98,6 +98,64 @@ class ClusterDedupSpec extends AnyFunSuite {
     assert(clustered(docs, 0.3, unionCap = 0) == direct(docs, 0.3))
   }
 
+  // ---- pairsClustered: the pair LISTING through the same candidate
+  // path must be row-identical to JaccardDedup.nearDupPairs, including
+  // the jaccard VALUES (intra-group pairs are emitted as exact 1.0;
+  // cross-group pairs inherit the rep pair's value) ----
+
+  private def directPairs(df: DataFrame, t: Double): Set[(Long, Long, Double)] =
+    JaccardDedup.nearDupPairs(df, "doc_id", "text", 2, t)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+
+  private def clusteredPairs(df: DataFrame, t: Double,
+      unionCap: Int = 1 << 15): Set[(Long, Long, Double)] =
+    ClusterDedup.pairsClustered(df, "doc_id", "text", 2, t, unionCap = unionCap)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("pairsClustered matches nearDupPairs on sf0.001 documents (values included)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val got = clusteredPairs(docs, 0.3)
+    val exp = directPairs(docs, 0.3)
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+  }
+
+  test("pairsClustered on the replica-marked soak corpus: identical pairs and values") {
+    val base = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again and again",
+      1L -> "the quick brown fox jumps over the lazy dog again and once",
+      2L -> "completely different content about spark catalyst optimizer rules",
+      3L -> "a third unrelated document mentioning parquet column pruning")
+    val docs = base.flatMap { case (id, text) =>
+      (0 until 5).map { r => (id * 10 + r, if (r == 0) text else s"$text rep $r") }
+    }.toDF("doc_id", "text")
+    val got = clusteredPairs(docs, 0.3)
+    val exp = directPairs(docs, 0.3)
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+    // exact-dup replicas must surface as J=1.0 intra-group pairs
+    assert(got.exists { case (_, _, j) => j == 1.0 } ==
+      exp.exists { case (_, _, j) => j == 1.0 })
+  }
+
+  test("pairsClustered: exact duplicates, empty docs, boundary pairs, prune disabled") {
+    val dups = (Seq.fill(4)("all of these documents are byte identical content") ++
+      Seq("a singleton document unlike anything else right here") ++
+      Seq("", "one"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(clusteredPairs(dups, 0.3) == directPairs(dups, 0.3))
+    val boundary = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma epsilon"),
+      (2L, "zeta eta theta iota")).toDF("doc_id", "text")
+    assert(clusteredPairs(boundary, 0.5) == directPairs(boundary, 0.5))
+    assert(clusteredPairs(boundary, 0.5).exists { case (a, b, _) => a == 0L && b == 1L })
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text")).limit(120)
+    assert(clusteredPairs(docs, 0.3, unionCap = 0) == directPairs(docs, 0.3))
+  }
+
   test("chain through mid-similarity links: components merge transitively across clusters") {
     // a—b and b—c above t, a—c below t: one component {a,b,c}
     val docs = Seq(
