@@ -127,6 +127,26 @@ object SimilaritySearch {
       bitsPerTable: Int = 8,
       tables: Int = 96,
       seed: Long = 42L): DataFrame = {
+    val (lazyOut, sig, groups, reps) =
+      cosineNearDupPairsPlan(corpus, dim, threshold, bitsPerTable, tables, seed)
+    val out = Par.cut(lazyOut)
+    sig.unpersist(false)
+    Seq(groups, reps).foreach(Par.free)
+    out
+  }
+
+  /** The un-cut output frame (plus the resource-owning intermediates)
+    * so PlanShapeSpec can pin the collapse's plan shape — the public
+    * entry point eagerly cuts its result, which reduces its visible
+    * plan to a checkpoint scan. Probe callers own the cleanup.
+    */
+  private[graft] def cosineNearDupPairsPlan(
+      corpus: DataFrame,
+      dim: Int,
+      threshold: Double,
+      bitsPerTable: Int = 8,
+      tables: Int = 96,
+      seed: Long = 42L): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // fused native expression: L·r plane dots + per-table bucket fold
     // in one compiled pass per row; persisted so the collapse window,
@@ -166,14 +186,12 @@ object SimilaritySearch {
     // each member pair appears exactly once (cross: one distinct group
     // pair × one member combo; intra: one group) — no pair-distinct
     // needed after expansion
-    val out = Par.cut(cross.union(intra)
+    val out = cross.union(intra)
       .join(corpus.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(corpus.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.NativeHash.cosine(col("vec_a"), col("vec_b")).as("cos"))
-      .filter(col("cos") >= threshold))
-    sig.unpersist(false)
-    Seq(groups, reps).foreach(Par.free)
-    out
+      .filter(col("cos") >= threshold)
+    (out, sig, groups, reps)
   }
 }

@@ -117,6 +117,44 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("crossPairs: broadcast bench prefixes, rarity-order positions, merge-walk verify") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val p = plan(graft.operators.JaccardDedup.crossPairs(
+      docs, "doc_id", bench, "bench_id", "text", nGram = 2, threshold = 0.5))
+    // the benchmark side must broadcast twice (prefix join + verify
+    // join) — the train side never shuffles for either join
+    assert(nodes(p, "BroadcastHashJoin") >= 2, s"plan:\n$p")
+    // PPJoin prefix machinery: per-doc positions under the global
+    // rarity order, and the early-exit sorted merge walk verify (the
+    // pre-r13 plan counted raw co-occurrences and had neither)
+    assert(p.contains("row_number"), s"plan:\n$p")
+    assert(p.contains("sorted_intersect_at_least"), s"plan:\n$p")
+    assert(!p.contains("LocalTableScan"), s"plan:\n$p")
+  }
+
+  test("cosineNearDupPairs: pair-distinct runs at signature-group granularity") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // the probe variant: the public entry point eagerly cuts its output,
+    // which reduces the visible plan to a checkpoint scan
+    val (out, sig, groups, reps) = graft.operators.SimilaritySearch
+      .cosineNearDupPairsPlan(emb, dim = 64, threshold = 0.5)
+    val p = plan(out)
+    sig.unpersist(false)
+    // the bucket-join distinct aggregates on group ids (g_a, g_b) —
+    // a regression to member-level (id_a, id_b) distinct above the
+    // bucket join re-introduces the g² exchange the collapse removes
+    val distinctKeys = p.linesIterator
+      .filter(l => l.contains("Keys") && l.contains("g_a#") && l.contains("g_b#"))
+    assert(distinctKeys.nonEmpty, s"no group-level pair distinct in plan:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Keys") && l.contains("id_a#") && l.contains("id_b#")), s"plan:\n$p")
+    assert(!p.contains("LocalTableScan"), s"plan:\n$p")
+  }
+
   test("skyline_orders_chunked: running max windows on ≥2 parallel chunks, not one task") {
     val p = plan(SparkEntry.queries("skyline_orders_chunked")(spark, dir))
     // the strictly-earlier running max must run under a chunk-hash
