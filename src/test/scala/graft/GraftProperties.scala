@@ -193,6 +193,67 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  // ---- r13 equivalence properties: the replication-proof candidate
+  // paths must agree with their direct twins / quadratic truth on
+  // ARBITRARY corpora, not just the engineered spec fixtures ----
+
+  /** Word-soup corpora over a small vocabulary (forces real shingle
+    * overlap), with each doc after the first having a 1-in-4 chance of
+    * exactly duplicating its predecessor — exercising the exact-set
+    * collapse, the LSH contraction, and the singleton arms together.
+    */
+  private val corpusGen: Gen[List[(Long, String)]] = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for {
+      n <- Gen.choose(6, 12)
+      texts <- Gen.listOfN(n,
+        Gen.choose(2, 8).flatMap(w => Gen.listOfN(w, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      dupMask <- Gen.listOfN(n, Gen.choose(0, 3))
+    } yield {
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      base.zip(dupMask).map { case ((id, t), m) =>
+        if (m == 0 && id > 0) (id, base(id.toInt - 1)._2) else (id, t)
+      }
+    }
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+
+  property("ClusterDedup.pairsClustered equals nearDupPairs on random corpora") =
+    forAll(corpusGen, Gen.oneOf(0.3, 0.5, 0.8)) { (docs, t) =>
+      import graft.operators.{ClusterDedup, JaccardDedup}
+      val df = docs.toDF("doc_id", "text")
+      pairSet(ClusterDedup.pairsClustered(df, "doc_id", "text", 2, t)) ==
+        pairSet(JaccardDedup.nearDupPairs(df, "doc_id", "text", 2, t))
+    }
+
+  property("crossPairs equals the quadratic cross-corpus ground truth") =
+    forAll(corpusGen, corpusGen, Gen.oneOf(0.3, 0.5)) { (l, r, t) =>
+      import graft.operators.JaccardDedup
+      // mirror of NativeHash.shingleHashes ∘ Text.tokens at the set level
+      def sh(text: String): Set[String] = {
+        val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (tk.length < 2) Set.empty else tk.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        (il, tl) <- l; (ir, tr) <- r
+        a = sh(tl); b = sh(tr) if a.nonEmpty && b.nonEmpty
+        c = (a & b).size
+        j = c.toDouble / (a.size + b.size - c) if j >= t
+      } yield (il, ir, math.rint(j * 1e6) / 1e6)).toSet
+      val got = JaccardDedup.crossPairs(
+          l.toDF("doc_id", "text"), "doc_id",
+          r.map { case (id, x) => (id + 1000L, x) }.toDF("bench_id", "text"), "bench_id",
+          "text", 2, t)
+        .select(col("left_id"), col("right_id"), round(col("jaccard"), 6).as("j"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b - 1000L, j) }.toSet
+      got == want
+    }
+
   property("hive-text encodeRow never yields NULL and keeps the field count") =
     forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 99L), Gen.option(Gen.alphaNumStr.map(_.take(8)))))) {
       rows =>
