@@ -126,8 +126,9 @@ object ClusterDedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       unionCap: Int = 1 << 15): (DataFrame, Probes) = {
-    val core = candidateCore(df, idCol, textCol, nGram, threshold,
-      numHashes, numBands, unionCap)
+    val core = candidateCore(df, idCol,
+      NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram),
+      threshold, numHashes, numBands, unionCap)
 
     // ---- 5. exact member verification of surviving cluster pairs ----
     // (connectivity only: the ids and jaccard values are dropped — the
@@ -185,8 +186,27 @@ object ClusterDedup {
       threshold: Double = 0.3,
       numHashes: Int = 64,
       numBands: Int = 16,
+      unionCap: Int = 1 << 15): DataFrame =
+    pairsClusteredBy(df, idCol,
+      NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram),
+      threshold, numHashes, numBands, unionCap)
+
+  /** [[pairsClustered]] over an arbitrary sorted-distinct-hash-array
+    * shingle expression (the [[JaccardDedup.nearDupPairsByHashes]]
+    * contract) — e.g. `NativeHash.charShingleHashes` for the char-gram
+    * flavor used on unsegmented text. Row-identical to
+    * `nearDupPairsByHashes(df, idCol, expr, threshold)` over the same
+    * input.
+    */
+  def pairsClusteredBy(
+      df: DataFrame,
+      idCol: String,
+      shingleExpr: org.apache.spark.sql.Column,
+      threshold: Double,
+      numHashes: Int = 64,
+      numBands: Int = 16,
       unionCap: Int = 1 << 15): DataFrame = {
-    val core = candidateCore(df, idCol, textCol, nGram, threshold,
+    val core = candidateCore(df, idCol, shingleExpr, threshold,
       numHashes, numBands, unionCap)
 
     // ---- 5'. exact member verification, KEEPING ids + jaccard ----
@@ -258,8 +278,7 @@ object ClusterDedup {
   private def candidateCore(
       df: DataFrame,
       idCol: String,
-      textCol: String,
-      nGram: Int,
+      shingleExpr: org.apache.spark.sql.Column,
       threshold: Double,
       numHashes: Int,
       numBands: Int,
@@ -273,8 +292,7 @@ object ClusterDedup {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
     val hashed = Par.widen(df)
-      .select(col(idCol).as("id"),
-        NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram).as("__sh"))
+      .select(col(idCol).as("id"), shingleExpr.as("__sh"))
       .select(col("id"), col("__sh"),
         coalesce(size(col("__sh")), lit(0)).as("n"))
       .persist(MEMORY_AND_DISK)

@@ -156,6 +156,32 @@ class ClusterDedupSpec extends AnyFunSuite {
     assert(clusteredPairs(docs, 0.3, unionCap = 0) == directPairs(docs, 0.3))
   }
 
+  test("pairsClusteredBy char-gram flavor matches nearDupPairsByChars (zh-style unsegmented text)") {
+    import graft.functions.NativeHash
+    // unsegmented replica-heavy corpus: the chargram analogue of the
+    // soak shape (dedup_chargram measured 12.7× on 10× data — this is
+    // its clustered escape hatch, spec-gated against the direct path)
+    val base = Seq(
+      0L -> "深度学习模型训练数据质量控制流程",
+      1L -> "深度学习模型训练数据质量控制规范",
+      2L -> "完全不同的内容关于分布式计算框架",
+      3L -> "另一个不相关的文档提到列式存储")
+    val docs = base.flatMap { case (id, text) =>
+      (0 until 4).map { r => (id * 10 + r, if (r == 0) text else s"${text}版$r") }
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.6)) {
+      val got = ClusterDedup.pairsClusteredBy(docs, "doc_id",
+          NativeHash.charShingleHashes(col("text"), 3), t)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      val exp = JaccardDedup.nearDupPairsByChars(docs, "doc_id", "text", 3, t)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == exp, s"t=$t: missing=${exp -- got} extra=${got -- exp}")
+      assert(got.nonEmpty, s"degenerate fixture at t=$t")
+    }
+  }
+
   test("chain through mid-similarity links: components merge transitively across clusters") {
     // a—b and b—c above t, a—c below t: one component {a,b,c}
     val docs = Seq(

@@ -230,6 +230,19 @@ object GraftProperties extends Properties("graft") {
         pairSet(JaccardDedup.nearDupPairs(df, "doc_id", "text", 2, t))
     }
 
+  property("OverlapJoin.pairsClustered equals the direct overlapJoin on random corpora") =
+    forAll(corpusGen, Gen.oneOf(2, 3)) { (docs, k) =>
+      import graft.functions.{NativeHash, Text}
+      import graft.operators.{JaccardDedup, OverlapJoin}
+      val df = docs.toDF("doc_id", "text")
+      val sets = NativeHash.shingleHashes(Text.tokens(col("text")), 1)
+      def collect(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("id_a"), col("id_b"), col("overlap"))
+          .as[(Long, Long, Long)].collect().toSet
+      collect(OverlapJoin.pairsClustered(df, "doc_id", sets, minOverlap = k)) ==
+        collect(JaccardDedup.overlapJoin(df, "doc_id", sets, minOverlap = k))
+    }
+
   property("crossPairs equals the quadratic cross-corpus ground truth") =
     forAll(corpusGen, corpusGen, Gen.oneOf(0.3, 0.5)) { (l, r, t) =>
       import graft.operators.JaccardDedup
