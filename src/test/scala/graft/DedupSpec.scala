@@ -150,6 +150,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash signature collapse: replica-heavy corpus (incl. null text) equals brute force") {
+    // the soak shape for the pigeonhole join — identical-signature
+    // groups must collapse in the chunk join and fan back out with
+    // dist 0 intra-group, identical cross distances, and null-text
+    // docs excluded exactly like the direct formulation
+    import graft.functions.Text
+    val docs = (Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again"),
+      (10L, "the quick brown fox jumps over the lazy dog again"), // exact dup of 0
+      (20L, "the quick brown fox jumps over the lazy cat again"),
+      (30L, "completely different content about catalyst optimizer"),
+      (40L, null.asInstanceOf[String])) ++
+      (1L to 3L).map(r => (r, "the quick brown fox jumps over the lazy dog again")))
+      .toDF("doc_id", "text")
+    val got = SimHashDedup.nearDupPairs(docs, "doc_id", "text", maxDist = 7)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    val sigs = docs.filter(col("text").isNotNull).select(col("doc_id"),
+      SimHashDedup.simhash(Text.tokens(col("text"))).as("sig"))
+    val exp = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        SimHashDedup.hamming(col("a.sig"), col("b.sig")).as("dist"))
+      .filter(col("dist") <= 7)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+    // the 5-clique of identical docs: all C(5,2)=10 pairs at dist 0
+    assert(got.count { case (a, b, d) => d == 0 && Set(0L, 1L, 2L, 3L, 10L)(a) &&
+      Set(0L, 1L, 2L, 3L, 10L)(b) } == 10)
+    assert(!got.exists { case (a, b, _) => a == 40L || b == 40L })
+  }
+
   test("crossPairs prefix filter is lossless: pairs and jaccard values match the quadratic baseline") {
     import graft.functions.Text
     // corpus engineered with a viral shingle ("the data") on every doc
