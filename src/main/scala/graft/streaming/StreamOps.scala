@@ -151,6 +151,51 @@ object StreamOps {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$corpusDir/part=seed")
   }
 
+  /** Streaming decontamination — the continuous-ingest face of
+    * [[graft.operators.JaccardDedup.decontaminate]]: every micro-batch
+    * of incoming docs is checked against a FIXED benchmark corpus at
+    * the exact n-gram-Jaccard threshold, and only clean docs land.
+    * Contamination is a pure per-doc predicate against a constant
+    * reference, so the stream carries NO state: each batch runs the
+    * PPJoin cross join (benchmark side broadcast; `bloom = true`
+    * routes through the Bloom pre-prune for benchmarks too large to
+    * broadcast exactly — lossless either way) and the batch side is
+    * only ever batch-sized.
+    *
+    * Exactly-once across restarts via the same deterministic
+    * `part=b<N>` + Overwrite idiom as [[incrementalDedupSink]]: a
+    * replay of a checkpointed micro-batch rewrites its own partition
+    * with the same rows instead of duplicating them.
+    */
+  def decontaminateSink(
+      newDocs: DataFrame, // streaming (idCol, textCol, ...)
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame, // batch-side (benchId, textCol)
+      benchId: String,
+      cleanDir: String,
+      checkpoint: String,
+      nGram: Int = 2,
+      threshold: Double = 0.5,
+      bloom: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.JaccardDedup
+        val dirty =
+          (if (bloom)
+            JaccardDedup.crossPairsBloom(batch, idCol, benchmark, benchId, textCol, nGram, threshold)
+          else
+            JaccardDedup.crossPairs(batch, idCol, benchmark, benchId, textCol, nGram, threshold))
+            .select(col("left_id").as(idCol)).distinct()
+        batch.join(dirty, Seq(idCol), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$cleanDir/part=b$batchId")
+        ()
+      }
+      .start()
+
   /** Streaming twin of `MinHashDedup.incrementalPairs` — the daily-
     * ingest dedup story end to end: each micro-batch of new docs probes
     * the persistent band index (only the batch is shingled and signed;

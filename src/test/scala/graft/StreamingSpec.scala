@@ -141,6 +141,46 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly-once ids 1,2,3 got ${out.mkString(",")}")
   }
 
+  test("streaming decontamination drops benchmark-overlapping docs per batch, replay exactly-once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    val (cleanDir, chk) = (s"$root/clean", s"$root/chk")
+    val benchText = "the quick brown fox jumps over the lazy dog"
+    val bench = Seq((100L, benchText)).toDF("bench_id", "text")
+    val in = MemoryStream[(Long, String)]
+    def pipeline() = StreamOps.decontaminateSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bench, "bench_id", cleanDir, chk, nGram = 2, threshold = 0.5)
+    val q1 = pipeline()
+    try {
+      in.addData(
+        (1L, benchText),                                          // exact contamination
+        (2L, "completely unrelated columnar storage engines"),    // clean
+        (3L, "the quick brown fox jumps over the lazy cat"))      // near-dup: J >= 0.5
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a batch arrives while the query is DOWN; the restart must process
+    // it exactly once into its own deterministic partition
+    in.addData((4L, "another clean document entirely"), (5L, benchText))
+    val q2 = pipeline()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val clean = spark.read.parquet(cleanDir).select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 4L), s"got $clean")
+    // the bloom arm is lossless: identical surviving set on a replayed run
+    val (cleanDir2, chk2) = (s"$root/clean2", s"$root/chk2")
+    val in2 = MemoryStream[(Long, String)]
+    val q3 = StreamOps.decontaminateSink(
+      in2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bench, "bench_id", cleanDir2, chk2, nGram = 2, threshold = 0.5, bloom = true)
+    try {
+      in2.addData((1L, benchText), (2L, "completely unrelated columnar storage engines"),
+        (3L, "the quick brown fox jumps over the lazy cat"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(spark.read.parquet(cleanDir2).select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("incremental dedup stream: probe the seed index, extend it per batch, replay exactly-once") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
