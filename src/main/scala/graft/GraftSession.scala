@@ -20,6 +20,16 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing sizes partitions by SHUFFLE BYTES, which is the
+      // wrong proxy for the CPU-bound stages the dedup/ANN operators run:
+      // a few MB of candidate-pair rows fan out into sorted-intersect
+      // walks against broadcast arrays, and the default 1 MB floor
+      // collapses such stages to 1-2 tasks (measured: ClusterDedup's
+      // verify stage at 2/32 cores, 4.7 s of a 12 s query). A 64 KB floor
+      // restores parallelism for CPU-dense-tiny-byte stages; at real data
+      // volumes totalBytes/parallelism dominates the floor, so this is
+      // inert at 100 TB.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
