@@ -308,11 +308,14 @@ object ClusterDedup {
     // (measured: thousands of repeated subtree nodes in the final
     // explain, and driver planning time dwarfing the actual work at
     // toy scale). A lineage cut truncates consumers to a leaf.
-    val docRep = Par.cut(nonEmpty
-      .select(col("id"), min(col("id")).over(
+    // One window pass carries (__sh, n) through, so the collapse costs a
+    // single cut: docRep/reps are projections of it, not a join + second
+    // materialization of the corpus-sized shingle arrays.
+    val withRep = Par.cut(nonEmpty
+      .select(col("id"), col("__sh"), col("n"), min(col("id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__sh"))).as("rep")))
-    val reps = Par.cut(
-      nonEmpty.join(docRep.where(col("id") === col("rep")).select("id"), Seq("id")))
+    val docRep = withRep.select("id", "rep")
+    val reps = withRep.where(col("id") === col("rep")).select("id", "__sh", "n")
 
     // ---- 2. LSH contraction over representatives ----
     val buckets = reps
@@ -347,10 +350,13 @@ object ClusterDedup {
     val nbrMin = edges1.select(col("id_a").as("id"), col("id_b").as("nb"))
       .union(edges1.select(col("id_b").as("id"), col("id_a").as("nb")))
       .groupBy("id").agg(min("nb").as("__nbmin"))
-    val repCluster = Par.cut(reps.select(col("id"))
+    // Contraction labels land directly on the rep rows (one cut), so
+    // member is a projection instead of a reps ⋈ repCluster round-trip.
+    val member = Par.cut(reps
       .join(nbrMin, Seq("id"), "left")
-      .select(col("id"),
+      .select(col("id"), col("__sh"), col("n"),
         least(col("id"), coalesce(col("__nbmin"), col("id"))).as("cl")))
+    val repCluster = member.select("id", "cl")
 
     // ---- 3. cluster-level candidate generation ----
     // Postings lift the PPJoin prefix index to clusters with the doc-
@@ -367,7 +373,6 @@ object ClusterDedup {
     //   - size: some member pair could satisfy t·max ≤ min only if
     //     t·max(minN_A, minN_B) ≤ min(maxN_A, maxN_B).
     val index = reps.select(col("id"), explode(col("__sh")).as("s"), col("n"))
-    val member = Par.cut(reps.join(repCluster, Seq("id"))) // (id, __sh, n, cl)
     val cStats = member.groupBy("cl")
       .agg(min("n").as("minN"), max("n").as("maxN"), count(lit(1)).as("nm"))
     val cpostRaw = JaccardDedup.prefixIndex(index, "id", threshold)
@@ -430,6 +435,6 @@ object ClusterDedup {
     Core(hashed, docRep, reps, repCluster, member, pruned,
       Probes(cpostRaw, candCl, pruned, crossEdgesProbe),
       persisted = Seq(hashed, exploded),
-      cuts = Seq(docRep, reps, repCluster, member, cpost))
+      cuts = Seq(withRep, member, cpost))
   }
 }
