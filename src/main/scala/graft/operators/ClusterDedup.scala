@@ -372,17 +372,23 @@ object ClusterDedup {
     //     so 1 + min(mr_a, mr_b) ≥ α(minN_A, minN_B) holds for s*.
     //   - size: some member pair could satisfy t·max ≤ min only if
     //     t·max(minN_A, minN_B) ≤ min(maxN_A, maxN_B).
-    val index = reps.select(col("id"), explode(col("__sh")).as("s"), col("n"))
+    // The index explodes from `member` (= reps + their contraction
+    // label), so `cl` rides the prefix pipeline instead of being
+    // re-joined onto the index-sized stream; cluster stats join ONCE
+    // onto the postings (narrow (s, cl, mr) rows) and from there ride
+    // the candidate self-join — the pair stream downstream never
+    // re-joins per-cluster metadata it already carries.
+    val index = member.select(col("id"), explode(col("__sh")).as("s"), col("n"), col("cl"))
     val cStats = member.groupBy("cl")
       .agg(min("n").as("minN"), max("n").as("maxN"), count(lit(1)).as("nm"))
-    val cpostRaw = JaccardDedup.prefixIndex(index, "id", threshold)
-      .join(repCluster, Seq("id"))
+    val cpostRaw = JaccardDedup.prefixIndex(index, "id", threshold, keep = Seq("cl"))
       .groupBy(col("s"), col("cl"))
       .agg(max(col("n") - col("pos")).as("mr"))
       .join(cStats, Seq("cl"))
     val cpost = Par.cut(cpostRaw)
     val alphaMin = ceil((col("__mna") + col("__mnb")) * (threshold / (1.0 + threshold)) - lit(Eps))
-    val candCl = cpost.select(col("s").as("__sa"), col("cl").as("cl_a"), col("mr").as("__mra"),
+    val candCl = cpost
+      .select(col("s").as("__sa"), col("cl").as("cl_a"), col("mr").as("__mra"),
         col("minN").as("__mna"), col("maxN").as("__mxa"), col("nm").as("__nma"))
       .join(cpost.select(col("s").as("__sb"), col("cl").as("cl_b"), col("mr").as("__mrb"),
           col("minN").as("__mnb"), col("maxN").as("__mxb"), col("nm").as("__nmb")),
@@ -391,16 +397,23 @@ object ClusterDedup {
         least(col("__mxa"), col("__mxb")) + lit(Eps) >=
           greatest(col("__mna"), col("__mnb")) * threshold &&
         lit(1) + least(col("__mra"), col("__mrb")) >= alphaMin)
-      .select(col("cl_a"), col("cl_b"), col("__nma"), col("__nmb"))
+      // minN is functionally dependent on the cluster ids, so carrying
+      // it through the DISTINCT leaves its semantics unchanged while
+      // sparing the downstream prune any stats re-join over the pair
+      // stream (at 1× replication that re-join was 2 extra shuffles of
+      // the full candidate set)
+      .select(col("cl_a"), col("cl_b"), col("__mna"), col("__mnb"))
       .distinct() // sole consumer is the prune below — no persist: caching
                   // millions of candidate rows costs more (GC + a blocking
                   // materialization) than the one streaming evaluation
 
-    // ---- 4. union-set bound prune — routed to the pairs where it can
-    // pay (a multi-member side): for singleton-singleton pairs the
-    // bound walk IS the verify walk, so they bypass straight to step 5
-    // as a cached filter instead of dragging 4 joins over the whole
-    // candidate set. Unions are built from multi-member clusters only.
+    // ---- 4. union-set bound prune. Unions are built from multi-member
+    // clusters only — on low-duplication corpora that side is tiny and
+    // the left joins broadcast (AQE), so the mostly-singleton candidate
+    // stream flows through map-side; on heavily-duplicated corpora the
+    // multi-member unions are exactly where the bound pays its rent.
+    // Singleton-singleton pairs (no union row on either side) pass on
+    // the null arms — for them the bound walk IS the verify walk.
     // Over-cap unions skip the prune (bound unavailable ≠ bound failed).
     val exploded = member
       .join(cStats.where(col("nm") > 1).select("cl"), Seq("cl"))
@@ -410,20 +423,12 @@ object ClusterDedup {
     val unions = exploded
       .join(uSize.where(col("usz") <= unionCap).select("cl"), Seq("cl"))
       .groupBy("cl").agg(sort_array(collect_list(col("s"))).as("u"))
-    // One pass, no union-split: the stats/union joins broadcast (cluster-
-    // sized / multi-cluster-sized sides), so the whole prune fuses into a
-    // single map-side stage over the cached candidate set. Singleton-
-    // singleton pairs short-circuit on the nm arm; pairs missing a union
-    // (over cap, or singleton side) pass on the null arms.
     val pruned = candCl
-      .join(cStats.select(col("cl").as("cl_a"), col("minN").as("minA")), Seq("cl_a"))
-      .join(cStats.select(col("cl").as("cl_b"), col("minN").as("minB")), Seq("cl_b"))
       .join(unions.select(col("cl").as("cl_a"), col("u").as("u_a")), Seq("cl_a"), "left")
       .join(unions.select(col("cl").as("cl_b"), col("u").as("u_b")), Seq("cl_b"), "left")
-      .filter((col("__nma") === 1 && col("__nmb") === 1) ||
-        col("u_a").isNull || col("u_b").isNull ||
+      .filter(col("u_a").isNull || col("u_b").isNull ||
         NativeHash.sortedIntersectCount(col("u_a"), col("u_b")) >=
-          greatest(col("minA"), col("minB")) * threshold - lit(Eps))
+          greatest(col("__mna"), col("__mnb")) * threshold - lit(Eps))
       .select("cl_a", "cl_b")
 
     // probe frame for step 5's plan shape (plans only — executing the

@@ -85,14 +85,15 @@ object JaccardDedup {
     * package-private so DedupSpec can pin the hot-shingle fan-out bound
     * directly.
     */
-  private[graft] def prefixIndex(index: DataFrame, idCol: String, threshold: Double): DataFrame = {
+  private[graft] def prefixIndex(index: DataFrame, idCol: String, threshold: Double,
+      keep: Seq[String] = Nil): DataFrame = {
     val dfreq = index.groupBy("s").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df").asc, col("s").asc)
     index.join(dfreq, Seq("s"))
       .withColumn("pos", row_number().over(wDoc))
       .filter(col("pos") <= col("n") - ceil(col("n") * threshold - lit(Eps)) + 1)
-      .select(col("s"), col(idCol), col("n"), col("pos"))
+      .select((Seq("s", idCol, "n", "pos") ++ keep).map(col): _*)
   }
 
   /** Candidate (id_a < id_b) pairs from the prefix self-join. The size
