@@ -1756,6 +1756,19 @@ object SparkEntry {
           col("sample_rate"), col("n_samples"), col("duration_us"))
         .orderBy("media_id")),
 
+    // MP4 header walk end to end: deterministic ISO-BMFF containers
+    // (params integer arithmetic on the char count), parsed back by the
+    // box walk — ftyp, moov/mvhd timescale+duration, trak count, tkhd
+    // 16.16 size. The oracle recomputes the same arithmetic, so a walk
+    // bug (box size, version layout, fixed-point shift) hash-mismatches.
+    "multimodal_mp4_meta" -> ((s, dir) =>
+      Multimodal.decodeContainerMeta(
+          Multimodal.asMp4Media(t(s, dir, "documents"), "doc_id", "text", "source"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("channels").as("n_tracks"), col("sample_rate").as("timescale"),
+          col("n_samples").as("duration_ticks"), col("duration_us"))
+        .orderBy("media_id")),
+
     // REAL pixel decode, end to end: build pixel-bearing grayscale PNGs
     // (cyclic text-byte fill, deflated IDAT, filter types cycling
     // through all five), then fully DECODE them back — Inflater +
@@ -3161,6 +3174,21 @@ object SparkEntry {
         |SELECT doc_id AS media_id, 'mp3' AS format, ch AS channels,
         |  rate AS sample_rate, frames * 1152 AS n_samples,
         |  frames * 1152 * 1000000 // rate AS duration_us
+        |FROM p ORDER BY media_id""".stripMargin,
+
+    "multimodal_mp4_meta" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(CASE n % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT) AS ts,
+        |    CAST(1 + n % 997 AS BIGINT) AS ticks,
+        |    CAST(16 * (1 + n % 80) AS BIGINT) AS w,
+        |    CAST(16 * (1 + n % 45) AS BIGINT) AS h,
+        |    CAST(1 + n % 2 AS BIGINT) AS tracks
+        |  FROM t)
+        |SELECT doc_id AS media_id, 'mp4' AS format, w AS width, h AS height,
+        |  tracks AS n_tracks, ts AS timescale, ticks AS duration_ticks,
+        |  ticks * 1000000 // ts AS duration_us
         |FROM p ORDER BY media_id""".stripMargin,
 
     // stride-sampled "resize" stub: stride = ceil(len/64), output length

@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   *
   * Container-level decode is REAL: `parseContainerMeta` parses PNG
   * (signature + IHDR, chunk CRC32 verified), WAV (RIFF chunk walk,
-  * fmt/data) and MP3 (ISO 11172-3 frame-header walk: sync, version/
+  * fmt/data), MP3 (ISO 11172-3 frame-header walk: sync, version/
   * layer/bitrate/samplerate indices, exact per-frame lengths → frame
-  * count, n_samples, duration) headers from raw bytes — pure JVM, no
-  * codec libraries — and `encodePng`/`encodeWav`/`encodeMp3` build
-  * valid minimal containers for round-trip tests.
+  * count, n_samples, duration) and MP4 (ISO 14496-12 box walk: ftyp,
+  * moov/mvhd timescale+duration, trak count, tkhd 16.16 presentation
+  * size) headers from raw bytes — pure JVM, no codec libraries — and
+  * `encodePng`/`encodeWav`/`encodeMp3`/`encodeMp4` build valid minimal
+  * containers for round-trip tests.
   *
   * PIXEL/SAMPLE-level decode is ALSO real, pure JVM: `decodePng`
   * inflates IDAT (`java.util.zip.Inflater`) and reverses all five PNG
@@ -332,6 +334,174 @@ object Multimodal {
         else if (firstVer == 3) 1152L else 576L
       Some((channels, Mp3SampleRates(firstVer)(firstSr), frames * spf))
     }
+  }
+
+  // ---- ISO base-media (MP4) box walk, ISO/IEC 14496-12 §4.2/§8.2/§8.3 ----
+  // Header-level only, like the MP3/WAV arms: the box tree gives movie
+  // timescale + duration (mvhd), track count (trak) and presentation
+  // dimensions (tkhd 16.16 fixed point) without touching a sample.
+  // FRAME decode (codec payloads inside mdat) stays out of scope — the
+  // documented JNI/ONNX boundary.
+
+  /** Wrap a doc table as deterministic minimal MP4s (ftyp + moov with
+    * mvhd and `tracks` traks), every parameter pure integer arithmetic
+    * on the char count so an external engine predicts the parsed meta
+    * without reading a byte: timescale ∈ {600, 1000, 90000} by n%3,
+    * duration ticks = 1 + n%997, width = 16·(1 + n%80),
+    * height = 16·(1 + n%45), tracks = 1 + n%2.
+    */
+  def asMp4Media(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val in = df.select(
+      col(idCol).cast("long").as("media_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      col(sourceCol).as("source"))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(MediaSchema))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        val payload = encodeMp4(
+          timescale = Seq(600, 1000, 90000)((n % 3).toInt),
+          durationTicks = 1 + (n % 997),
+          width = 16 * (1 + (n % 80).toInt),
+          height = 16 * (1 + (n % 45).toInt),
+          tracks = 1 + (n % 2).toInt)
+        Row(id, payload, Row("video/mp4", payload.length.toLong, r.getString(2)))
+      }
+    }(enc)
+  }
+
+  /** Build a minimal valid ISO-BMFF stream: `ftyp` (isom) then `moov`
+    * holding an mvhd (v0) and `tracks` trak/tkhd (v0) boxes carrying
+    * the given presentation size. Sample tables and mdat are omitted —
+    * this is the header-parse round-trip twin, not a playable file.
+    */
+  def encodeMp4(timescale: Int, durationTicks: Long, width: Int, height: Int,
+      tracks: Int = 1): Array[Byte] = {
+    require(timescale > 0 && durationTicks >= 0 && tracks >= 1, "bad mp4 params")
+    require(width > 0 && width < (1 << 15) && height > 0 && height < (1 << 15),
+      "dimensions must fit 16.16 fixed point")
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    // ftyp: major 'isom', minor 0, one compatible brand
+    out.writeInt(20); out.writeBytes("ftyp"); out.writeBytes("isom")
+    out.writeInt(0); out.writeBytes("isom")
+    val mvhdSize = 108; val tkhdSize = 92; val trakSize = 8 + tkhdSize
+    out.writeInt(8 + mvhdSize + tracks * trakSize); out.writeBytes("moov")
+    // mvhd v0
+    out.writeInt(mvhdSize); out.writeBytes("mvhd"); out.writeInt(0) // version+flags
+    out.writeInt(0); out.writeInt(0)                    // creation/modification
+    out.writeInt(timescale); out.writeInt(durationTicks.toInt)
+    out.writeInt(0x00010000); out.writeShort(0x0100)    // rate 1.0, volume 1.0
+    out.writeShort(0); out.writeLong(0)                 // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000) // unity matrix
+      .foreach(out.writeInt)
+    (0 until 6).foreach(_ => out.writeInt(0))           // pre_defined
+    out.writeInt(tracks + 1)                            // next_track_ID
+    for (t <- 1 to tracks) {
+      out.writeInt(trakSize); out.writeBytes("trak")
+      out.writeInt(tkhdSize); out.writeBytes("tkhd"); out.writeInt(0)
+      out.writeInt(0); out.writeInt(0)                  // creation/modification
+      out.writeInt(t); out.writeInt(0)                  // track_ID, reserved
+      out.writeInt(durationTicks.toInt)
+      out.writeLong(0)                                  // reserved
+      out.writeShort(0); out.writeShort(0)              // layer, alternate_group
+      out.writeShort(0); out.writeShort(0)              // volume, reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(out.writeInt)
+      out.writeInt(width << 16); out.writeInt(height << 16) // 16.16 fixed
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** ISO-BMFF parse: top-level box walk to `moov`, then a child walk
+    * collecting mvhd (v0/v1: timescale + duration) and trak/tkhd
+    * (count + first nonzero presentation size). Returns
+    * (width, height, nTracks, timescale, durationTicks) or None when
+    * the tree is malformed — a moov that runs past the payload is
+    * truncation, not a shorter movie (same stance as the WAV arm).
+    */
+  private[graft] def parseMp4(
+      bytes: Array[Byte]): Option[(Long, Long, Int, Long, Long)] = {
+    // box header at `pos` within [pos, end): returns (payloadStart,
+    // boxEnd, type) or None on truncation/corrupt size
+    def box(pos: Long, end: Long): Option[(Long, Long, String)] = {
+      if (pos + 8 > end) return None
+      val size = java.nio.ByteBuffer.wrap(bytes, pos.toInt, 4).getInt.toLong & 0xffffffffL
+      val typ = new String(bytes, pos.toInt + 4, 4, "US-ASCII")
+      val (hdr, boxEnd) =
+        if (size == 0) (8L, end) // to end of enclosing scope
+        else if (size == 1) {    // 64-bit largesize
+          if (pos + 16 > end) return None
+          (16L, pos + java.nio.ByteBuffer.wrap(bytes, pos.toInt + 8, 8).getLong)
+        } else (8L, pos + size)
+      if (boxEnd > end || boxEnd < pos + hdr) None
+      else Some((pos + hdr, boxEnd, typ))
+    }
+    val fileEnd = bytes.length.toLong
+    var pos = 0L
+    var moov: Option[(Long, Long)] = None
+    var sawFtyp = false
+    while (moov.isEmpty && pos < fileEnd) {
+      box(pos, fileEnd) match {
+        case Some((payload, end, typ)) =>
+          if (typ == "ftyp") sawFtyp = true
+          if (typ == "moov") moov = Some((payload, end))
+          pos = end
+        case None => return None
+      }
+    }
+    if (!sawFtyp || moov.isEmpty) return None
+    val (mStart, mEnd) = moov.get
+    var p = mStart
+    var timescale = -1L; var duration = -1L
+    var nTracks = 0; var w = 0L; var h = 0L
+    while (p < mEnd) {
+      box(p, mEnd) match {
+        case Some((payload, end, typ)) =>
+          if (typ == "mvhd" && payload + 4 <= end) {
+            val buf = java.nio.ByteBuffer.wrap(bytes, payload.toInt,
+              (end - payload).toInt)
+            val version = buf.get() & 0xff
+            buf.position(buf.position() + 3) // flags
+            if (version == 1 && end - payload >= 32) {
+              buf.position(buf.position() + 16) // 64-bit times
+              timescale = buf.getInt.toLong & 0xffffffffL
+              duration = buf.getLong
+            } else if (version == 0 && end - payload >= 20) {
+              buf.position(buf.position() + 8)
+              timescale = buf.getInt.toLong & 0xffffffffL
+              duration = buf.getInt.toLong & 0xffffffffL
+            } else return None
+          } else if (typ == "trak") {
+            nTracks += 1
+            // child walk for tkhd (dims sit at the box tail: the spec
+            // fixes the field layout per version, so width/height are
+            // always the last 8 payload bytes)
+            var c = payload
+            while (c < end) {
+              box(c, end) match {
+                case Some((cp, ce, ct)) =>
+                  if (ct == "tkhd" && w == 0L && ce - cp >= 84) {
+                    val tw = (java.nio.ByteBuffer.wrap(bytes, (ce - 8).toInt, 4)
+                      .getInt.toLong & 0xffffffffL) >> 16
+                    val th = (java.nio.ByteBuffer.wrap(bytes, (ce - 4).toInt, 4)
+                      .getInt.toLong & 0xffffffffL) >> 16
+                    if (tw > 0 && th > 0) { w = tw; h = th }
+                  }
+                  c = ce
+                case None => return None
+              }
+            }
+          }
+          p = end
+        case None => return None
+      }
+    }
+    if (timescale <= 0 || duration < 0 || nTracks == 0) None
+    else Some((w, h, nTracks, timescale, duration))
   }
 
   private val PngSignature: Array[Byte] =
@@ -698,6 +868,17 @@ object Multimodal {
         case Some((channels, rate, nSamples)) =>
           Row("mp3", null, null, channels.toLong, rate.toLong, nSamples,
             nSamples * 1000000L / rate)
+        case None => unknown
+      }
+    } else if (new String(bytes, 4, 4, "US-ASCII") == "ftyp") {
+      parseMp4(bytes) match {
+        case Some((w, h, nTracks, timescale, durTicks)) =>
+          // timescale/ticks land in the rate/sample slots: n_samples =
+          // duration in timescale units, sample_rate = units per second
+          // — the same (count, rate, µs) triple the audio arms emit
+          Row("mp4", if (w > 0) w else null, if (h > 0) h else null,
+            nTracks.toLong, timescale, durTicks,
+            durTicks * 1000000L / timescale)
         case None => unknown
       }
     } else if (new String(bytes, 0, 4, "US-ASCII") == "RIFF"

@@ -276,4 +276,39 @@ class MultimodalSpec extends AnyFunSuite {
     val reserved = one.clone(); reserved(1) = 0xea.toByte
     assert(Multimodal.parseContainerMeta(reserved).getString(0) == "unknown")
   }
+
+  test("MP4 round-trip: dims, track count, timescale and duration from the box walk") {
+    for {
+      ts <- Seq(600, 1000, 90000)
+      ticks <- Seq(0L, 1L, 997L, 86400L)
+      tracks <- Seq(1, 2, 3)
+    } {
+      val bytes = Multimodal.encodeMp4(ts, ticks, width = 640, height = 360, tracks)
+      val m = Multimodal.parseContainerMeta(bytes)
+      assert(m.getString(0) == "mp4", s"ts=$ts ticks=$ticks tracks=$tracks")
+      assert(m.getLong(1) == 640L && m.getLong(2) == 360L)
+      assert(m.getLong(3) == tracks.toLong)
+      assert(m.getLong(4) == ts.toLong && m.getLong(5) == ticks)
+      assert(m.getLong(6) == ticks * 1000000L / ts)
+    }
+  }
+
+  test("MP4: malformed trees are unknown, not plausible meta") {
+    val good = Multimodal.encodeMp4(1000, 500L, 320, 240)
+    // moov truncated mid-box: truncation, not a shorter movie
+    assert(Multimodal.parseContainerMeta(good.dropRight(5)).getString(0) == "unknown")
+    // no ftyp leader (moov alone): not sniffed as mp4
+    assert(Multimodal.parseContainerMeta(good.drop(20)).getString(0) == "unknown")
+    // corrupt box size (runs past the payload)
+    val bad = good.clone()
+    val moovOff = 20
+    bad(moovOff) = 0x7f.toByte // moov size becomes huge
+    assert(Multimodal.parseContainerMeta(bad).getString(0) == "unknown")
+    // trailing bytes after a complete tree don't break the walk — the
+    // top-level scan just keeps walking boxes; junk shorter than a
+    // header fails the final box read, so append a full free box
+    val free = Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e')
+    val m = Multimodal.parseContainerMeta(good ++ free)
+    assert(m.getString(0) == "mp4" && m.getLong(5) == 500L)
+  }
 }
