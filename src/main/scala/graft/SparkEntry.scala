@@ -1456,6 +1456,16 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
 
+    // leakage-safe variant: buckets hash the near-dup CLUSTER label
+    // (ClusterDedup.components — the scalable candidate path), so dup
+    // clusters move between splits atomically; the oracle recomputes
+    // the exact-Jaccard components recursively and the same md5 bucket
+    "split_leakage_safe" -> ((s, dir) =>
+      Curate.leakageSafeSplit(docs(s, dir), "doc_id", "text",
+          nGram = 2, threshold = 0.3, testPct = 0.1, valPct = 0.1)
+        .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+
     "sample_stratified" -> ((s, dir) =>
       Curate.stratifiedSample(docs(s, dir), "doc_id", "lang",
           Map("en" -> 0.25), defaultRate = 0.75)
@@ -3053,6 +3063,35 @@ object SparkEntry {
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "split_leakage_safe" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
+        |      i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
+        |           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3),
+        |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |r AS (
+        |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT e.b AS id, r.lbl FROM r JOIN e ON e.a = r.id),
+        |c AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY id),
+        |bk AS (
+        |  SELECT doc_id, cluster_id,
+        |    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
+        |  FROM c)
+        |SELECT doc_id, cluster_id, bucket,
+        |  CASE WHEN bucket < 6553 THEN 'test'
+        |       WHEN bucket < 13107 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang FROM (

@@ -43,6 +43,38 @@ object Curate {
           .otherwise("train"))
   }
 
+  /** Leakage-safe split: near-duplicate CLUSTERS are assigned to
+    * splits atomically — the bucket hashes the doc's duplicate-cluster
+    * label ([[ClusterDedup.components]]: exact n-gram-Jaccard connected
+    * components, the replication-proof candidate path), so a near-dup
+    * of a training doc can never land in val/test. Plain
+    * [[splitAssign]] leaks: two 0.9-Jaccard copies hash to independent
+    * buckets and straddle the split boundary with 2·p·(1−p)
+    * probability. The configured fractions govern CLUSTER mass; the
+    * doc-mass deviation is bounded by the duplicate-cluster size
+    * distribution (tiny once dedup runs first, which is the intended
+    * order). Adds `cluster_id`, `bucket`, `split`.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 2,
+      threshold: Double = 0.3,
+      testPct: Double = 0.1,
+      valPct: Double = 0.1): DataFrame = {
+    val comp = ClusterDedup.components(df, idCol, textCol, nGram, threshold)
+      .select(col("id").as(idCol), col("component").as("cluster_id"))
+    val testUb = math.floor(65536 * testPct).toInt
+    val valUb = math.floor(65536 * (testPct + valPct)).toInt
+    df.join(comp, Seq(idCol))
+      .withColumn("bucket", hashBucket(col("cluster_id")))
+      .withColumn("split",
+        when(col("bucket") < testUb, "test")
+          .when(col("bucket") < valUb, "val")
+          .otherwise("train"))
+  }
+
   /** Stratified sample: per-stratum keep rates (e.g. downsample the
     * dominant language, keep the long tail whole) with a default for
     * unlisted strata. Same deterministic bucket — a doc's membership

@@ -25,6 +25,31 @@ class CurateSpec extends AnyFunSuite {
       s"split mass off: $frac")
   }
 
+  test("leakageSafeSplit: near-dup clusters move atomically, singletons match splitAssign on cluster id") {
+    // three exact-dup cliques + a near-dup pair + independent singletons
+    val corpus = (
+      (0L until 30L).map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta clique${i % 3}")) ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog tonight"),
+          (101L, "the quick brown fox jumps over the lazy dog today")) ++
+      (200L until 240L).map(i => (i, s"unique$i solo$i text$i body$i tail$i"))
+    ).toDF("doc_id", "text")
+    val out = Curate.leakageSafeSplit(corpus, "doc_id", "text")
+      .select("doc_id", "cluster_id", "split").as[(Long, Long, String)].collect()
+    // no cluster straddles a split boundary — the leakage guarantee
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct.toSeq).toMap
+    assert(byCluster.values.forall(_.size == 1),
+      s"cluster split leakage: ${byCluster.filter(_._2.size > 1)}")
+    // the near-dup pair shares a cluster and therefore a split
+    val m = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(100L) == m(101L))
+    // singleton docs (own cluster = own id) reduce exactly to splitAssign
+    val plain = Curate.splitAssign(corpus.filter(col("doc_id") >= 200), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (200L until 240L).foreach { i =>
+      assert(m(i)._1 == i && m(i)._2 == plain(i), s"singleton $i diverges")
+    }
+  }
+
   test("stratifiedSample keeps roughly the per-stratum rate and is a pure filter") {
     val strat = docs.withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))
     val kept = Curate.stratifiedSample(strat, "doc_id", "lang", Map("en" -> 0.25), defaultRate = 0.75)
