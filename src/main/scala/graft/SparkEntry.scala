@@ -1456,13 +1456,17 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
 
-    // leakage-safe variant: buckets hash the near-dup CLUSTER label
-    // (ClusterDedup.components — the scalable candidate path), so dup
-    // clusters move between splits atomically; the oracle recomputes
-    // the exact-Jaccard components recursively and the same md5 bucket
+    // leakage-safe variant: buckets hash the near-dup CLUSTER label, so
+    // dup clusters move between splits atomically; the oracle recomputes
+    // the exact-Jaccard components recursively and the same md5 bucket.
+    // scalable=false here: the gate corpus is low-duplication, where the
+    // clustered candidate machinery's fixed cost buys nothing (the
+    // dedup_chargram trade) — the scalable arm produces identical labels
+    // (CurateSpec pins both) and is the 100-TB default
     "split_leakage_safe" -> ((s, dir) =>
       Curate.leakageSafeSplit(docs(s, dir), "doc_id", "text",
-          nGram = 2, threshold = 0.3, testPct = 0.1, valPct = 0.1)
+          nGram = 2, threshold = 0.3, testPct = 0.1, valPct = 0.1,
+          scalable = false)
         .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
 

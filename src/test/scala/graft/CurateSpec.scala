@@ -48,6 +48,12 @@ class CurateSpec extends AnyFunSuite {
     (200L until 240L).foreach { i =>
       assert(m(i)._1 == i && m(i)._2 == plain(i), s"singleton $i diverges")
     }
+    // both components plans assign identically — the scalable arm is a
+    // drop-in for the direct one (the driver row runs direct, the
+    // 100-TB default is scalable)
+    val direct = Curate.leakageSafeSplit(corpus, "doc_id", "text", scalable = false)
+      .select("doc_id", "cluster_id", "split").as[(Long, Long, String)].collect()
+    assert(direct.sortBy(_._1).sameElements(out.sortBy(_._1)), "plan arms diverge")
   }
 
   test("stratifiedSample keeps roughly the per-stratum rate and is a pure filter") {
