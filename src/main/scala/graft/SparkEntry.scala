@@ -1708,6 +1708,27 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // k-NN self-join (the SemDeDup-style neighborhood pass): exact
+    // ground-truth arm, and the IVF arm at exhaustive probe — the
+    // ann_ivf pattern: candidate set = corpus makes the result
+    // structurally exact while the index build, coarse assignment,
+    // list-local scoring and rerank all stay under the row oracle
+    "ann_knn_join" -> ((s, dir) => {
+      val corpus = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.knnJoinExact(corpus, k = 3)
+        .select(col("qid").as("id"), col("id").as("nbr_id"), col("rank"))
+        .orderBy("id", "rank")
+    }),
+
+    "ann_knn_join_ivf" -> ((s, dir) => {
+      val corpus = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      IvfSearch.knnJoinIvf(corpus, k = 3, nLists = 32, nProbe = 32)
+        .select(col("qid").as("id"), col("id").as("nbr_id"), col("rank"))
+        .orderBy("id", "rank")
+    }),
+
     "cosine_near_dup" -> ((s, dir) => {
       val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       SimilaritySearch.cosineNearDupPairs(corpus, dim = 64, threshold = 0.5)
@@ -3450,6 +3471,31 @@ object SparkEntry {
     // exact top-k ground truth; the Spark side is also exact (broadcast
     // brute force), and adjacent scores in the fixtures differ by
     // >=1.9e-4 — far above double noise, so ranks are stable
+    // exact ground truth for BOTH knn-join arms — the IVF arm probes
+    // exhaustively (candidate set = corpus), so any defect in the
+    // index build / list assignment / rerank hash-mismatches
+    "ann_knn_join" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score
+        |  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT id, nbr_id,
+        |    row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+        |  FROM s)
+        |SELECT id, nbr_id, rank FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+
+    "ann_knn_join_ivf" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score
+        |  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT id, nbr_id,
+        |    row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+        |  FROM s)
+        |SELECT id, nbr_id, rank FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+
     "ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),

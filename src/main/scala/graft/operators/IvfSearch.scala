@@ -170,4 +170,38 @@ object IvfSearch {
       nLists: Int = 64,
       nProbe: Int = 8): DataFrame =
     probe(buildIndexInternal(corpus, nLists, kmeansIters = 0, cache = false), queries, k, nProbe)
+
+  /** k-NN SELF-join: every corpus vector's k nearest neighbors (self
+    * excluded) among the probed inverted lists — the SemDeDup-style
+    * neighborhood pass of embedding curation. Unlike [[probe]], the
+    * query side here IS the corpus, so nothing is broadcast: list
+    * assignments and list probes meet in a co-partitioned equi-join on
+    * the 4-byte `list` key, scoring runs list-locally, and the only
+    * wide rows (vectors) ship exactly once per (probe, list) pair.
+    * Candidate volume is Σ_q nProbe·|list| ≈ nProbe·n²/nLists — size
+    * nLists ~ √n (and nProbe ≪ nLists) to keep it far under the exact
+    * join's n². With nProbe = nLists the candidate set is the full
+    * corpus and the result is structurally exact (the `ann_ivf` oracle
+    * pattern); partial probing trades recall for that volume.
+    */
+  def knnJoinIvf(
+      corpus: DataFrame, // (id, vec)
+      k: Int,
+      nLists: Int = 64,
+      nProbe: Int = 8): DataFrame = {
+    val index = buildIndexInternal(corpus, nLists, kmeansIters = 0, cache = true)
+    val probes = corpus
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("list", explode(nearestCentroids(col("qvec"), index.centroids, nProbe)))
+    val scored = index.assigned.join(probes, Seq("list"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        graft.functions.NativeHash.cosine(col("qvec"), col("vec")).as("score"))
+      .groupBy("qid", "id").agg(max("score").as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    val out = Par.cut(scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k))
+    index.release()
+    out
+  }
 }

@@ -34,6 +34,26 @@ object SimilaritySearch {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact k-NN SELF-join: every corpus vector's k nearest neighbors
+    * by cosine, self excluded. Inherently Ω(n²) — this is the
+    * ground-truth/baseline arm for corpora where n² pairs are
+    * affordable and for recall evaluation of the approximate paths;
+    * at corpus scale use [[IvfSearch.knnJoinIvf]] (co-partitioned
+    * list-local candidates). No broadcast hint: the optimizer
+    * broadcasts one side while it fits and falls back to a cartesian
+    * product beyond that — either way the window shuffle moves only
+    * (qid, id, score) triples, never embeddings.
+    */
+  def knnJoinExact(corpus: DataFrame /* (id, vec) */, k: Int): DataFrame = {
+    val scored = corpus.select(col("id").as("qid"), col("vec").as("qvec"))
+      .crossJoin(corpus)
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        graft.functions.NativeHash.cosine(col("qvec"), col("vec")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN via banded SRP-LSH: `tables` independent hash tables of
     * `bitsPerTable` hyperplanes each; candidates are corpus vectors
     * sharing a (table, bucket) cell with the query in ANY table —

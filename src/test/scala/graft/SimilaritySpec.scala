@@ -202,4 +202,26 @@ class SimilaritySpec extends AnyFunSuite {
     // and the pair set must include intra-group (scaled-copy) pairs
     assert(got.exists { case (a, b, _) => b - a == 100L })
   }
+
+  test("knn join: exact arm excludes self, ranks own-cluster first; IVF at full probe is row-identical") {
+    val exact = SimilaritySearch.knnJoinExact(corpus, k = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted
+    // every vector gets exactly k neighbors, never itself
+    assert(exact.length == 7 * 2 && exact.forall { case (q, i, _) => q != i })
+    val m = exact.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // nearest neighbor of each clustered vector is from its own cluster
+    assert(m(0L).head / 10 == 0 && m(10L).head == 11L && m(20L).head == 21L)
+    // the exact-duplicate pair are each other's rank-1 (cosine 1.0)
+    assert(m(21L).head == 20L)
+    val ivf = graft.operators.IvfSearch.knnJoinIvf(corpus, k = 2, nLists = 4, nProbe = 4)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted
+    assert(ivf.sameElements(exact), "exhaustive-probe IVF knn join must equal exact")
+    // partial probing returns a subset of qids' candidates but still
+    // never self, and ranks stay dense from 1
+    val part = graft.operators.IvfSearch.knnJoinIvf(corpus, k = 2, nLists = 4, nProbe = 1)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    assert(part.forall { case (q, i, _) => q != i })
+    assert(part.groupBy(_._1).values.forall(rs =>
+      rs.map(_._3).sorted.sameElements(1 to rs.length)))
+  }
 }
