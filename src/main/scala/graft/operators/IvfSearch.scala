@@ -196,6 +196,19 @@ object IvfSearch {
       k: Int,
       nLists: Int = 64,
       nProbe: Int = 8): DataFrame = {
+    val (lazyOut, index) = knnJoinIvfPlan(corpus, k, nLists, nProbe)
+    val out = Par.cut(lazyOut)
+    index.release()
+    out
+  }
+
+  /** The un-cut [[knnJoinIvf]] output frame (plus the resource-owning
+    * index) so PlanShapeSpec can pin the scoring path's shape — the
+    * public entry point eagerly cuts, which reduces its visible plan to
+    * a checkpoint scan. Probe callers own the cleanup.
+    */
+  private[graft] def knnJoinIvfPlan(
+      corpus: DataFrame, k: Int, nLists: Int, nProbe: Int): (DataFrame, IvfIndex) = {
     val index = buildIndexInternal(corpus, nLists, kmeansIters = 0, cache = true)
     val probes = corpus
       .select(col("id").as("qid"), col("vec").as("qvec"))
@@ -207,9 +220,6 @@ object IvfSearch {
       .select(col("qid"), col("id"),
         graft.functions.NativeHash.cosine(col("qvec"), col("vec")).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
-    val out = Par.cut(scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k))
-    index.release()
-    out
+    (scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k), index)
   }
 }

@@ -267,6 +267,22 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  property("parseContainerMeta is total on arbitrary bytes: never throws, garbage is unknown") =
+    forAll(Gen.oneOf(
+      // pure random bytes
+      Gen.choose(0, 64).flatMap(n => Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))),
+      // random corruption of a valid container (magic survives, body mangled)
+      Gen.zip(Gen.choose(0, 200), Gen.choose(Byte.MinValue, Byte.MaxValue)).map { case (at, b) =>
+        val base = graft.operators.Multimodal.encodeMp4(1000, 500L, 320, 240, tracks = 2) ++
+          graft.operators.Multimodal.encodeMp3(2, 9, 0)
+        if (base.isEmpty) Nil else { val c = base.clone(); c(at % c.length) = b; c.toList }
+      })) { bytes =>
+      // the parse must terminate and classify — a crash or hang on
+      // crafted bytes is a denial-of-service on the whole partition
+      val row = graft.operators.Multimodal.parseContainerMeta(bytes.toArray)
+      Set("png", "jpeg", "mp3", "mp4", "wav", "unknown").contains(row.getString(0))
+    }
+
   property("hive-text encodeRow never yields NULL and keeps the field count") =
     forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 99L), Gen.option(Gen.alphaNumStr.map(_.take(8)))))) {
       rows =>

@@ -117,6 +117,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoinIvf: rank pushdown intact — WindowGroupLimit present, no aggregate between scorer and window") {
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val (lazyOut, index) = graft.operators.IvfSearch.knnJoinIvfPlan(corpus, 3, 4, 2)
+    val p = plan(lazyOut)
+    index.release()
+    // the r13 fix: a groupBy(qid,id) here deduplicated nothing
+    // (single-list assignment) and forced a full candidate exchange
+    // while blocking the map-side per-partition top-k
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown lost:\n$p")
+    assert(nodes(p, "HashAggregate") == 0, s"aggregate re-appeared on the scoring path:\n$p")
+  }
+
   test("crossPairs: broadcast bench prefixes, rarity-order positions, merge-walk verify") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
