@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: full-count threshold predicates take the
+    // early-exit merge walk (plans/IntersectBoundRewrite) — SQL and
+    // DataFrame callers write the natural comparison, the plan runs the
+    // bounded form
+    ext.injectOptimizerRule(_ => graft.plans.IntersectBoundRewrite)
     column1(ext, "quality_score")(Text.qualityScore)
     column1(ext, "lang_id")(Text.langId)
     column1(ext, "token_count")(Text.tokenCount)

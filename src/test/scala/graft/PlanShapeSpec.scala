@@ -97,15 +97,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(postingKeys.nonEmpty, s"no (s, cl)-keyed aggregate in postings plan:\n$pPost")
 
     // bound prune strictly upstream of member expansion: the pruned
-    // frame runs the union-intersection walk (sorted_intersect_count)
-    // and contains NO member verify (sorted_intersect_at_least) —
-    // expansion only happens in crossEdges, whose plan holds both
+    // frame runs the union-intersection bound walk over the cluster
+    // union arrays (u_a/u_b; IntersectBoundRewrite plans the count
+    // threshold as the early-exit sorted_intersect_at_least) and never
+    // touches member shingle arrays — expansion (__sha/__shb) only
+    // happens in crossEdges, whose plan holds the member verify too
     val pPruned = plan(probes.pruned)
-    assert(pPruned.contains("sorted_intersect_count"), s"plan:\n$pPruned")
-    assert(!pPruned.contains("sorted_intersect_at_least"), s"plan:\n$pPruned")
+    assert(pPruned.contains("sorted_intersect_at_least"), s"plan:\n$pPruned")
+    assert(pPruned.contains("u_a") && !pPruned.contains("__sha"), s"plan:\n$pPruned")
     val pCross = plan(probes.crossEdges)
     assert(pCross.contains("sorted_intersect_at_least") &&
-      pCross.contains("sorted_intersect_count"), s"plan:\n$pCross")
+      pCross.contains("__sha") && pCross.contains("u_a"), s"plan:\n$pCross")
 
     // no driver materialization anywhere on the candidate path: every
     // leaf is a distributed scan (parquet / checkpoint RDD / cache),
