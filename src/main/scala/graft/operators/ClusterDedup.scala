@@ -70,6 +70,13 @@ object ClusterDedup {
   /** Fp guard shared with [[JaccardDedup]]'s pruning bounds. */
   private val Eps = 1e-9
 
+  /** Exact-set collapse fires only when the HLL probe sees distinct
+    * sets below this fraction of docs — with the probe's 1% rsd, a
+    * fully-distinct corpus stays comfortably above it and skips the
+    * corpus-wide collapse window.
+    */
+  private val CollapseSkipRatio = 0.95
+
   /** Lazy intermediate frames of the candidate path, captured so
     * PlanShapeSpec can pin the scale-shape claims on
     * `explain("formatted")` (cluster-keyed postings aggregate, bound
@@ -301,6 +308,20 @@ object ClusterDedup {
     // collision arm; one corpus-sized narrow exchange, same magnitude
     // as the exploded index the pair join already pays) ----
     val nonEmpty = hashed.where(col("n") > 0)
+    // ADAPTIVE: the collapse window shuffles every shingle array in the
+    // corpus. One HLL probe (1% rsd, narrow partial-aggregate pass over
+    // the persisting frame) decides whether exact-set duplication even
+    // exists; on a (near-)fully-distinct corpus — the norm once exact
+    // dedup has run upstream, and the gate corpus at 99.8% — the
+    // collapse is the identity and the window + its lineage cut are
+    // skipped. Correctness is unaffected either way: identical sets are
+    // ordinary J=1 pairs for the LSH contraction and the exact verify
+    // (the contraction is NEVER skipped — near-duplicate replicas have
+    // DISTINCT sets, so this probe says nothing about them and the
+    // g²-killing contraction must stay unconditional).
+    val st = nonEmpty.agg(count(lit(1)),
+      approx_count_distinct(xxhash64(col("__sh")), 0.01)).head()
+    val collapseUseful = st.getLong(1) < st.getLong(0) * CollapseSkipRatio
     // Par.cut (not persist) on the fan-out frames: persist caches
     // EXECUTION but leaves the full logical subtree in every consumer's
     // plan — with this many mutually-referencing stages the analyzer
@@ -311,11 +332,14 @@ object ClusterDedup {
     // One window pass carries (__sh, n) through, so the collapse costs a
     // single cut: docRep/reps are projections of it, not a join + second
     // materialization of the corpus-sized shingle arrays.
-    val withRep = Par.cut(nonEmpty
-      .select(col("id"), col("__sh"), col("n"), min(col("id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__sh"))).as("rep")))
-    val docRep = withRep.select("id", "rep")
-    val reps = withRep.where(col("id") === col("rep")).select("id", "__sh", "n")
+    val collapseCut: Option[DataFrame] = if (!collapseUseful) None else Some(
+      Par.cut(nonEmpty
+        .select(col("id"), col("__sh"), col("n"), min(col("id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__sh"))).as("rep"))))
+    val docRep = collapseCut.fold(nonEmpty.select(col("id"), col("id").as("rep")))(
+      _.select("id", "rep"))
+    val reps = collapseCut.fold(nonEmpty.select("id", "__sh", "n"))(
+      _.where(col("id") === col("rep")).select("id", "__sh", "n"))
 
     // ---- 2. LSH contraction over representatives ----
     val buckets = reps
@@ -440,6 +464,6 @@ object ClusterDedup {
     Core(hashed, docRep, reps, repCluster, member, pruned,
       Probes(cpostRaw, candCl, pruned, crossEdgesProbe),
       persisted = Seq(hashed, exploded),
-      cuts = Seq(withRep, member, cpost))
+      cuts = collapseCut.toSeq ++ Seq(member, cpost))
   }
 }

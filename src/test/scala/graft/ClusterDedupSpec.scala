@@ -56,6 +56,24 @@ class ClusterDedupSpec extends AnyFunSuite {
     assert(clustered(docs, 0.3) == direct(docs, 0.3))
   }
 
+  test("mostly-distinct corpus (adaptive collapse SKIPS): stray exact dups still merge") {
+    // distinct ratio ~0.98 > the 0.95 skip threshold, so the exact-set
+    // collapse window is skipped — the two exact-dup pairs must then be
+    // merged by the LSH contraction / verify like any other J=1 pair
+    val corpus = (
+      (0L until 100L).map(i => (i, s"unique$i alpha$i beta$i gamma$i delta$i")) ++
+      Seq((200L, "the quick brown fox jumps over the lazy dog"),
+          (201L, "the quick brown fox jumps over the lazy dog"),
+          (300L, "pack my box with five dozen liquor jugs today"),
+          (301L, "pack my box with five dozen liquor jugs today"))
+    ).toDF("doc_id", "text")
+    val got = clustered(corpus, 0.3)
+    assert(got == direct(corpus, 0.3))
+    val m = got.toMap
+    assert(m(201L) == m(200L) && m(301L) == m(300L), "exact dups must share a label")
+    assert(m(200L) == 200L && m(300L) == 300L)
+  }
+
   test("exact duplicates collapse losslessly (J=1 cliques, several group sizes)") {
     val docs = (Seq.fill(6)("all six of these documents are byte identical content") ++
       Seq.fill(3)("these three are identical to each other but not to the six") ++
