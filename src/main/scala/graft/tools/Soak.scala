@@ -97,8 +97,8 @@ object Soak {
       replicate(spark, srcDir, outDir, reps)
 
     // shuffle-write accounting: total + largest single stage, reset per
-    // query (listener bus is async — the short settle sleep after each
-    // query keeps attribution honest at soak timescales)
+    // query; the listener bus is drained before each row is stamped so
+    // async completions land in the query that ran them
     val total = new java.util.concurrent.atomic.AtomicLong
     val maxStage = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -132,9 +132,11 @@ object Soak {
           System.err.println(s"[soak] $name failed: ${e.getMessage}")
           failed += name; false
         }
+      // drain BEFORE stamping this query's shuffle numbers: async
+      // stage-completed events otherwise bleed into the NEXT row
+      org.apache.spark.sql.graft.Shims.drainListenerBus(spark.sparkContext)
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      Thread.sleep(300) // let stage-completed events drain
       sumSec += sec
       println(f"""{"soak_q":"$name","sec":$sec%.3f,"shuffle_mb":${total.get / 1e6}%.1f,"max_stage_shuffle_mb":${maxStage.get / 1e6}%.1f,"ok":$ok}""")
     }

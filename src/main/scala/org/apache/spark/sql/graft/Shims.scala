@@ -25,4 +25,15 @@ object Shims {
     */
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Drain the listener bus (private[spark]): block until every queued
+    * SparkListener event has been delivered. Measurement harnesses
+    * (graft.tools.Soak) use this between queries so async stage-
+    * completion events land in the query that ran them — without it,
+    * a heavy query's last stages bleed into the NEXT query's shuffle
+    * accounting.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long = 10000L): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }
