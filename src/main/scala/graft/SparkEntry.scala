@@ -3070,7 +3070,8 @@ object SparkEntry {
         |  SELECT doc_id, text FROM dd
         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) >= 13107),
         |toks AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard,
         |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tokens
         |  FROM tr)
         |SELECT doc_id, shard, n_tokens,
@@ -3129,7 +3130,8 @@ object SparkEntry {
 
     "pack_sequences" ->
       """WITH toks AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard,
         |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, shard, n_tokens,

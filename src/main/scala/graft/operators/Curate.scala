@@ -184,7 +184,11 @@ object Curate {
     * scale), so documents are first hashed into `shards` independent
     * streams and packed within each. Each shard's window is an
     * independent partition of the shuffle — embarrassingly parallel,
-    * which is how packing is actually run over large corpora. Output:
+    * which is how packing is actually run over large corpora. The shard
+    * is [[hashBucket]] mod `shards` — the same content-keyed md5 used
+    * by [[splitAssign]] — so it is uniform for ANY id type (a plain
+    * `pmod(id, shards)` silently casts string ids to NULL and collapses
+    * the whole corpus into one NULL shard = one task). Output:
     * (id, shard, n_tokens, pack_id).
     */
   def packSequences(
@@ -194,7 +198,7 @@ object Curate {
       budget: Int,
       shards: Int = 32): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
-    df.select(col(idCol), pmod(col(idCol), lit(shards)).as("shard"),
+    df.select(col(idCol), pmod(hashBucket(col(idCol)), lit(shards)).cast("long").as("shard"),
         Text.tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("pack_id",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))

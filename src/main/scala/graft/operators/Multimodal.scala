@@ -380,6 +380,11 @@ object Multimodal {
   def encodeMp4(timescale: Int, durationTicks: Long, width: Int, height: Int,
       tracks: Int = 1): Array[Byte] = {
     require(timescale > 0 && durationTicks >= 0 && tracks >= 1, "bad mp4 params")
+    // v0 mvhd/tkhd carry 32-bit durations (parser reads them back via
+    // & 0xffffffffL); a larger tick count would silently truncate on
+    // the round trip, so reject it instead (a v1 box would be the fix)
+    require(durationTicks <= 0xffffffffL,
+      s"durationTicks $durationTicks exceeds v0 32-bit mvhd/tkhd field")
     require(width > 0 && width < (1 << 15) && height > 0 && height < (1 << 15),
       "dimensions must fit 16.16 fixed point")
     val bos = new java.io.ByteArrayOutputStream()

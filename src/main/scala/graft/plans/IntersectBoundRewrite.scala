@@ -29,11 +29,18 @@ import graft.functions.NativeHash.{SortedIntersectAtLeastExpr, SortedIntersectCo
   * countAtLeast returns c (>= 0) whenever c >= alpha — including every
   * alpha <= 0, where the comparison is vacuously true — and -1
   * otherwise, so `result >= 0` reproduces the original predicate
-  * exactly. NULL inputs propagate to NULL through both forms. The
-  * bound is clamped to Int.MaxValue before the int cast (a larger x is
-  * unsatisfiable anyway: a row array cannot hold 2^31 longs), which
-  * also absorbs NaN (NaN orders greatest in Spark, so least() drops
-  * it and both forms yield false).
+  * exactly. NULL array inputs propagate to NULL through both forms; a
+  * NULL threshold x is guarded EXPLICITLY (`If(IsNull(x), null, …)`)
+  * because the clamp's Least() SKIPS nulls — unguarded, a NULL x would
+  * become Int.MaxValue and the rewritten predicate would yield FALSE
+  * where the original yields NULL, flipping rows in null-sensitive
+  * contexts (NOT(NULL)=NULL drops, NOT(FALSE)=TRUE keeps). With the
+  * guard, alpha=NULL → countAtLeast is null-safe → NULL >= 0 → NULL,
+  * matching `count >= NULL` exactly. The bound is clamped to
+  * Int.MaxValue before the int cast (a larger x is unsatisfiable
+  * anyway: a row array cannot hold 2^31 longs), which also absorbs NaN
+  * (NaN orders greatest in Spark, so least() drops it and both forms
+  * yield false).
   *
   * The rewrite only fires when the count feeds a comparison through
   * nothing, or through an exact widening cast (int/long/double) —
@@ -43,17 +50,27 @@ import graft.functions.NativeHash.{SortedIntersectAtLeastExpr, SortedIntersectCo
   */
 object IntersectBoundRewrite extends Rule[LogicalPlan] {
 
+  /** NULL-threshold guard: Least() skips nulls, so without this a NULL
+    * x would clamp to Int.MaxValue (predicate FALSE) instead of
+    * propagating NULL like the original comparison — see the scaladoc.
+    * Skipped when x can't be null (the common literal-threshold case).
+    */
+  private def nullGuarded(x: Expression, clamped: Expression): Expression =
+    if (x.nullable) If(IsNull(x), Literal(null, IntegerType), clamped) else clamped
+
   /** ceil(least(x, Int.MaxValue)) as int — see the clamp rationale. */
   private def bound(x: Expression): Expression =
-    Cast(Ceil(Least(Seq(Cast(x, DoubleType), Literal(Int.MaxValue.toDouble)))), IntegerType)
+    nullGuarded(x,
+      Cast(Ceil(Least(Seq(Cast(x, DoubleType), Literal(Int.MaxValue.toDouble)))), IntegerType))
 
   /** floor(least(x, Int.MaxValue − 1)) + 1 as int, for strict >
     * (Floor yields LongType, so the increment stays in long until the
     * final clamped int cast).
     */
   private def boundStrict(x: Expression): Expression =
-    Cast(Add(Floor(Least(Seq(Cast(x, DoubleType), Literal(Int.MaxValue.toDouble - 1)))),
-      Literal(1L)), IntegerType)
+    nullGuarded(x,
+      Cast(Add(Floor(Least(Seq(Cast(x, DoubleType), Literal(Int.MaxValue.toDouble - 1)))),
+        Literal(1L)), IntegerType))
 
   private def atLeast(cnt: SortedIntersectCountExpr, alpha: Expression): Expression =
     GreaterThanOrEqual(SortedIntersectAtLeastExpr(cnt.left, cnt.right, alpha), Literal(0))

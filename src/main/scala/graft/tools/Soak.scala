@@ -132,13 +132,18 @@ object Soak {
           System.err.println(s"[soak] $name failed: ${e.getMessage}")
           failed += name; false
         }
-      // drain BEFORE stamping this query's shuffle numbers: async
-      // stage-completed events otherwise bleed into the NEXT row
-      org.apache.spark.sql.graft.Shims.drainListenerBus(spark.sparkContext)
+      // stamp wall time FIRST (listener-delivery wait is measurement
+      // plumbing, not query work), THEN drain the bus so async
+      // stage-completed events land in THIS query's shuffle columns
+      // rather than bleeding into the next row
       val sec = (System.nanoTime() - t0) / 1e9
+      val drained = org.apache.spark.sql.graft.Shims.drainListenerBus(spark.sparkContext)
+      if (!drained)
+        System.err.println(s"[soak] $name: listener bus drain timed out — " +
+          "trailing stage events may bleed into the next row's shuffle columns")
       spark.catalog.clearCache()
       sumSec += sec
-      println(f"""{"soak_q":"$name","sec":$sec%.3f,"shuffle_mb":${total.get / 1e6}%.1f,"max_stage_shuffle_mb":${maxStage.get / 1e6}%.1f,"ok":$ok}""")
+      println(f"""{"soak_q":"$name","sec":$sec%.3f,"shuffle_mb":${total.get / 1e6}%.1f,"max_stage_shuffle_mb":${maxStage.get / 1e6}%.1f,"ok":$ok,"bus_drained":$drained}""")
     }
     println(f"""{"soak_total_sec":$sumSec%.1f,"n":${selected.size},"reps":$reps,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     spark.stop()

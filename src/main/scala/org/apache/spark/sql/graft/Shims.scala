@@ -33,7 +33,7 @@ object Shims {
     * a heavy query's last stages bleed into the NEXT query's shuffle
     * accounting.
     */
-  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long = 10000L): Unit =
-    try sc.listenerBus.waitUntilEmpty(timeoutMs)
-    catch { case _: java.util.concurrent.TimeoutException => () }
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long = 10000L): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }

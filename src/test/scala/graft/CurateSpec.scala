@@ -26,9 +26,16 @@ class CurateSpec extends AnyFunSuite {
   }
 
   test("leakageSafeSplit: near-dup clusters move atomically, singletons match splitAssign on cluster id") {
-    // three exact-dup cliques + a near-dup pair + independent singletons
+    // three exact-dup cliques with DISJOINT vocabularies (no shared
+    // word bigrams, so the cliques stay three separate clusters — a
+    // shared-prefix fixture would merge them all at J >= 0.3 and the
+    // multi-cluster assertions below would be vacuous) + a near-dup
+    // pair + independent singletons
     val corpus = (
-      (0L until 30L).map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta clique${i % 3}")) ++
+      (0L until 30L).map { i =>
+        val c = i % 3
+        (i, (0 until 8).map(w => s"c${c}w$w").mkString(" "))
+      } ++
       Seq((100L, "the quick brown fox jumps over the lazy dog tonight"),
           (101L, "the quick brown fox jumps over the lazy dog today")) ++
       (200L until 240L).map(i => (i, s"unique$i solo$i text$i body$i tail$i"))
@@ -39,6 +46,11 @@ class CurateSpec extends AnyFunSuite {
     val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct.toSeq).toMap
     assert(byCluster.values.forall(_.size == 1),
       s"cluster split leakage: ${byCluster.filter(_._2.size > 1)}")
+    // the three cliques resolve to three DISTINCT 10-doc clusters —
+    // each atomic under the split (checked above for all clusters)
+    val cliqueClusters = out.filter(_._1 < 30L).groupBy(_._2)
+    assert(cliqueClusters.size == 3 && cliqueClusters.values.forall(_.length == 10),
+      s"expected 3 disjoint 10-doc clusters, got ${cliqueClusters.view.mapValues(_.length).toMap}")
     // the near-dup pair shares a cluster and therefore a split
     val m = out.map(r => r._1 -> (r._2, r._3)).toMap
     assert(m(100L) == m(101L))
@@ -78,7 +90,26 @@ class CurateSpec extends AnyFunSuite {
         cum += n
       }
     }
-    // shard-local: every doc keeps its pmod shard
-    assert(packed.forall { case (id, shard, _, _) => shard == id % 4 })
+    // shard-local: every doc keeps its md5-bucket shard (the same
+    // content-keyed hash as splitAssign, mod shards)
+    def md5Shard(id: String, shards: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(id.getBytes("UTF-8"))
+      val hex = d.take(2).map(b => f"$b%02x").mkString
+      (Integer.parseInt(hex, 16) % shards).toLong
+    }
+    assert(packed.forall { case (id, shard, _, _) => shard == md5Shard(id.toString, 4) })
+  }
+
+  test("packSequences shards STRING ids uniformly (no NULL-shard collapse)") {
+    // pmod(stringId, shards) would cast to NULL and collapse the corpus
+    // into one shard = one window task; the md5 bucket must spread it
+    val strDocs = (0 until 500).map(i => (s"doc-$i", s"tok$i " * (i % 5 + 1)))
+      .toDF("doc_id", "text")
+    val packed = Curate.packSequences(strDocs, "doc_id", "text", budget = 10, shards = 4)
+      .as[(String, Long, Int, Long)].collect()
+    assert(packed.length == 500)
+    val perShard = packed.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perShard.keySet.forall(s => s >= 0 && s < 4), s"shard out of range: $perShard")
+    assert(perShard.size >= 2, s"string ids collapsed into ${perShard.size} shard(s): $perShard")
   }
 }

@@ -64,6 +64,28 @@ class IntersectRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL per-row threshold keeps three-valued logic in a projection (null guard)") {
+    // NOT(count >= x) never reaches the rule — Spark canonicalizes it
+    // to `count < x`, an upper bound the early-exit walk can't serve
+    // (correctly left alone). The null-sensitive context that DOES
+    // rewrite is a projected boolean: `count >= x AS flag` must be
+    // NULL where x is NULL — an unguarded clamp turns NULL into
+    // Int.MaxValue and flag into FALSE, a visible value flip.
+    val x = when(col("id") % 2 === 0, lit(null).cast("double"))
+      .otherwise(lit(3.0))
+    val q = df.select(col("id"),
+      (NativeHash.sortedIntersectCount(col("a"), col("b")) >= x).as("flag"))
+    val p = optimized(q)
+    assert(p.contains("sorted_intersect_at_least"), s"not rewritten:\n$p")
+    val got = q.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    // id 1: 2>=3 → false; id 2: x NULL → NULL; id 3: 3>=3 → true;
+    // id 4: x NULL → NULL (unguarded bug: false); id 5: arrays NULL → NULL
+    assert(got == Map(1L -> Some(false), 2L -> None, 3L -> Some(true),
+      4L -> None, 5L -> None),
+      s"NULL threshold must project NULL, not FALSE: $got")
+  }
+
   test("value-keeping projection is untouched: the kept count stays the full walk") {
     val q = df.select(col("id"),
         NativeHash.sortedIntersectCount(col("a"), col("b")).as("c"))
