@@ -102,6 +102,25 @@ object SparkEntry {
       |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Exact char-3-gram-Jaccard pair oracle over the zh slice, shared
+    * verbatim by `dedup_chargram` (direct PPJoin prefix self-join) and
+    * `dedup_chargram_clustered` (ClusterDedup.pairsClusteredBy over
+    * charShingleHashes) — two plans, one truth, same pattern as the
+    * ngram pair.
+    */
+  private val chargramJaccardPairsOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(text)-3+2),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS sh
+      |  FROM documents WHERE lang = 'zh' AND length(text) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Components oracle: exact bigram-Jaccard pair set (same as
     * dedup_ngram_jaccard), then min reachable label via recursive CTE
     * (UNION dedups, so the fixpoint terminates). Shared verbatim by
@@ -1286,6 +1305,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // the replication-proof twin (same oracle — the
+    // dedup_ngram_jaccard_clustered pattern): the direct char-gram
+    // prefix self-join walked 12.7× wall on the 10× soak while the
+    // clustered path generates candidates at distinct-content
+    // granularity; both plans are gated against one truth
+    "dedup_chargram_clustered" -> ((s, dir) =>
+      ClusterDedup.pairsClusteredBy(
+          t(s, dir, "documents").filter(col("lang") === "zh"),
+          "doc_id", graft.functions.NativeHash.charShingleHashes(col("text"), 3),
+          threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
     // duplicate CLUSTERS: near-dup pairs are edges, a duplicate group is
     // a connected component (operators/Components, alternating
     // large-star/small-star) — every document labeled with the min
@@ -1725,6 +1757,43 @@ object SparkEntry {
       val corpus = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       IvfSearch.knnJoinIvf(corpus, k = 3, nLists = 32, nProbe = 32)
+        .select(col("qid").as("id"), col("id").as("nbr_id"), col("rank"))
+        .orderBy("id", "rank")
+    }),
+
+    // PARTIAL probing under the exact oracle — the production knob
+    // (nProbe ≪ nLists) itself hash-gated, not just subset-asserted.
+    // Fixture: vectors derived from vec_id with DISJOINT support — one
+    // cluster axis per vec_id % 8, identical within a cluster — so
+    // exactness at nProbe=1 is STRUCTURAL for ANY centroid sample:
+    // identical inputs take identical nearest-centroid decisions (the
+    // helper's scan is deterministic even under full L2 ties), so a
+    // whole cluster lands in exactly ONE list and a query identical to
+    // its cluster probes precisely that list; cross-cluster cosine is
+    // exactly 0.0 in both engines (disjoint support), within-cluster
+    // exactly 1.0, and rank ties break by id in both. Robust to
+    // testdata regeneration; recall loss from a future probe/assign
+    // bug hash-mismatches instead of hiding.
+    "ann_ivf_partial" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"))
+      val vec = array((0 until 8).map(j =>
+        when(pmod(col("vec_id"), lit(8)) === j, lit(10.0f)).otherwise(lit(0.0f))): _*)
+      val corpus = base.select(col("vec_id").as("id"), vec.as("vec"))
+      val queries = base.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), vec.as("qvec"))
+      IvfSearch.ivfTopK(corpus, queries, 5, nLists = 8, nProbe = 1)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // same fixture through the co-partitioned self-join plan (nothing
+    // broadcast; list-local scoring + rank pushdown), nProbe=1 of 8
+    "ann_knn_join_ivf_partial" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"))
+      val vec = array((0 until 8).map(j =>
+        when(pmod(col("vec_id"), lit(8)) === j, lit(10.0f)).otherwise(lit(0.0f))): _*)
+      val corpus = base.select(col("vec_id").as("id"), vec.as("vec"))
+      IvfSearch.knnJoinIvf(corpus, k = 3, nLists = 8, nProbe = 1)
         .select(col("qid").as("id"), col("id").as("nbr_id"), col("rank"))
         .orderBy("id", "rank")
     }),
@@ -2673,18 +2742,11 @@ object SparkEntry {
         |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_chargram" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, length(text)-3+2),
-        |    i -> substr(text, CAST(i AS INT), 3))) AS sh
-        |  FROM documents WHERE lang = 'zh' AND length(text) >= 3)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_chargram" -> chargramJaccardPairsOracle,
+
+    // the clustered twin is gated against the IDENTICAL oracle — two
+    // plans, one truth
+    "dedup_chargram_clustered" -> chargramJaccardPairsOracle,
 
     "decontaminate" ->
       """WITH sh AS (
@@ -3544,6 +3606,40 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
         |  FROM s)
         |SELECT qid, id, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // exact top-k over the DERIVED clustered fixture (vec_id % 8
+    // one-hot axes) — gates the nProbe=1 partial-probe plan itself;
+    // within-cluster cosine is exactly 1.0 and cross-cluster exactly
+    // 0.0 in both engines, ties break by id in both row_numbers
+    "ann_ivf_partial" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(range(0, 8),
+        |    j -> CASE WHEN vec_id % 8 = j THEN CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS vec
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 6),
+        |s AS (
+        |  SELECT qid, v.vec_id AS id, list_cosine_similarity(qvec, v.vec) AS score
+        |  FROM q CROSS JOIN v),
+        |r AS (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
+        |  FROM s)
+        |SELECT qid, id, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "ann_knn_join_ivf_partial" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(range(0, 8),
+        |    j -> CASE WHEN vec_id % 8 = j THEN CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS vec
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+        |    list_cosine_similarity(a.vec, b.vec) AS score
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT id, nbr_id,
+        |    row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+        |  FROM s)
+        |SELECT id, nbr_id, rank FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
 
     "ann_ivfpq" ->
       """WITH q AS (
