@@ -1403,6 +1403,22 @@ object SparkEntry {
           minOverlap = 30)
         .orderBy("id_a", "id_b")),
 
+    // the boolean-containment CONSUMER (JaccardDedup.decontaminate):
+    // surviving train docs after dropping everything contaminated —
+    // jaccard is never kept, self-pairs count as contamination (a
+    // benchmark doc sitting in train IS contaminated), and the whole
+    // verify plans as the early-exit walk with no full-count
+    // sorted_intersect_count anywhere (pinned in PlanShapeSpec)
+    "decontaminate_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      JaccardDedup.decontaminate(d, "doc_id", bench, "bench_id", "text",
+          nGram = 2, threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // same contamination semantics through the Bloom-pruned train scan
     // (lossless superset prune + exact verify — identical oracle)
     "decontaminate_bloom" -> ((s, dir) => {
@@ -2789,6 +2805,24 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.tk, b.tk)) >= 30
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the consumer view: docs NOT contaminated (self-pairs count — a
+    // bench doc in train IS contaminated, so no a<>b clause here)
+    "decontaminate_keep" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
+        |    i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
+        |  FROM documents),
+        |c AS (
+        |  SELECT DISTINCT a.doc_id AS left_id
+        |  FROM sh a JOIN sh b ON b.doc_id % 10 = 0
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT left_id FROM c)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the Bloom prune is lossless (superset filter + exact verify), so
     // the oracle is the decontaminate ground truth verbatim

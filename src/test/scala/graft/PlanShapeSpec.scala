@@ -150,6 +150,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("LocalTableScan"), s"plan:\n$p")
   }
 
+  test("decontaminate (boolean containment, jaccard never kept): early-exit walk only, no full count") {
+    // r14 VERDICT audit: could the α-bound pre-filter ALSO plan via
+    // sorted_intersect_at_least when the jaccard value is not kept?
+    // Answer — it already does: crossPairs hand-plans the early-exit
+    // walk (alpha = the exact J-threshold equivalent, Eps-guarded), the
+    // jaccard filter is arithmetic on the walk's returned count, and
+    // column pruning drops the value. So the boolean containment
+    // consumer never pays a full sorted_intersect_count walk anywhere —
+    // there is nothing left for IntersectBoundRewrite to rewrite on
+    // this path (documented negative result), and THIS pin keeps a
+    // future refactor from reintroducing the full walk.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val p = plan(graft.operators.JaccardDedup.decontaminate(
+      docs, "doc_id", bench, "bench_id", "text", nGram = 2, threshold = 0.5))
+    assert(p.contains("sorted_intersect_at_least"), s"early-exit walk lost:\n$p")
+    assert(!p.contains("sorted_intersect_count"),
+      s"full-count walk appeared on the boolean containment path:\n$p")
+  }
+
   test("cosineNearDupPairs: pair-distinct runs at signature-group granularity") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
