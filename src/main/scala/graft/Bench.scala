@@ -95,11 +95,18 @@ object Bench {
       // wide rep spread = transient host contention hit some reps; one
       // extra rep gives the median a quorum of clean measurements (a
       // real regression is uniformly slow, so the extra rep is cheap
-      // there and changes nothing)
+      // there and changes nothing). Skipped when a rep FAILED — a
+      // crashed rep's near-zero wall always trips the ratio and the
+      // extra rep would just re-run a failure.
       val times = runs.map(_._1)
-      if (reps > 1 && times.min > 0 && times.max / times.min > 3.0) runs = runs :+ rep()
+      if (reps > 1 && runs.forall(_._2) && times.min > 0 && times.max / times.min > 3.0)
+        runs = runs :+ rep()
       val sorted = runs.map(_._1).sorted
-      val median = sorted.apply(runs.size / 2)
+      // LOWER median: for the even-sized post-extra-rep list the upper
+      // median can never drop below the original 3-rep median, which
+      // would defeat the extra rep's whole purpose ([1,1,3.5]+[4] must
+      // report 1, not 3.5); for odd sizes both indices coincide
+      val median = sorted.apply((runs.size - 1) / 2)
       println(f"""{"metric":"rep_detail","q":"$name","reps":${jsonArr(runs.map(_._1))},"median":$median%.3f,"min":${sorted.head}%.3f}""")
       (name, median, sorted.head, runs.forall(_._2))
     }

@@ -64,6 +64,19 @@ object SparkEntry {
   /** Exact decimal accumulation, surfaced as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
 
+  /** The partial-probe ANN fixture, shared by `ann_ivf_partial` and
+    * `ann_knn_join_ivf_partial` (ONE definition — the structural-
+    * exactness argument is load-bearing for both gates): 8
+    * disjoint-support clusters derived from vec_id (one axis per
+    * vec_id % 8, magnitude 10, identical within a cluster). Returns
+    * (id, vec array<float>).
+    */
+  private def oneHotClusters(s: SparkSession, dir: String): DataFrame = {
+    val vec = array((0 until 8).map(j =>
+      when(pmod(col("vec_id"), lit(8)) === j, lit(10.0f)).otherwise(lit(0.0f))): _*)
+    t(s, dir, "embeddings").select(col("vec_id").as("id"), vec.as("vec"))
+  }
+
   /** round() can yield -0.0 on one engine and +0.0 on the other for
     * near-zero results — distinct bit patterns to a hash compare; CASE
     * normalizes (an `+ 0` would be optimizer-foldable, CASE isn't).
@@ -120,6 +133,32 @@ object SparkEntry {
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The word-bigram shingle CTE opening shared by the three
+    * decontamination oracles — ONE definition, so a future tokenization
+    * fix cannot silently desynchronize one gate from the others.
+    */
+  private val bigramShCte: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
+      |    i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
+      |  FROM documents)""".stripMargin
+
+  /** Contamination pair oracle (exact bigram Jaccard against the %10
+    * bench slice), shared verbatim by `decontaminate` and
+    * `decontaminate_bloom` — the Bloom prune is lossless, so one truth
+    * gates both plans.
+    */
+  private val decontaminatePairsOracle: String = bigramShCte + "\n" +
+    """SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |ORDER BY left_id, right_id""".stripMargin
 
   /** Components oracle: exact bigram-Jaccard pair set (same as
     * dedup_ngram_jaccard), then min reachable label via recursive CTE
@@ -1791,12 +1830,9 @@ object SparkEntry {
     // testdata regeneration; recall loss from a future probe/assign
     // bug hash-mismatches instead of hiding.
     "ann_ivf_partial" -> ((s, dir) => {
-      val base = t(s, dir, "embeddings").select(col("vec_id"))
-      val vec = array((0 until 8).map(j =>
-        when(pmod(col("vec_id"), lit(8)) === j, lit(10.0f)).otherwise(lit(0.0f))): _*)
-      val corpus = base.select(col("vec_id").as("id"), vec.as("vec"))
-      val queries = base.filter(col("vec_id") < 6)
-        .select(col("vec_id").as("qid"), vec.as("qvec"))
+      val corpus = oneHotClusters(s, dir)
+      val queries = corpus.filter(col("id") < 6)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
       IvfSearch.ivfTopK(corpus, queries, 5, nLists = 8, nProbe = 1)
         .select(col("qid"), col("id"), col("rank"))
         .orderBy("qid", "rank")
@@ -1804,15 +1840,10 @@ object SparkEntry {
 
     // same fixture through the co-partitioned self-join plan (nothing
     // broadcast; list-local scoring + rank pushdown), nProbe=1 of 8
-    "ann_knn_join_ivf_partial" -> ((s, dir) => {
-      val base = t(s, dir, "embeddings").select(col("vec_id"))
-      val vec = array((0 until 8).map(j =>
-        when(pmod(col("vec_id"), lit(8)) === j, lit(10.0f)).otherwise(lit(0.0f))): _*)
-      val corpus = base.select(col("vec_id").as("id"), vec.as("vec"))
-      IvfSearch.knnJoinIvf(corpus, k = 3, nLists = 8, nProbe = 1)
+    "ann_knn_join_ivf_partial" -> ((s, dir) =>
+      IvfSearch.knnJoinIvf(oneHotClusters(s, dir), k = 3, nLists = 8, nProbe = 1)
         .select(col("qid").as("id"), col("id").as("nbr_id"), col("rank"))
-        .orderBy("id", "rank")
-    }),
+        .orderBy("id", "rank")),
 
     "cosine_near_dup" -> ((s, dir) => {
       val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -2764,20 +2795,7 @@ object SparkEntry {
     // plans, one truth
     "dedup_chargram_clustered" -> chargramJaccardPairsOracle,
 
-    "decontaminate" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
-        |    i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
-        |  FROM documents)
-        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        |FROM sh a JOIN sh b ON b.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-        |ORDER BY left_id, right_id""".stripMargin,
+    "decontaminate" -> decontaminatePairsOracle,
 
     // token-hash overlap counts equal token-string overlap counts
     // (xxhash64 collision-free at corpus vocabulary sizes — same
@@ -2808,38 +2826,19 @@ object SparkEntry {
 
     // the consumer view: docs NOT contaminated (self-pairs count — a
     // bench doc in train IS contaminated, so no a<>b clause here)
-    "decontaminate_keep" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
-        |    i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
-        |  FROM documents),
-        |c AS (
+    "decontaminate_keep" -> (bigramShCte + ",\n" +
+      """c AS (
         |  SELECT DISTINCT a.doc_id AS left_id
         |  FROM sh a JOIN sh b ON b.doc_id % 10 = 0
         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
         |SELECT d.doc_id FROM documents d
         |WHERE d.doc_id NOT IN (SELECT left_id FROM c)
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
 
     // the Bloom prune is lossless (superset filter + exact verify), so
     // the oracle is the decontaminate ground truth verbatim
-    "decontaminate_bloom" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) - 1),
-        |    i -> list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+1] || ' ' ||
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')[i+2])) AS sh
-        |  FROM documents)
-        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        |FROM sh a JOIN sh b ON b.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-        |ORDER BY left_id, right_id""".stripMargin,
+    "decontaminate_bloom" -> decontaminatePairsOracle,
 
     "text_tokens" ->
       """SELECT doc_id,
