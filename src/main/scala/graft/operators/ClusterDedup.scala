@@ -26,8 +26,11 @@ import graft.functions.{NativeHash, Text}
   *      Empty shingle sets are excluded: J = 0/0 is no-edge (matching
   *      the pair operator, whose explode drops them), so those docs
   *      stay isolated singletons.
-  *   2. LSH CONTRACTION — MinHash band buckets over representatives,
-  *      candidates exact-verified at the USER threshold t, then ONE
+  *   2. LSH CONTRACTION — MinHash band buckets over representatives;
+  *      candidates are STAR edges (member → bucket-min hub, O(docs ×
+  *      bands), never bucket all-pairs — all-pairs is quadratic in
+  *      replication, the very pathology this operator removes),
+  *      exact-verified at the USER threshold t, then ONE
   *      star-contraction pass (cl(x) = min(x, min t-neighbor)).
   *      Contraction is valid whenever each contracted set lies inside
   *      one t-component — true t-edges to a shared hub give exactly
@@ -346,11 +349,25 @@ object ClusterDedup {
       .select(col("id"),
         posexplode(NativeHash.minhashBandBucketsHashed(col("__sh"), numHashes, numBands))
           .as(Seq("band", "bucket")))
-    val lshCand = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // STAR candidates, not bucket all-pairs: each member links only to
+    // its bucket's min id (the hub), so candidate volume is
+    // O(docs × bands) instead of Σ_b |bucket_b|² — the all-pairs form
+    // was itself the g² stage it exists to remove (measured on the
+    // 100×-replicated soak corpus: 100-member replica buckets → ~4950
+    // verify walks per base doc per band, 2904 s wall / 27 GB in one
+    // exchange; star candidates put step 2 back at corpus scale).
+    // Contraction VALIDITY is untouched — star edges are still exact-
+    // verified t-edges to a shared hub, so every contracted set lies
+    // inside one t-component. Fewer edges can only mean LESS
+    // contraction (a member whose hub fails the exact check keeps its
+    // own label — with numBands hub chances per member), and step 5
+    // finds every cross-cluster edge the contraction didn't take.
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val lshCand = buckets
+      .withColumn("__hub", min(col("id")).over(bucketW))
+      .filter(col("__hub") < col("id"))
+      .select(col("__hub").as("id_a"), col("id").as("id_b")).distinct()
     val alphaOf = (na: String, nb: String) =>
       ceil((col(na) + col(nb)) * (threshold / (1.0 + threshold)) - lit(Eps)).cast("int")
     val edges1 = lshCand
