@@ -47,20 +47,26 @@ import graft.functions.{NativeHash, Text}
   *      CLUSTER frequencies — the g² term is gone. A cluster-level size
   *      filter (some member pair could satisfy t·max ≤ min) prunes
   *      pairs no member pair can qualify for.
-  *   4. SOUND CLUSTER-PAIR BOUND — with U_C the union of member
-  *      shingle sets and minN_C the smallest member size:
-  *      c(a,b) ≤ |U_A ∩ U_B| and max(n_a,n_b) ≥ max(minN_A,minN_B), so
-  *      J(a,b) ≤ |U_A∩U_B| / max(minN_A, minN_B). One merge walk per
-  *      cluster pair retires almost every false candidate without
-  *      touching |A|·|B| member pairs. Clusters whose union exceeds
-  *      `unionCap` skip the prune (bound unavailable ≠ bound failed) —
-  *      the prune is an optimization, never a correctness arm.
-  *   5. EXACT VERIFY — surviving cluster pairs expand to member pairs,
-  *      re-checked with the doc-level size filter and the early-exit
-  *      sorted-intersection walk at exactly [[JaccardDedup]]'s α bound
-  *      (same ±1e-9 fp guards). True cross-cluster edges + the
-  *      contraction edges of steps 1-2 span the same components as the
-  *      full t-graph, so the final labels — min reachable id through
+  *   4. SOUND CLUSTER-PAIR BOUND — one early-exit merge walk over the
+  *      two clusters' ANCHOR docs (the cluster-id doc's own shingle
+  *      set) plus per-cluster max member-vs-anchor diffs:
+  *      c(x,y) ≤ |H_A∩H_B| + maxD_A + maxD_B for every member pair, so
+  *      a walk that can't reach αmin − maxD_A − maxD_B retires the
+  *      cluster pair without touching |A|·|B| member pairs. Single-doc
+  *      anchors keep the bound tight under heavy replication (member
+  *      UNIONS accumulate per-replica noise until the bound is
+  *      vacuous — the r13 shape, OOM'd at 100×). The prune is an
+  *      optimization, never a correctness arm (`prune = false`
+  *      disables it; exactness tests run both arms).
+  *   5. EXACT VERIFY — ambiguous surviving cluster pairs expand to
+  *      member pairs, re-checked with the doc-level size filter and the
+  *      early-exit sorted-intersection walk at exactly
+  *      [[JaccardDedup]]'s α bound (same ±1e-9 fp guards); pairs whose
+  *      anchor walk already proved a J ≥ t anchor edge (the WITNESS of
+  *      step 4) are cluster edges with no expansion at all on the
+  *      components path. True cross-cluster edges + the contraction
+  *      edges of steps 1-2 span the same components as the full
+  *      t-graph, so the final labels — min reachable id through
   *      cluster-graph components — equal the direct pipeline's.
   *
   * Scale shape: every step is a narrow-key shuffle (shingle hash,
@@ -104,12 +110,12 @@ object ClusterDedup {
       threshold: Double = 0.3,
       numHashes: Int = 64,
       numBands: Int = 16,
-      unionCap: Int = 1 << 15): DataFrame =
+      prune: Boolean = true): DataFrame =
     componentsProbed(df, idCol, textCol, nGram, threshold,
-      numHashes, numBands, unionCap)._1
+      numHashes, numBands, prune)._1
 
   /** Candidate-path frames shared by [[components]] and
-    * [[pairsClustered]]: everything through the union-bound prune
+    * [[pairsClustered]]: everything through the anchor-bound prune
     * (steps 1-4 of the object doc), plus the bookkeeping the consumers
     * need to verify, fan out, and release resources. The heavy frames
     * are already lineage-cut; `persisted`/`cuts` are released by the
@@ -121,7 +127,7 @@ object ClusterDedup {
       reps: DataFrame,       // (id, __sh, n) — one per distinct set
       repCluster: DataFrame, // (id, cl) — LSH star contraction of reps
       member: DataFrame,     // (id, __sh, n, cl)
-      pruned: DataFrame,     // (cl_a, cl_b) cluster pairs surviving the bound
+      pruned: DataFrame,     // (cl_a, cl_b, __wit) pairs surviving the bound
       probes: Probes,
       persisted: Seq[DataFrame],
       cuts: Seq[DataFrame])
@@ -135,16 +141,20 @@ object ClusterDedup {
       threshold: Double = 0.3,
       numHashes: Int = 64,
       numBands: Int = 16,
-      unionCap: Int = 1 << 15): (DataFrame, Probes) = {
+      prune: Boolean = true): (DataFrame, Probes) = {
     val core = candidateCore(df, idCol,
       NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram),
-      threshold, numHashes, numBands, unionCap)
+      threshold, numHashes, numBands, prune)
 
     // ---- 5. exact member verification of surviving cluster pairs ----
     // (connectivity only: the ids and jaccard values are dropped — the
-    // pair-listing consumer keeps them, see pairsClustered)
-    val crossEdges = Par.cut(verifiedMemberPairs(core.pruned, core.member, threshold)
-      .select(col("cl_a"), col("cl_b")).distinct())
+    // pair-listing consumer keeps them, see pairsClustered). Witnessed
+    // pairs (anchor pair itself at J ≥ t — see step 4) are cluster
+    // edges as-is, no member expansion; only ambiguous pairs expand.
+    val witnessed = core.pruned.where(col("__wit")).select(col("cl_a"), col("cl_b"))
+    val crossEdges = Par.cut(witnessed.union(
+      verifiedMemberPairs(core.pruned.where(!col("__wit")), core.member, threshold)
+        .select(col("cl_a"), col("cl_b")).distinct()))
 
     // ---- assemble: cluster-graph components, then fan labels back out
     // through contraction (cl) and collapse (rep). Cluster ids are min
@@ -196,10 +206,10 @@ object ClusterDedup {
       threshold: Double = 0.3,
       numHashes: Int = 64,
       numBands: Int = 16,
-      unionCap: Int = 1 << 15): DataFrame =
+      prune: Boolean = true): DataFrame =
     pairsClusteredBy(df, idCol,
       NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram),
-      threshold, numHashes, numBands, unionCap)
+      threshold, numHashes, numBands, prune)
 
   /** [[pairsClustered]] over an arbitrary sorted-distinct-hash-array
     * shingle expression (the [[JaccardDedup.nearDupPairsByHashes]]
@@ -215,9 +225,9 @@ object ClusterDedup {
       threshold: Double,
       numHashes: Int = 64,
       numBands: Int = 16,
-      unionCap: Int = 1 << 15): DataFrame = {
+      prune: Boolean = true): DataFrame = {
     val core = candidateCore(df, idCol, shingleExpr, threshold,
-      numHashes, numBands, unionCap)
+      numHashes, numBands, prune)
 
     // ---- 5'. exact member verification, KEEPING ids + jaccard ----
     val cross = verifiedMemberPairs(core.pruned, core.member, threshold)
@@ -283,7 +293,7 @@ object ClusterDedup {
   }
 
   /** Steps 1-4 of the object doc — everything up to (and including)
-    * the union-bound prune over cluster pairs.
+    * the anchor-bound prune over cluster pairs.
     */
   private def candidateCore(
       df: DataFrame,
@@ -292,7 +302,7 @@ object ClusterDedup {
       threshold: Double,
       numHashes: Int,
       numBands: Int,
-      unionCap: Int): Core = {
+      prune: Boolean): Core = {
     // Upper bound matters for the row-identity contract: the exact-set
     // collapse assumes identical docs (J=1) always merge, which is only
     // valid for thresholds in (0, 1] — the direct pipeline would emit no
@@ -448,39 +458,79 @@ object ClusterDedup {
                   // millions of candidate rows costs more (GC + a blocking
                   // materialization) than the one streaming evaluation
 
-    // ---- 4. union-set bound prune. Unions are built from multi-member
-    // clusters only — on low-duplication corpora that side is tiny and
-    // the left joins broadcast (AQE), so the mostly-singleton candidate
-    // stream flows through map-side; on heavily-duplicated corpora the
-    // multi-member unions are exactly where the bound pays its rent.
-    // Singleton-singleton pairs (no union row on either side) pass on
-    // the null arms — for them the bound walk IS the verify walk.
-    // Over-cap unions skip the prune (bound unavailable ≠ bound failed).
-    val exploded = member
+    // ---- 4. anchor-bound prune + hub witness. The anchor of cluster c
+    // is doc c's OWN shingle set (a star label is least(id, min
+    // verified t-neighbor) over rep ids, so cl always names a rep —
+    // though not necessarily a member of its own cluster: cl(c) can be
+    // smaller than c). For members x ∈ A, y ∈ B, every element of
+    // S_x ∩ S_y is in H_A ∩ H_B, missing from H_A (⊆ S_x \ H_A), or
+    // missing from H_B (⊆ S_y \ H_B):
+    //     c(x,y) ≤ |H_A ∩ H_B| + maxD_A + maxD_B
+    // with maxD_C = max over members of |S_x \ H_C| (exact, one
+    // corpus-linear walk per member; multi-member clusters only —
+    // singletons anchor to themselves with maxD = 0, so their bound
+    // walk IS the member pair's verify walk). Qualifying needs
+    // c(x,y) ≥ α(n_x,n_y) ≥ α(minN_A,minN_B) = αmin, so a cluster pair
+    // retires when one early-exit anchor walk cannot reach
+    // αmin − maxD_A − maxD_B. This replaced the r13 union bound
+    // (|U_A∩U_B| ≥ max(minN)·t): unions ACCUMULATE every member's
+    // noise, so on the 100×-replicated soak corpus the per-replica
+    // marker shingles put ~R shared elements into every multi-member
+    // union, the bound passed for EVERY cluster pair, and the step-5
+    // |A|×|B| expansion OOM'd a 48 g heap. A single-doc anchor carries
+    // each marker at most once, the diffs maxD stay at edit size, and
+    // the walk is doc-length, not union-length (no cap needed).
+    //
+    // WITNESS: when the walk passes it returns the EXACT |H_A∩H_B|
+    // (countAtLeast early-exits only to say "can't reach α"), so
+    // J(H_A,H_B) ≥ t is decided for free. The components consumer can
+    // take a witness-true pair as a cluster edge with ZERO member
+    // expansion: the anchor t-edge is a real doc t-edge, and every
+    // member is t-adjacent to its cluster's anchor doc (that verified
+    // edge is what star contraction labeled it with), so A's and B's
+    // members provably share a t-component even when an anchor is not
+    // a member of its own cluster. On replica-heavy corpora this is
+    // what keeps step 5 off the g² expansion entirely: fragments of
+    // one replica family have near-identical anchors, so their cluster
+    // edges are all witnessed.
+    val anchors = reps.select(col("id").as("cl"), col("__sh").as("__hsh"), col("n").as("__hn"))
+    val maxD = member
       .join(cStats.where(col("nm") > 1).select("cl"), Seq("cl"))
-      .select(col("cl"), explode(col("__sh")).as("s")).distinct()
-      .persist(MEMORY_AND_DISK)
-    val uSize = exploded.groupBy("cl").agg(count(lit(1)).as("usz"))
-    val unions = exploded
-      .join(uSize.where(col("usz") <= unionCap).select("cl"), Seq("cl"))
-      .groupBy("cl").agg(sort_array(collect_list(col("s"))).as("u"))
-    val pruned = candCl
-      .join(unions.select(col("cl").as("cl_a"), col("u").as("u_a")), Seq("cl_a"), "left")
-      .join(unions.select(col("cl").as("cl_b"), col("u").as("u_b")), Seq("cl_b"), "left")
-      .filter(col("u_a").isNull || col("u_b").isNull ||
-        NativeHash.sortedIntersectCount(col("u_a"), col("u_b")) >=
-          greatest(col("__mna"), col("__mnb")) * threshold - lit(Eps))
-      .select("cl_a", "cl_b")
+      .join(anchors, Seq("cl"))
+      .groupBy("cl")
+      .agg(max(col("n") - NativeHash.sortedIntersectCount(col("__sh"), col("__hsh")))
+        .as("__maxd"))
+    val prunedLazy =
+      if (!prune) candCl.select(col("cl_a"), col("cl_b"), lit(false).as("__wit"))
+      else candCl
+        .join(anchors.select(col("cl").as("cl_a"), col("__hsh").as("__ha"), col("__hn").as("__hna")), Seq("cl_a"))
+        .join(anchors.select(col("cl").as("cl_b"), col("__hsh").as("__hb"), col("__hn").as("__hnb")), Seq("cl_b"))
+        .join(maxD.select(col("cl").as("cl_a"), col("__maxd").as("__da")), Seq("cl_a"), "left")
+        .join(maxD.select(col("cl").as("cl_b"), col("__maxd").as("__db")), Seq("cl_b"), "left")
+        .withColumn("__hc", NativeHash.sortedIntersectAtLeast(col("__ha"), col("__hb"),
+          (alphaMin - coalesce(col("__da"), lit(0)) - coalesce(col("__db"), lit(0)))
+            .cast("int")))
+        .filter(col("__hc") >= 0)
+        .select(col("cl_a"), col("cl_b"),
+          (col("__hc") / (col("__hna") + col("__hnb") - col("__hc")) >= threshold)
+            .as("__wit"))
+    // cut (narrow rows: two ids + the witness flag): the components
+    // consumer reads the frame twice (witnessed edges + ambiguous
+    // verify), and a leaf also keeps the candidate join out of every
+    // downstream analyzer walk
+    val pruned = Par.cut(prunedLazy)
 
-    // probe frame for step 5's plan shape (plans only — executing the
-    // consumers re-runs the same stages): connectivity projection of
-    // the shared verify
-    val crossEdgesProbe = verifiedMemberPairs(pruned, member, threshold)
-      .select(col("cl_a"), col("cl_b")).distinct()
+    // probe frames for the plan-shape pins (plans only — executing the
+    // consumers re-runs the same stages): the LAZY prune (the cut above
+    // would hide its subtree behind a leaf) and the connectivity
+    // projection of the witness-split step 5
+    val crossEdgesProbe = prunedLazy.where(col("__wit")).select(col("cl_a"), col("cl_b"))
+      .union(verifiedMemberPairs(prunedLazy.where(!col("__wit")), member, threshold)
+        .select(col("cl_a"), col("cl_b")).distinct())
 
     Core(hashed, docRep, reps, repCluster, member, pruned,
-      Probes(cpostRaw, candCl, pruned, crossEdgesProbe),
-      persisted = Seq(hashed, exploded),
-      cuts = collapseCut.toSeq ++ Seq(member, cpost))
+      Probes(cpostRaw, candCl, prunedLazy, crossEdgesProbe),
+      persisted = Seq(hashed),
+      cuts = collapseCut.toSeq ++ Seq(member, cpost, pruned))
   }
 }

@@ -25,8 +25,8 @@ class ClusterDedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
 
   private def clustered(df: DataFrame, t: Double, nGram: Int = 2,
-      unionCap: Int = 1 << 15): Set[(Long, Long)] =
-    ClusterDedup.components(df, "doc_id", "text", nGram, t, unionCap = unionCap)
+      prune: Boolean = true): Set[(Long, Long)] =
+    ClusterDedup.components(df, "doc_id", "text", nGram, t, prune = prune)
       .as[(Long, Long)].collect().toSet
 
   test("matches the direct pipeline on sf0.001 documents (t=0.3, the driver query's params)") {
@@ -109,11 +109,11 @@ class ClusterDedupSpec extends AnyFunSuite {
     assert(clustered(docs, 0.5).contains((1L, 0L)))
   }
 
-  test("unionCap=0 (bound prune disabled everywhere) still exact") {
+  test("prune=false (anchor-bound prune disabled everywhere) still exact") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .limit(120)
-    assert(clustered(docs, 0.3, unionCap = 0) == direct(docs, 0.3))
+    assert(clustered(docs, 0.3, prune = false) == direct(docs, 0.3))
   }
 
   // ---- pairsClustered: the pair LISTING through the same candidate
@@ -127,8 +127,8 @@ class ClusterDedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
 
   private def clusteredPairs(df: DataFrame, t: Double,
-      unionCap: Int = 1 << 15): Set[(Long, Long, Double)] =
-    ClusterDedup.pairsClustered(df, "doc_id", "text", 2, t, unionCap = unionCap)
+      prune: Boolean = true): Set[(Long, Long, Double)] =
+    ClusterDedup.pairsClustered(df, "doc_id", "text", 2, t, prune = prune)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
       .as[(Long, Long, Double)].collect().toSet
 
@@ -171,7 +171,7 @@ class ClusterDedupSpec extends AnyFunSuite {
     assert(clusteredPairs(boundary, 0.5).exists { case (a, b, _) => a == 0L && b == 1L })
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text")).limit(120)
-    assert(clusteredPairs(docs, 0.3, unionCap = 0) == directPairs(docs, 0.3))
+    assert(clusteredPairs(docs, 0.3, prune = false) == directPairs(docs, 0.3))
   }
 
   test("pairsClusteredBy char-gram flavor matches nearDupPairsByChars (zh-style unsegmented text)") {

@@ -97,17 +97,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(postingKeys.nonEmpty, s"no (s, cl)-keyed aggregate in postings plan:\n$pPost")
 
     // bound prune strictly upstream of member expansion: the pruned
-    // frame runs the union-intersection bound walk over the cluster
-    // union arrays (u_a/u_b; IntersectBoundRewrite plans the count
-    // threshold as the early-exit sorted_intersect_at_least) and never
-    // touches member shingle arrays — expansion (__sha/__shb) only
-    // happens in crossEdges, whose plan holds the member verify too
+    // frame runs the early-exit anchor walk over single-doc anchor
+    // arrays (__ha/__hb — never member unions, which go vacuous under
+    // replication) and never touches member shingle arrays — expansion
+    // (__sha/__shb) only happens in crossEdges' ambiguous arm, whose
+    // plan holds the member verify too, gated on the witness flag
     val pPruned = plan(probes.pruned)
     assert(pPruned.contains("sorted_intersect_at_least"), s"plan:\n$pPruned")
-    assert(pPruned.contains("u_a") && !pPruned.contains("__sha"), s"plan:\n$pPruned")
+    assert(pPruned.contains("__ha") && !pPruned.contains("__sha"), s"plan:\n$pPruned")
+    // the witness split shows as a Union: a no-expansion witnessed arm
+    // (no member arrays) plus the ambiguous member-verify arm (__sha);
+    // the __wit name itself is collapsed into the pushed-down predicate
     val pCross = plan(probes.crossEdges)
     assert(pCross.contains("sorted_intersect_at_least") &&
-      pCross.contains("__sha") && pCross.contains("u_a"), s"plan:\n$pCross")
+      pCross.contains("__sha") && nodes(pCross, "Union") >= 1, s"plan:\n$pCross")
 
     // no driver materialization anywhere on the candidate path: every
     // leaf is a distributed scan (parquet / checkpoint RDD / cache),
