@@ -48,8 +48,8 @@ import graft.functions.{NativeHash, Text}
   *      filter (some member pair could satisfy t·max ≤ min) prunes
   *      pairs no member pair can qualify for.
   *   4. SOUND CLUSTER-PAIR BOUND — one early-exit merge walk over the
-  *      two clusters' ANCHOR docs (the cluster-id doc's own shingle
-  *      set) plus per-cluster max member-vs-anchor diffs:
+  *      two clusters' ANCHOR docs (each cluster's min-id MEMBER's
+  *      shingle set) plus per-cluster max member-vs-anchor diffs:
   *      c(x,y) ≤ |H_A∩H_B| + maxD_A + maxD_B for every member pair, so
   *      a walk that can't reach αmin − maxD_A − maxD_B retires the
   *      cluster pair without touching |A|·|B| member pairs. Single-doc
@@ -459,17 +459,19 @@ object ClusterDedup {
                   // materialization) than the one streaming evaluation
 
     // ---- 4. anchor-bound prune + hub witness. The anchor of cluster c
-    // is doc c's OWN shingle set (a star label is least(id, min
-    // verified t-neighbor) over rep ids, so cl always names a rep —
-    // though not necessarily a member of its own cluster: cl(c) can be
-    // smaller than c). For members x ∈ A, y ∈ B, every element of
-    // S_x ∩ S_y is in H_A ∩ H_B, missing from H_A (⊆ S_x \ H_A), or
-    // missing from H_B (⊆ S_y \ H_B):
+    // is its MIN-ID MEMBER's shingle set. NOT the doc named by the
+    // label: star labels chain (cl(x) = nbmin(x) while that doc itself
+    // stars to a smaller hub), so doc c need not belong to cluster c,
+    // and a non-member reference set would need its own diff term — a
+    // member anchor makes the singleton case exact by construction.
+    // For members x ∈ A, y ∈ B, every element of S_x ∩ S_y is in
+    // H_A ∩ H_B, missing from H_A (⊆ S_x \ H_A), or missing from H_B
+    // (⊆ S_y \ H_B):
     //     c(x,y) ≤ |H_A ∩ H_B| + maxD_A + maxD_B
     // with maxD_C = max over members of |S_x \ H_C| (exact, one
     // corpus-linear walk per member; multi-member clusters only —
-    // singletons anchor to themselves with maxD = 0, so their bound
-    // walk IS the member pair's verify walk). Qualifying needs
+    // a singleton's anchor IS its member, so maxD = 0 exactly and the
+    // bound walk IS the member pair's verify walk). Qualifying needs
     // c(x,y) ≥ α(n_x,n_y) ≥ α(minN_A,minN_B) = αmin, so a cluster pair
     // retires when one early-exit anchor walk cannot reach
     // αmin − maxD_A − maxD_B. This replaced the r13 union bound
@@ -483,17 +485,16 @@ object ClusterDedup {
     //
     // WITNESS: when the walk passes it returns the EXACT |H_A∩H_B|
     // (countAtLeast early-exits only to say "can't reach α"), so
-    // J(H_A,H_B) ≥ t is decided for free. The components consumer can
-    // take a witness-true pair as a cluster edge with ZERO member
-    // expansion: the anchor t-edge is a real doc t-edge, and every
-    // member is t-adjacent to its cluster's anchor doc (that verified
-    // edge is what star contraction labeled it with), so A's and B's
-    // members provably share a t-component even when an anchor is not
-    // a member of its own cluster. On replica-heavy corpora this is
-    // what keeps step 5 off the g² expansion entirely: fragments of
-    // one replica family have near-identical anchors, so their cluster
+    // J(H_A,H_B) ≥ t is decided for free. Anchors are members, so a
+    // witness-true pair is itself a qualifying cross-cluster member
+    // pair — the components consumer takes it as a cluster edge with
+    // ZERO member expansion. On replica-heavy corpora this is what
+    // keeps step 5 off the g² expansion entirely: fragments of one
+    // replica family have near-identical anchors, so their cluster
     // edges are all witnessed.
-    val anchors = reps.select(col("id").as("cl"), col("__sh").as("__hsh"), col("n").as("__hn"))
+    val anchors = member.groupBy("cl")
+      .agg(min_by(struct(col("__sh"), col("n")), col("id")).as("__h"))
+      .select(col("cl"), col("__h.__sh").as("__hsh"), col("__h.n").as("__hn"))
     val maxD = member
       .join(cStats.where(col("nm") > 1).select("cl"), Seq("cl"))
       .join(anchors, Seq("cl"))

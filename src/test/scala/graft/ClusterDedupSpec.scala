@@ -174,6 +174,27 @@ class ClusterDedupSpec extends AnyFunSuite {
     assert(clusteredPairs(docs, 0.3, prune = false) == directPairs(docs, 0.3))
   }
 
+  test("anchor bound includes the member-vs-anchor diff (maxD), not anchor walks alone") {
+    // S_a = {1..99} ∪ {1000..1003} (J(a,x) = 99/104 ≈ 0.95 — reliably
+    // LSH-contracted with x), S_x = {1..100}, S_y = {71..100}:
+    // c(x,y) = 30 = α(100,30) exactly, so the pair (x,y) QUALIFIES
+    // (J = 0.3), but the anchor-side walk alone reaches only
+    // |S_a ∩ S_y| = 29 when a anchors x's cluster — the pair survives
+    // the prune ONLY through maxD_A = |S_x \ S_a| = 1. A bound that
+    // drops the diff term (e.g. assuming maxD = 0 outside multi-member
+    // clusters anchored at non-members) silently loses the pair.
+    val rows = Seq(
+      (1L, ((1L to 99L) ++ (1000L to 1003L)).toArray),
+      (2L, (1L to 100L).toArray),
+      (3L, (71L to 100L).toArray)).toDF("id", "arr")
+    def pairsOf(df: DataFrame) =
+      df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val got = pairsOf(ClusterDedup.pairsClusteredBy(rows, "id", col("arr"), 0.3))
+    val exp = pairsOf(JaccardDedup.nearDupPairsByHashes(rows, "id", col("arr"), 0.3))
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+    assert(got.contains((2L, 3L)), "the maxD-boundary pair must survive the anchor bound")
+  }
+
   test("pairsClusteredBy char-gram flavor matches nearDupPairsByChars (zh-style unsegmented text)") {
     import graft.functions.NativeHash
     // unsegmented replica-heavy corpus: the chargram analogue of the
