@@ -23,12 +23,15 @@ import graft.functions.NativeHash
   *      (intra-group pairs have overlap = |set| ≥ k by the size
   *      filter, so every one qualifies).
   *   2. LSH STAR CONTRACTION — MinHash band buckets over
-  *      representatives; bucket pairs are exact-verified at overlap ≥ k
-  *      and each rep contracts to min(id, min verified neighbor).
-  *      Unlike the Jaccard-components case no semantic validity is
-  *      needed: ANY partition of reps is correct (steps 3-5 enumerate
-  *      all cluster pairs losslessly and verify every member pair) —
-  *      clustering quality only buys pruning power.
+  *      representatives; candidates are STAR edges (member → bucket-min
+  *      hub, O(docs × bands) — bucket all-pairs is itself quadratic in
+  *      replication, the pathology this operator removes; see the
+  *      measured note on [[ClusterDedup]] step 2), exact-verified at
+  *      overlap ≥ k, and each rep contracts to min(id, min verified
+  *      neighbor). Unlike the Jaccard-components case no semantic
+  *      validity is needed: ANY partition of reps is correct (steps 3-5
+  *      enumerate all cluster pairs losslessly and verify every member
+  *      pair) — clustering quality only buys pruning power.
   *   3. CLUSTER POSTINGS — elements in ascending global document
   *      frequency (the PPJoin rarity order the direct operator's scale
   *      note calls for; the prefix proof needs only SOME fixed order):
@@ -36,11 +39,22 @@ import graft.functions.NativeHash
   *      cluster) DISTINCT with the positional filter relaxed soundly
   *      to mr = max over members of (n − pos). g collapsed copies post
   *      each prefix element once — the g² term is gone.
-  *   4. UNION BOUND — |A∩B| ≤ |U_A ∩ U_B| for the member-set unions,
-  *      so a cluster pair whose unions share < k elements retires in
-  *      one merge walk. Singleton-singleton pairs bypass (the bound
-  *      walk IS the verify walk); over-`unionCap` unions skip the
-  *      prune (bound unavailable ≠ bound failed).
+  *   4. ANCHOR BOUND — the [[ClusterDedup]] step-4 bound in its
+  *      absolute-overlap flavor. Each cluster anchors at its min-id
+  *      MEMBER's set H_C with maxD_C = max over members of |S_x \ H_C|;
+  *      for members x ∈ A, y ∈ B every element of S_x ∩ S_y is in
+  *      H_A ∩ H_B, in S_x \ H_A, or in S_y \ H_B, so
+  *      |S_x∩S_y| ≤ |H_A∩H_B| + maxD_A + maxD_B and a cluster pair
+  *      retires when one early-exit anchor walk cannot reach
+  *      k − maxD_A − maxD_B. A singleton's anchor IS its member
+  *      (maxD = 0 exactly — the bound walk is that pair's verify
+  *      walk). The r13 union bound (|U_A∩U_B| ≥ k) is gone for the
+  *      reason measured on ClusterDedup's 100× soak: unions ACCUMULATE
+  *      every member's noise, and with k absolute (not scaled to doc
+  *      size) a few shared boilerplate elements across big unions made
+  *      the bound pass for every cluster pair — anchors carry each
+  *      element at most once and the walk is doc-length, not
+  *      union-length (no cap needed, so `unionCap` is retired too).
   *   5. VERIFY — surviving cluster pairs expand to member pairs,
   *      intra-cluster member pairs are enumerated directly (they are
   *      output-shaped: the cluster exists because its members overlap),
@@ -61,7 +75,7 @@ object OverlapJoin {
       minOverlap: Int,
       numHashes: Int = 64,
       numBands: Int = 16,
-      unionCap: Int = 1 << 15): DataFrame = {
+      prune: Boolean = true): DataFrame = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val k = minOverlap
@@ -86,11 +100,16 @@ object OverlapJoin {
     val buckets = reps.select(col("id"),
       posexplode(NativeHash.minhashBandBucketsHashed(col("__set"), numHashes, numBands))
         .as(Seq("band", "bucket")))
-    val lshCand = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // STAR candidates (member → bucket-min hub), not bucket all-pairs —
+    // all-pairs is Σ_b |bucket|², i.e. quadratic in replication inside
+    // every replica-family bucket, which is the very g² this operator
+    // exists to remove (see ClusterDedup step 2 for the 100×-soak
+    // measurement that forced the same change there)
+    val bucketW = Window.partitionBy(col("band"), col("bucket"))
+    val lshCand = buckets
+      .withColumn("__hub", min(col("id")).over(bucketW))
+      .filter(col("__hub") < col("id"))
+      .select(col("__hub").as("id_a"), col("id").as("id_b")).distinct()
     val edges1 = lshCand
       .join(reps.select(col("id").as("id_a"), col("__set").as("__sa")), Seq("id_a"))
       .join(reps.select(col("id").as("id_b"), col("__set").as("__sb")), Seq("id_b"))
@@ -117,37 +136,51 @@ object OverlapJoin {
       .filter(col("pos") <= col("n") - k + 1)
       .join(repCluster, Seq("id"))
       .groupBy(col("s"), col("cl"))
-      .agg(max(col("n") - col("pos")).as("mr"))
-      .join(cStats, Seq("cl")))
+      .agg(max(col("n") - col("pos")).as("mr")))
     // a qualifying pair shares a prefix element e* with
     // 1 + min(n_a−p_a, n_b−p_b) ≥ k; mr ≥ n−p per member, so the
     // relaxed positional filter below is lossless
     val candCl = cpost.select(col("s").as("__sa"), col("cl").as("cl_a"),
-        col("mr").as("__mra"), col("nm").as("__nma"))
+        col("mr").as("__mra"))
       .join(cpost.select(col("s").as("__sb"), col("cl").as("cl_b"),
-          col("mr").as("__mrb"), col("nm").as("__nmb")),
+          col("mr").as("__mrb")),
         col("__sa") === col("__sb") &&
         col("cl_a") < col("cl_b") &&
         lit(1) + least(col("__mra"), col("__mrb")) >= lit(k))
-      .select(col("cl_a"), col("cl_b"), col("__nma"), col("__nmb"))
+      .select(col("cl_a"), col("cl_b"))
       .distinct()
 
-    // ---- 4. union-set bound prune ----
-    val exploded = member
+    // ---- 4. anchor-bound prune (overlap flavor of ClusterDedup's) ----
+    // anchor = min-id MEMBER's set; maxD_C = max over members of
+    // |S_x \ H_C| (exact, one corpus-linear walk per member;
+    // multi-member clusters only — a singleton's anchor IS its member,
+    // so maxD = 0 exactly via the left-join coalesce). Soundness: for
+    // x ∈ A, y ∈ B every element of S_x ∩ S_y lands in H_A ∩ H_B,
+    // S_x \ H_A (≤ maxD_A of them) or S_y \ H_B (≤ maxD_B), so
+    // |S_x∩S_y| ≤ |H_A∩H_B| + maxD_A + maxD_B — a walk that cannot
+    // reach k − maxD_A − maxD_B retires the cluster pair before the
+    // |A|·|B| member expansion. countAtLeast returns the full count for
+    // non-positive thresholds, so a slack bound degrades to a plain
+    // walk, never a false prune.
+    val anchors = member.groupBy("cl")
+      .agg(min_by(col("__set"), col("id")).as("__hset"))
+    val maxD = member
       .join(cStats.where(col("nm") > 1).select("cl"), Seq("cl"))
-      .select(col("cl"), explode(col("__set")).as("s")).distinct()
-      .persist(MEMORY_AND_DISK)
-    val uSize = exploded.groupBy("cl").agg(count(lit(1)).as("usz"))
-    val unions = exploded
-      .join(uSize.where(col("usz") <= unionCap).select("cl"), Seq("cl"))
-      .groupBy("cl").agg(sort_array(collect_list(col("s"))).as("u"))
-    val pruned = candCl
-      .join(unions.select(col("cl").as("cl_a"), col("u").as("u_a")), Seq("cl_a"), "left")
-      .join(unions.select(col("cl").as("cl_b"), col("u").as("u_b")), Seq("cl_b"), "left")
-      .filter((col("__nma") === 1 && col("__nmb") === 1) ||
-        col("u_a").isNull || col("u_b").isNull ||
-        NativeHash.sortedIntersectCount(col("u_a"), col("u_b")) >= lit(k))
-      .select("cl_a", "cl_b")
+      .join(anchors, Seq("cl"))
+      .groupBy("cl")
+      .agg(max(col("n") - NativeHash.sortedIntersectCount(col("__set"), col("__hset")))
+        .as("__maxd"))
+    val pruned =
+      if (!prune) candCl.select("cl_a", "cl_b")
+      else candCl
+        .join(anchors.select(col("cl").as("cl_a"), col("__hset").as("__ha")), Seq("cl_a"))
+        .join(anchors.select(col("cl").as("cl_b"), col("__hset").as("__hb")), Seq("cl_b"))
+        .join(maxD.select(col("cl").as("cl_a"), col("__maxd").as("__da")), Seq("cl_a"), "left")
+        .join(maxD.select(col("cl").as("cl_b"), col("__maxd").as("__db")), Seq("cl_b"), "left")
+        .filter(NativeHash.sortedIntersectAtLeast(col("__ha"), col("__hb"),
+          (lit(k) - coalesce(col("__da"), lit(0)) - coalesce(col("__db"), lit(0)))
+            .cast("int")) >= 0)
+        .select("cl_a", "cl_b")
 
     // ---- 5. verify: cross-cluster member pairs + intra-cluster pairs
     def verified(pairs: DataFrame): DataFrame = pairs
@@ -179,7 +212,7 @@ object OverlapJoin {
       .select(col("id_a"), col("id_b"), col("n").cast("long").as("overlap"))
     val out = Par.cut(crossGroups.union(intraGroups))
 
-    Seq(base, exploded).foreach(_.unpersist(false))
+    base.unpersist(false)
     Seq(docRep, reps, repCluster, member, cpost, repPairs).foreach(Par.free)
     out
   }

@@ -25,8 +25,8 @@ class OverlapJoinSpec extends AnyFunSuite {
     JaccardDedup.overlapJoin(df, "doc_id", tokens1, k)
       .as[(Long, Long, Long)].collect().toSet
 
-  private def clustered(df: DataFrame, k: Int, unionCap: Int = 1 << 15): Set[(Long, Long, Long)] =
-    OverlapJoin.pairsClustered(df, "doc_id", tokens1, k, unionCap = unionCap)
+  private def clustered(df: DataFrame, k: Int, prune: Boolean = true): Set[(Long, Long, Long)] =
+    OverlapJoin.pairsClustered(df, "doc_id", tokens1, k, prune = prune)
       .as[(Long, Long, Long)].collect().toSet
 
   test("matches the direct join on sf0.001 documents at the driver query's k=30") {
@@ -79,10 +79,30 @@ class OverlapJoinSpec extends AnyFunSuite {
     assert(!clustered(docs, 3).exists(p => p._1 == 0L || p._2 == 1L && p._1 < 2))
   }
 
-  test("unionCap=0 (bound prune disabled everywhere) still exact") {
+  test("prune=false (anchor bound disabled) still exact — the prune is never a correctness arm") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .limit(150)
-    assert(clustered(docs, 20, unionCap = 0) == direct(docs, 20))
+    assert(clustered(docs, 20, prune = false) == direct(docs, 20))
+  }
+
+  test("anchor bound includes the member-vs-anchor diff (maxD), not anchor walks alone") {
+    // the ClusterDedupSpec boundary shape in overlap terms: S_a =
+    // {1..99, 1000..1003} LSH-clusters with S_x = {1..100} (J ≈ 0.95);
+    // S_y = {71..100}. overlap(x,y) = 30 = k exactly, but the
+    // anchor-side walk alone reaches only |S_a ∩ S_y| = 29 when a
+    // (min id) anchors x's cluster — the qualifying pair survives the
+    // prune ONLY through maxD_A = |S_x \ S_a| = 1.
+    val rows = Seq(
+      (1L, ((1L to 99L) ++ (1000L to 1003L)).toArray),
+      (2L, (1L to 100L).toArray),
+      (3L, (71L to 100L).toArray)).toDF("doc_id", "arr")
+    def pairsOf(df: DataFrame) =
+      df.select(col("id_a"), col("id_b"), col("overlap"))
+        .as[(Long, Long, Long)].collect().toSet
+    val got = pairsOf(OverlapJoin.pairsClustered(rows, "doc_id", col("arr"), 30))
+    val exp = pairsOf(JaccardDedup.overlapJoin(rows, "doc_id", col("arr"), 30))
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+    assert(got.contains((2L, 3L, 30L)), "the maxD-boundary pair must survive the anchor bound")
   }
 }
