@@ -248,7 +248,12 @@ object ClusterDedup {
       .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("ra"), col("rb"), col("jaccard"))
-    val repPairs = Par.cut(cross.union(intra))
+    // NO cut: repPairs has exactly one consumer (the fan-out join
+    // below) and is output-sized — an eager checkpoint of Ω(output)
+    // rows doubles peak disk for zero reuse (the overlap twin measured
+    // exactly that filling a 78 GB disk on the 100× soak corpus); the
+    // single final cut on `out` is what makes the upstream frees safe
+    val repPairs = cross.union(intra)
 
     // ---- fan out through the exact-set collapse ----
     val groups = core.docRep // (id, rep), non-empty docs only
@@ -263,7 +268,7 @@ object ClusterDedup {
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     val out = Par.cut(crossGroups.union(intraGroups))
     core.persisted.foreach(_.unpersist(false))
-    (core.cuts :+ repPairs).foreach(Par.free)
+    core.cuts.foreach(Par.free)
     out
   }
 

@@ -195,7 +195,12 @@ object OverlapJoin {
     val intra = verified(member.select(col("cl"), col("id").as("ra"), col("__set").as("__sa"))
       .join(member.select(col("cl"), col("id").as("rb"), col("__set").as("__sb")), Seq("cl"))
       .filter(col("ra") < col("rb")))
-    val repPairs = Par.cut(cross.union(intra))
+    // NO cut here: repPairs has exactly one consumer (the fan-out
+    // below), and pair listings are output-sized — an eager checkpoint
+    // of Ω(output) rows would double the operator's peak disk for zero
+    // reuse (measured: the 100×-replicated soak corpus filled a 78 GB
+    // disk through exactly this materialization before the final cut)
+    val repPairs = cross.union(intra)
 
     // ---- fan out through the exact-set collapse ----
     val groups = docRep.select(col("id"), col("n"), col("rep"))
@@ -213,7 +218,7 @@ object OverlapJoin {
     val out = Par.cut(crossGroups.union(intraGroups))
 
     base.unpersist(false)
-    Seq(docRep, reps, repCluster, member, cpost, repPairs).foreach(Par.free)
+    Seq(docRep, reps, repCluster, member, cpost).foreach(Par.free)
     out
   }
 }
