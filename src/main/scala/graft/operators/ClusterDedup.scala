@@ -55,9 +55,12 @@ import graft.functions.{NativeHash, Text}
   *      cluster pair without touching |A|·|B| member pairs. Single-doc
   *      anchors keep the bound tight under heavy replication (member
   *      UNIONS accumulate per-replica noise until the bound is
-  *      vacuous — the r13 shape, OOM'd at 100×). The prune is an
-  *      optimization, never a correctness arm (`prune = false`
-  *      disables it; exactness tests run both arms).
+  *      vacuous — the r13 shape, OOM'd at 100×). Singleton-singleton
+  *      pairs bypass the gate straight to step 5: their bound walk
+  *      would BE the verify walk, so gating them only duplicates
+  *      array movement (the low-duplication-corpus fast path). The
+  *      prune is an optimization, never a correctness arm
+  *      (`prune = false` disables it; exactness tests run both arms).
   *   5. EXACT VERIFY — ambiguous surviving cluster pairs expand to
   *      member pairs, re-checked with the doc-level size filter and the
   *      early-exit sorted-intersection walk at exactly
@@ -453,12 +456,13 @@ object ClusterDedup {
         least(col("__mxa"), col("__mxb")) + lit(Eps) >=
           greatest(col("__mna"), col("__mnb")) * threshold &&
         lit(1) + least(col("__mra"), col("__mrb")) >= alphaMin)
-      // minN is functionally dependent on the cluster ids, so carrying
-      // it through the DISTINCT leaves its semantics unchanged while
-      // sparing the downstream prune any stats re-join over the pair
-      // stream (at 1× replication that re-join was 2 extra shuffles of
-      // the full candidate set)
-      .select(col("cl_a"), col("cl_b"), col("__mna"), col("__mnb"))
+      // minN/nm are functionally dependent on the cluster ids, so
+      // carrying them through the DISTINCT leaves its semantics
+      // unchanged while sparing the downstream prune any stats re-join
+      // over the pair stream (at 1× replication that re-join was 2
+      // extra shuffles of the full candidate set)
+      .select(col("cl_a"), col("cl_b"), col("__mna"), col("__mnb"),
+        col("__nma"), col("__nmb"))
       .distinct() // sole consumer is the prune below — no persist: caching
                   // millions of candidate rows costs more (GC + a blocking
                   // materialization) than the one streaming evaluation
@@ -506,9 +510,21 @@ object ClusterDedup {
       .groupBy("cl")
       .agg(max(col("n") - NativeHash.sortedIntersectCount(col("__sh"), col("__hsh")))
         .as("__maxd"))
+    // SINGLETON-SINGLETON BYPASS: when both clusters are single-member,
+    // the anchor IS the member, maxD = 0, and the bound walk would be
+    // byte-for-byte the pair's step-5 verify walk — running it here
+    // means joining anchor arrays onto the pair a second time for zero
+    // pruning information. On low-duplication corpora (the gate corpus:
+    // 99.8% distinct sets, contraction rarely fires) singleton pairs
+    // ARE the candidate stream, and gating them doubled the core's
+    // array movement (measured at 1×: ~4.6 GB shuffle and +3-5 s per
+    // consumer vs routing them straight to verify). Multi-member pairs
+    // — the replica families the prune exists for — still take the
+    // anchor gate, so the 100× behavior is untouched.
+    val bothSingle = col("__nma") === 1 && col("__nmb") === 1
     val prunedLazy =
       if (!prune) candCl.select(col("cl_a"), col("cl_b"), lit(false).as("__wit"))
-      else candCl
+      else candCl.where(!bothSingle)
         .join(anchors.select(col("cl").as("cl_a"), col("__hsh").as("__ha"), col("__hn").as("__hna")), Seq("cl_a"))
         .join(anchors.select(col("cl").as("cl_b"), col("__hsh").as("__hb"), col("__hn").as("__hnb")), Seq("cl_b"))
         .join(maxD.select(col("cl").as("cl_a"), col("__maxd").as("__da")), Seq("cl_a"), "left")
@@ -520,6 +536,8 @@ object ClusterDedup {
         .select(col("cl_a"), col("cl_b"),
           (col("__hc") / (col("__hna") + col("__hnb") - col("__hc")) >= threshold)
             .as("__wit"))
+        .union(candCl.where(bothSingle)
+          .select(col("cl_a"), col("cl_b"), lit(false).as("__wit")))
     // cut (narrow rows: two ids + the witness flag): the components
     // consumer reads the frame twice (witnessed edges + ambiguous
     // verify), and a leaf also keeps the candidate join out of every

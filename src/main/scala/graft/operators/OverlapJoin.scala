@@ -48,7 +48,10 @@ import graft.functions.NativeHash
   *      retires when one early-exit anchor walk cannot reach
   *      k − maxD_A − maxD_B. A singleton's anchor IS its member
   *      (maxD = 0 exactly — the bound walk is that pair's verify
-  *      walk). The r13 union bound (|U_A∩U_B| ≥ k) is gone for the
+  *      walk, which is also why singleton-singleton pairs BYPASS the
+  *      gate straight to step 5: gating them duplicates the walk and
+  *      its array movement for zero pruning information). The r13
+  *      union bound (|U_A∩U_B| ≥ k) is gone for the
   *      reason measured on ClusterDedup's 100× soak: unions ACCUMULATE
   *      every member's noise, and with k absolute (not scaled to doc
   *      size) a few shared boilerplate elements across big unions made
@@ -136,18 +139,22 @@ object OverlapJoin {
       .filter(col("pos") <= col("n") - k + 1)
       .join(repCluster, Seq("id"))
       .groupBy(col("s"), col("cl"))
-      .agg(max(col("n") - col("pos")).as("mr")))
+      .agg(max(col("n") - col("pos")).as("mr"))
+      .join(cStats, Seq("cl")))
     // a qualifying pair shares a prefix element e* with
     // 1 + min(n_a−p_a, n_b−p_b) ≥ k; mr ≥ n−p per member, so the
-    // relaxed positional filter below is lossless
+    // relaxed positional filter below is lossless. nm rides the
+    // candidate stream (functionally dependent on cl, so the DISTINCT
+    // is unchanged) to route singleton-singleton pairs around the
+    // anchor gate without a stats re-join of the full pair stream.
     val candCl = cpost.select(col("s").as("__sa"), col("cl").as("cl_a"),
-        col("mr").as("__mra"))
+        col("mr").as("__mra"), col("nm").as("__nma"))
       .join(cpost.select(col("s").as("__sb"), col("cl").as("cl_b"),
-          col("mr").as("__mrb")),
+          col("mr").as("__mrb"), col("nm").as("__nmb")),
         col("__sa") === col("__sb") &&
         col("cl_a") < col("cl_b") &&
         lit(1) + least(col("__mra"), col("__mrb")) >= lit(k))
-      .select(col("cl_a"), col("cl_b"))
+      .select(col("cl_a"), col("cl_b"), col("__nma"), col("__nmb"))
       .distinct()
 
     // ---- 4. anchor-bound prune (overlap flavor of ClusterDedup's) ----
@@ -170,9 +177,16 @@ object OverlapJoin {
       .groupBy("cl")
       .agg(max(col("n") - NativeHash.sortedIntersectCount(col("__set"), col("__hset")))
         .as("__maxd"))
+    // SINGLETON-SINGLETON BYPASS (see ClusterDedup): when both sides
+    // are single-member clusters the anchor walk IS the pair's verify
+    // walk, so gating it only joins the anchor arrays onto the pair
+    // stream a second time — on low-duplication corpora those pairs
+    // are the bulk of the candidates. They go straight to verify;
+    // multi-member pairs (the replica families) still take the gate.
+    val bothSingle = col("__nma") === 1 && col("__nmb") === 1
     val pruned =
       if (!prune) candCl.select("cl_a", "cl_b")
-      else candCl
+      else candCl.where(!bothSingle)
         .join(anchors.select(col("cl").as("cl_a"), col("__hset").as("__ha")), Seq("cl_a"))
         .join(anchors.select(col("cl").as("cl_b"), col("__hset").as("__hb")), Seq("cl_b"))
         .join(maxD.select(col("cl").as("cl_a"), col("__maxd").as("__da")), Seq("cl_a"), "left")
@@ -181,6 +195,7 @@ object OverlapJoin {
           (lit(k) - coalesce(col("__da"), lit(0)) - coalesce(col("__db"), lit(0)))
             .cast("int")) >= 0)
         .select("cl_a", "cl_b")
+        .union(candCl.where(bothSingle).select("cl_a", "cl_b"))
 
     // ---- 5. verify: cross-cluster member pairs + intra-cluster pairs
     def verified(pairs: DataFrame): DataFrame = pairs
