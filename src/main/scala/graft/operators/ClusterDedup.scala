@@ -463,9 +463,14 @@ object ClusterDedup {
       // extra shuffles of the full candidate set)
       .select(col("cl_a"), col("cl_b"), col("__mna"), col("__mnb"),
         col("__nma"), col("__nmb"))
-      .distinct() // sole consumer is the prune below — no persist: caching
-                  // millions of candidate rows costs more (GC + a blocking
-                  // materialization) than the one streaming evaluation
+      .distinct()
+    // NOT cut or persisted, even though the singleton bypass below
+    // scans it from two union arms: the expensive part (the candidate
+    // self-join's exchanges) is shared between identical subtrees by
+    // Spark's ReuseExchange, so only cheap post-shuffle map work runs
+    // per arm — an eager materialization was tried and measured
+    // slightly SLOWER at the gate (it blocks the pipeline and hides
+    // the stream behind a leaf).
 
     // ---- 4. anchor-bound prune + hub witness. The anchor of cluster c
     // is its MIN-ID MEMBER's shingle set. NOT the doc named by the
@@ -522,9 +527,9 @@ object ClusterDedup {
     // — the replica families the prune exists for — still take the
     // anchor gate, so the 100× behavior is untouched.
     val bothSingle = col("__nma") === 1 && col("__nmb") === 1
-    val prunedLazy =
-      if (!prune) candCl.select(col("cl_a"), col("cl_b"), lit(false).as("__wit"))
-      else candCl.where(!bothSingle)
+    def prunePlan(cand: DataFrame) =
+      if (!prune) cand.select(col("cl_a"), col("cl_b"), lit(false).as("__wit"))
+      else cand.where(!bothSingle)
         .join(anchors.select(col("cl").as("cl_a"), col("__hsh").as("__ha"), col("__hn").as("__hna")), Seq("cl_a"))
         .join(anchors.select(col("cl").as("cl_b"), col("__hsh").as("__hb"), col("__hn").as("__hnb")), Seq("cl_b"))
         .join(maxD.select(col("cl").as("cl_a"), col("__maxd").as("__da")), Seq("cl_a"), "left")
@@ -536,8 +541,9 @@ object ClusterDedup {
         .select(col("cl_a"), col("cl_b"),
           (col("__hc") / (col("__hna") + col("__hnb") - col("__hc")) >= threshold)
             .as("__wit"))
-        .union(candCl.where(bothSingle)
+        .union(cand.where(bothSingle)
           .select(col("cl_a"), col("cl_b"), lit(false).as("__wit")))
+    val prunedLazy = prunePlan(candCl)
     // cut (narrow rows: two ids + the witness flag): the components
     // consumer reads the frame twice (witnessed edges + ambiguous
     // verify), and a leaf also keeps the candidate join out of every
@@ -545,15 +551,17 @@ object ClusterDedup {
     val pruned = Par.cut(prunedLazy)
 
     // probe frames for the plan-shape pins (plans only — executing the
-    // consumers re-runs the same stages): the LAZY prune (the cut above
-    // would hide its subtree behind a leaf) and the connectivity
+    // consumers re-runs the same stages): the FULLY LAZY prune over the
+    // uncut candidate stream (both the prune cut and the candCl cut
+    // would hide their subtrees behind leaves) and the connectivity
     // projection of the witness-split step 5
-    val crossEdgesProbe = prunedLazy.where(col("__wit")).select(col("cl_a"), col("cl_b"))
-      .union(verifiedMemberPairs(prunedLazy.where(!col("__wit")), member, threshold)
+    val pruneProbe = prunePlan(candCl)
+    val crossEdgesProbe = pruneProbe.where(col("__wit")).select(col("cl_a"), col("cl_b"))
+      .union(verifiedMemberPairs(pruneProbe.where(!col("__wit")), member, threshold)
         .select(col("cl_a"), col("cl_b")).distinct())
 
     Core(hashed, docRep, reps, repCluster, member, pruned,
-      Probes(cpostRaw, candCl, prunedLazy, crossEdgesProbe),
+      Probes(cpostRaw, candCl, pruneProbe, crossEdgesProbe),
       persisted = Seq(hashed),
       cuts = collapseCut.toSeq ++ Seq(member, cpost, pruned))
   }

@@ -156,6 +156,9 @@ object OverlapJoin {
         lit(1) + least(col("__mra"), col("__mrb")) >= lit(k))
       .select(col("cl_a"), col("cl_b"), col("__nma"), col("__nmb"))
       .distinct()
+    // not cut/persisted despite the two bypass union arms below —
+    // ReuseExchange shares the candidate self-join's exchanges between
+    // the identical subtrees (see ClusterDedup's note)
 
     // ---- 4. anchor-bound prune (overlap flavor of ClusterDedup's) ----
     // anchor = min-id MEMBER's set; maxD_C = max over members of
