@@ -1442,6 +1442,20 @@ object SparkEntry {
           minOverlap = 30)
         .orderBy("id_a", "id_b")),
 
+    // bounded-output RETRIEVAL over the same truth: each doc's top-5
+    // partners by overlap (ties by partner id) among pairs >= 30. Pair
+    // LISTING is Ω(output) — the 100× soak measured ~1.85B qualifying
+    // pairs and the listing correctly filled the disk — so at scale you
+    // retrieve, not list: output is n·k and the row_number filter plans
+    // as a WindowGroupLimit (partial top-k per task BEFORE the window
+    // exchange; pinned in PlanShapeSpec)
+    "overlap_topk" -> ((s, dir) =>
+      OverlapJoin.topK(
+          docs(s, dir).select(col("doc_id"), col("text")), "doc_id",
+          graft.functions.NativeHash.shingleHashes(Text.tokens(col("text")), 1),
+          minOverlap = 30, k = 5)
+        .orderBy("id", "rk")),
+
     // the boolean-containment CONSUMER (JaccardDedup.decontaminate):
     // surviving train docs after dropping everything contaminated —
     // jaccard is never kept, self-pairs count as contamination (a
@@ -2823,6 +2837,26 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.tk, b.tk)) >= 30
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the retrieval view of the same overlap truth: per-doc top-5 by
+    // (overlap DESC, partner id ASC) — row_number ties broken
+    // identically in both engines, so the row set is exact
+    "overlap_topk" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tk
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id, b.doc_id AS partner_id,
+        |    CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS overlap
+        |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.tk, b.tk)) >= 30)
+        |SELECT id, partner_id, overlap, rk FROM (
+        |  SELECT id, partner_id, overlap,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY overlap DESC, partner_id) AS INT) AS rk
+        |  FROM p)
+        |WHERE rk <= 5
+        |ORDER BY id, rk""".stripMargin,
 
     // the consumer view: docs NOT contaminated (self-pairs count — a
     // bench doc in train IS contaminated, so no a<>b clause here)

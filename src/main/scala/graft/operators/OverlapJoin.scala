@@ -71,6 +71,15 @@ import graft.functions.NativeHash
   */
 object OverlapJoin {
 
+  /** The uncut clustered pair stream plus the `seal` that eagerly cuts
+    * a finished frame and releases the plan's intermediate checkpoints.
+    * [[pairsClustered]] seals the stream itself; [[topK]] applies its
+    * bounded-output window BETWEEN the two, so the Ω(output) listing is
+    * never materialized — only the n·k retrieval result is.
+    */
+  private[graft] case class ClusteredPairs(
+      pairs: DataFrame, seal: DataFrame => DataFrame)
+
   def pairsClustered(
       df: DataFrame,
       idCol: String,
@@ -79,6 +88,81 @@ object OverlapJoin {
       numHashes: Int = 64,
       numBands: Int = 16,
       prune: Boolean = true): DataFrame = {
+    val p = clusteredPlan(df, idCol, setCol, minOverlap, numHashes, numBands, prune)
+    p.seal(p.pairs)
+  }
+
+  /** Bounded-output top-k overlap retrieval: for each document, its `k`
+    * highest-overlap partners (ties broken by ascending partner id)
+    * among pairs with overlap ≥ `minOverlap`. Output columns
+    * (id, partner_id, overlap, rk), one row per kept neighbor.
+    *
+    * This is the shape you actually run at 100 TB. Pair LISTING is
+    * Ω(output), and output under replication is quadratic in family
+    * size — the 100× soak measured ~1.85B qualifying pairs from the
+    * sf0.1 corpus and the listing (correctly) filled the disk through
+    * its three Ω(output) materializations. Retrieval bounds output at
+    * n·k, and the plan bounds everything else too: the row_number
+    * filter plans as a WindowGroupLimit (pinned in PlanShapeSpec), so
+    * each task keeps only its local top-k per doc BEFORE the window
+    * exchange — the verify stream flows through the partial limit
+    * without ever sitting on disk whole. Candidate generation is the
+    * replication-proof [[pairsClustered]] core, sealed only AFTER the
+    * window so the final cut is retrieval-sized.
+    */
+  def topK(
+      df: DataFrame,
+      idCol: String,
+      setCol: Column,
+      minOverlap: Int,
+      k: Int,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      prune: Boolean = true): DataFrame = {
+    val (lazyOut, seal) =
+      topKPlan(df, idCol, setCol, minOverlap, k, numHashes, numBands, prune)
+    seal(lazyOut)
+  }
+
+  /** [[topK]] split before its seal, so PlanShapeSpec can pin the
+    * WindowGroupLimit pushdown on the operator's real plan (the sealed
+    * frame's plan is just the checkpoint scan).
+    */
+  private[graft] def topKPlan(
+      df: DataFrame,
+      idCol: String,
+      setCol: Column,
+      minOverlap: Int,
+      k: Int,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      prune: Boolean = true): (DataFrame, DataFrame => DataFrame) = {
+    require(k >= 1, "k must be >= 1")
+    val p = clusteredPlan(df, idCol, setCol, minOverlap, numHashes, numBands, prune)
+    // both directions in ONE pass over the pair stream — a
+    // self-union of two projections would duplicate the whole verify
+    // subtree (the analyzer re-walks duplicated subtrees; no exchange
+    // sits at the top of the stream for ReuseExchange to share)
+    val sym = p.pairs.select(
+        explode(array(
+          struct(col("id_a").as("id"), col("id_b").as("partner_id")),
+          struct(col("id_b").as("id"), col("id_a").as("partner_id")))).as("e"),
+        col("overlap"))
+      .select(col("e.id").as("id"), col("e.partner_id").as("partner_id"),
+        col("overlap"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("overlap").desc, col("partner_id").asc)
+    (sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= k), p.seal)
+  }
+
+  private def clusteredPlan(
+      df: DataFrame,
+      idCol: String,
+      setCol: Column,
+      minOverlap: Int,
+      numHashes: Int,
+      numBands: Int,
+      prune: Boolean): ClusteredPairs = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val k = minOverlap
@@ -233,10 +317,13 @@ object OverlapJoin {
       .join(groups.select(col("rep"), col("id").as("id_b")), Seq("rep"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("n").cast("long").as("overlap"))
-    val out = Par.cut(crossGroups.union(intraGroups))
+    val pairsOut = crossGroups.union(intraGroups)
 
-    base.unpersist(false)
-    Seq(docRep, reps, repCluster, member, cpost).foreach(Par.free)
-    out
+    ClusteredPairs(pairsOut, { finished =>
+      val out = Par.cut(finished)
+      base.unpersist(false)
+      Seq(docRep, reps, repCluster, member, cpost).foreach(Par.free)
+      out
+    })
   }
 }

@@ -86,6 +86,53 @@ class OverlapJoinSpec extends AnyFunSuite {
     assert(clustered(docs, 20, prune = false) == direct(docs, 20))
   }
 
+  // ---- topK: bounded-output retrieval over the same truth ----
+
+  /** Per-doc top-k from the quadratic pair truth: symmetrize, sort by
+    * (overlap DESC, partner ASC), take k, rank 1-based.
+    */
+  private def topTruth(pairs: Set[(Long, Long, Long)], k: Int): Set[(Long, Long, Long, Int)] =
+    pairs.toSeq.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+        ps.sortBy(p => (-p._3, p._2)).take(k).zipWithIndex
+          .map { case ((id, pid, ov), r) => (id, pid, ov, r + 1) }
+      }.toSet
+
+  private def gotTopK(df: DataFrame, m: Int, k: Int): Set[(Long, Long, Long, Int)] =
+    OverlapJoin.topK(df, "doc_id", tokens1, m, k)
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+  test("topK equals per-doc top-k of the direct join on sf0.001 documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val truth = topTruth(direct(docs, 30), 5)
+    assert(truth.nonEmpty, "fixture must exercise the retrieval path")
+    assert(gotTopK(docs, 30, 5) == truth)
+  }
+
+  test("topK on the replica corpus: k cuts inside and across the duplicate families") {
+    val base = Seq(
+      0L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8 x9 x10 x11 x12",
+      2L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12")
+    val docs = base.flatMap { case (id, text) =>
+      (0 until 4).map(r => (id * 10 + r, if (r == 0) text else s"$text rep$r"))
+    }.toDF("doc_id", "text")
+    for (m <- Seq(6, 8); k <- Seq(1, 2, 5)) {
+      assert(gotTopK(docs, m, k) == topTruth(direct(docs, m), k), s"m=$m k=$k")
+    }
+  }
+
+  test("topK ties at the cut break by ascending partner id, deterministically") {
+    // 7 exact duplicates: every partner of doc 0 has overlap 6 — top-3
+    // must be partners 1, 2, 3 in rank order, never an arbitrary three
+    val docs = (0L to 6L).map(i => (i, "a b c d e f")).toDF("doc_id", "text")
+    val got = gotTopK(docs, 3, 3)
+    assert(got == topTruth(direct(docs, 3), 3))
+    assert(got.filter(_._1 == 0L) ==
+      Set((0L, 1L, 6L, 1), (0L, 2L, 6L, 2), (0L, 3L, 6L, 3)))
+  }
+
   test("anchor bound includes the member-vs-anchor diff (maxD), not anchor walks alone") {
     // the ClusterDedupSpec boundary shape in overlap terms: S_a =
     // {1..99, 1000..1003} LSH-clusters with S_x = {1..100} (J ≈ 0.95);

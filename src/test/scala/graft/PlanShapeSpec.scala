@@ -135,6 +135,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodes(p, "HashAggregate") == 0, s"aggregate re-appeared on the scoring path:\n$p")
   }
 
+  test("OverlapJoin.topK: WindowGroupLimit bounds the pair stream before the window exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val (lazyOut, seal) = graft.operators.OverlapJoin.topKPlan(
+      docs, "doc_id",
+      graft.functions.NativeHash.shingleHashes(graft.functions.Text.tokens(col("text")), 1),
+      minOverlap = 30, k = 5)
+    val p = plan(lazyOut)
+    // the whole point of the retrieval variant: per-task partial top-k
+    // runs BELOW the window's exchange, so the Ω(output) listing never
+    // sits on disk whole (the 100× soak ENOSPC'd the listing twin)
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown lost:\n$p")
+    seal(lazyOut) // materialize retrieval-sized, release the plan's checkpoints
+  }
+
   test("crossPairs: broadcast bench prefixes, rarity-order positions, merge-walk verify") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
