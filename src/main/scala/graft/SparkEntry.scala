@@ -1866,6 +1866,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup (Abbas et al. 2023, the LAION curation method): one
+    // exact Lloyd iteration from the deterministic seed (the
+    // kmeans_iter discipline), then within-cluster cosine >= 0.35 drops
+    // every doc with a smaller-id semantic duplicate. The clustering IS
+    // the scale story: all-pairs cosine is Ω(n²); within-cluster pairs
+    // cost Σ|c|² on a co-partitioned equi-join, and k grows with the
+    // corpus so |c| stays bounded
+    "dedup_semantic" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val seed = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id"), transform(col("v"), x => round(x, 6)).as("c"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).toSeq
+      val c1 = Embeddings.lloydIterExact(vecs, "v", seed)
+      Embeddings.semanticDedup(vecs, "vec_id", "v", c1, threshold = 0.35)
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id")
+    }),
+
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source")
@@ -3747,6 +3768,48 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup: the kmeans_iter CTE chain through the second assignment
+    // (identical arithmetic — decimal-exact distances, 6dp-rounded
+    // means, id tie-break), then the min-id keep rule over
+    // within-cluster cosine. list_cosine_similarity evaluates the same
+    // left-to-right double fold as Vectors.cosine (the cosine_near_dup
+    // contract)
+    "dedup_semantic" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(v, x -> round(x, 6)) AS c
+        |       FROM v WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT vec_id, cid, SUM(CAST((vx - cx) * (vx - cx) AS DECIMAL(38,18))) AS d2
+        |  FROM (SELECT v.vec_id, c0.cid, unnest(v.v) AS vx, unnest(c0.c) AS cx
+        |        FROM v CROSS JOIN c0)
+        |  GROUP BY vec_id, cid),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |vd AS (SELECT vec_id, unnest(v) AS vx, generate_subscripts(v, 1) AS pos FROM v),
+        |c1 AS (SELECT a1.cid, vd.pos,
+        |         round(CAST(SUM(CAST(vd.vx AS DECIMAL(28,12))) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE), 6) AS cx
+        |       FROM vd JOIN a1 USING (vec_id) GROUP BY a1.cid, vd.pos),
+        |d2t AS (
+        |  SELECT vd.vec_id, c1.cid,
+        |    SUM(CAST((vd.vx - c1.cx) * (vd.vx - c1.cx) AS DECIMAL(38,18))) AS d2
+        |  FROM vd JOIN c1 ON c1.pos = vd.pos GROUP BY vd.vec_id, c1.cid),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |         FROM d2t) WHERE rn = 1),
+        |dup AS (
+        |  SELECT DISTINCT bb.vec_id
+        |  FROM a2 aa JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+        |  JOIN v va ON va.vec_id = aa.vec_id
+        |  JOIN v vb ON vb.vec_id = bb.vec_id
+        |  WHERE list_cosine_similarity(va.v, vb.v) >= 0.35)
+        |SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cluster
+        |FROM a2 WHERE a2.vec_id NOT IN (SELECT vec_id FROM dup)
+        |ORDER BY vec_id""".stripMargin,
 
     // ---- relational analytics battery (round 6) ----
     // the SAME SQL text Spark executes — identical expression tree on

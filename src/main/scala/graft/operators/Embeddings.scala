@@ -92,6 +92,52 @@ object Embeddings {
     * posture as IvfSearch's quantizer training). Clusters that lose
     * all members drop out (k may shrink).
     */
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540,
+    * the LAION curation method): partition the corpus by nearest
+    * centroid, then drop every document that has a SMALLER-id neighbor
+    * in the same cluster with cosine ≥ `threshold`. Output: the kept
+    * rows as (id, cluster).
+    *
+    * This is the embedding-space sibling of the MinHash family, and the
+    * clustering is the entire scale argument: all-pairs cosine is
+    * Ω(n²), but within-cluster pairs cost Σ_c |c|² on a co-partitioned
+    * equi-join over the cluster id — at 100 TB you grow k with the
+    * corpus so |c| stays bounded, exactly how the paper runs it on
+    * LAION. A runaway cluster is the method's known failure mode and
+    * shows up as one skewed join key; AQE skew-join splits it, and the
+    * fix is a larger k, not a different plan.
+    *
+    * Determinism, cross-engine: assignment is [[assignExact]] over
+    * pre-rounded centroids (decimal-exact distances, id tie-break), and
+    * cosine is [[graft.functions.Vectors.cosine]]'s left-to-right
+    * double fold — the same evaluation order DuckDB's
+    * list_cosine_similarity uses, the established `cosine_near_dup`
+    * contract. The keep rule (min-id representative per ε-neighborhood,
+    * rather than the paper's random/centroid-distance pick) makes the
+    * kept set a pure function of the data.
+    *
+    * The assigned frame is cut eagerly: three consumers (both join
+    * sides + the anti-join probe) would otherwise re-run assignment
+    * k·dim decimal folds per row each — and the blocks are narrow
+    * (id, vec, cluster).
+    */
+  def semanticDedup(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Double])],
+      threshold: Double): DataFrame = {
+    val assigned = Par.cut(Par.widen(vecs)
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("cluster",
+        graft.functions.NativeHash.assignExact(col("__v"), centroids)))
+    val dupIds = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .where(graft.functions.Vectors.cosine(col("a.__v"), col("b.__v"))
+        >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    assigned.join(dupIds, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+  }
+
   def lloydIterExact(
       vecs: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] = {

@@ -28,6 +28,44 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(tie == 0)
   }
 
+  test("semanticDedup: min-id keep rule within clusters, no cross-cluster drops") {
+    // two well-separated blobs plus one far outlier. Within each blob
+    // all cosines are ~1 (same direction); across blobs directions
+    // differ. The min-id member of each cluster survives; everything
+    // with a smaller-id near-parallel neighbor in ITS cluster drops.
+    val vecs = Seq(
+      0L -> Array(1.0, 0.01), 1L -> Array(1.0, 0.02), 2L -> Array(0.99, 0.0),
+      3L -> Array(0.01, 1.0), 4L -> Array(0.0, 0.98), 5L -> Array(0.02, 1.0),
+      6L -> Array(-1.0, -1.0)).toDF("id", "v")
+    val cents = Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0), 2 -> Array(-1.0, -1.0))
+    val got = Embeddings.semanticDedup(vecs, "id", "v", cents, threshold = 0.9)
+      .as[(Long, Int)].collect().toSet
+    // quadratic truth in plain Scala: same assignment (nearest centroid,
+    // well-separated so no decimal subtlety), same left-to-right cosine
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      val na = math.sqrt(a.map(x => x * x).foldLeft(0.0)(_ + _))
+      val nb = math.sqrt(b.map(x => x * x).foldLeft(0.0)(_ + _))
+      if (na * nb == 0) 0.0 else d / (na * nb)
+    }
+    val all = Seq(
+      0L -> Array(1.0, 0.01), 1L -> Array(1.0, 0.02), 2L -> Array(0.99, 0.0),
+      3L -> Array(0.01, 1.0), 4L -> Array(0.0, 0.98), 5L -> Array(0.02, 1.0),
+      6L -> Array(-1.0, -1.0))
+    def assign(v: Array[Double]): Int = cents.minBy { case (cid, c) =>
+      (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+    }._1
+    val truth = all.filter { case (id, v) =>
+      !all.exists { case (jd, w) =>
+        jd < id && assign(w) == assign(v) && cos(v, w) >= 0.9
+      }
+    }.map { case (id, v) => (id, assign(v)) }.toSet
+    assert(got == truth)
+    // the shape the rule promises: ids 0, 3, 6 survive (cluster minima),
+    // 1, 2, 4, 5 drop as semantic dups of a smaller-id neighbor
+    assert(got == Set((0L, 0), (3L, 1), (6L, 2)))
+  }
+
   test("lloydIterExact recomputes 6dp-rounded means and drops emptied clusters") {
     val df = (near0 ++ near9).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
     // seeds both inside the first blob: one wins everything near 0, the
