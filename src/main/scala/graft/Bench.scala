@@ -72,6 +72,7 @@ object Bench {
     }
     // drop warmup caches: measured queries build (and pay for) their own
     spark.catalog.clearCache()
+    graft.operators.Par.sweepBlocks(spark)
 
     val loadBefore = loadavg()
 
@@ -89,6 +90,11 @@ object Bench {
           }
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // each rep pays its own persists
+        // checkpoint blocks (Par.cut outputs) are NOT in the catalog
+        // cache; without this sweep every rep's sealed outputs pile up
+        // in the block manager for the whole 150-query run and tax the
+        // later persist-heavy queries' execution memory
+        graft.operators.Par.sweepBlocks(spark)
         (sec, ok)
       }
       var runs = (1 to reps).map(_ => rep())

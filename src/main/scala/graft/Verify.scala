@@ -28,6 +28,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // sealed outputs and stray persists from THIS query are dead once
+      // its parquet is written; without the sweep 150+ queries' blocks
+      // accumulate in the block manager (clearCache misses checkpoints)
+      spark.catalog.clearCache()
+      graft.operators.Par.sweepBlocks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -119,6 +119,7 @@ object Soak {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
+    graft.operators.Par.sweepBlocks(spark)
     Thread.sleep(500)
 
     var sumSec = 0.0
@@ -142,6 +143,10 @@ object Soak {
         System.err.println(s"[soak] $name: listener bus drain timed out — " +
           "trailing stage events may bleed into the next row's shuffle columns")
       spark.catalog.clearCache()
+      // sealed checkpoint outputs are outside the catalog cache; sweep
+      // them so a long soak doesn't tax later queries (same discipline
+      // as Bench/Verify)
+      graft.operators.Par.sweepBlocks(spark)
       sumSec += sec
       println(f"""{"soak_q":"$name","sec":$sec%.3f,"shuffle_mb":${total.get / 1e6}%.1f,"max_stage_shuffle_mb":${maxStage.get / 1e6}%.1f,"ok":$ok,"bus_drained":$drained}""")
     }
