@@ -121,12 +121,19 @@ object SparkEntry {
     * charShingleHashes) — two plans, one truth, same pattern as the
     * ngram pair.
     */
-  private val chargramJaccardPairsOracle: String =
+  /** Char-3-gram shingle CTE over the zh slice — ONE definition shared
+    * by the pair-listing oracle and the top-k retrieval oracle, so a
+    * shingling fix cannot desynchronize the gates (the bigramShCte
+    * pattern).
+    */
+  private val chargramShCte: String =
     """WITH sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, length(text)-3+2),
       |    i -> substr(text, CAST(i AS INT), 3))) AS sh
-      |  FROM documents WHERE lang = 'zh' AND length(text) >= 3)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  FROM documents WHERE lang = 'zh' AND length(text) >= 3)""".stripMargin
+
+  private val chargramJaccardPairsOracle: String = chargramShCte + "\n" +
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1357,6 +1364,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // bounded-output near-dup RETRIEVAL on the same truth (the
+    // overlap_topk pattern for the Jaccard family): each doc's top-3
+    // most-similar partners at J >= 0.6. The listing is Ω(output) and
+    // output is quadratic in near-duplication (71× wall at 100×
+    // replication, all of it qualifying output); retrieval bounds
+    // output at n·k with the WindowGroupLimit keeping per-task top-k
+    // ahead of the window exchange (plan-pinned)
+    "jaccard_topk" -> ((s, dir) =>
+      ClusterDedup.topKBy(
+          t(s, dir, "documents").filter(col("lang") === "zh"),
+          "doc_id", graft.functions.NativeHash.charShingleHashes(col("text"), 3),
+          threshold = 0.6, k = 3)
+        .select(col("id"), col("partner_id"),
+          round(col("jaccard"), 6).as("jaccard"), col("rk"))
+        .orderBy("id", "rk")),
+
     // duplicate CLUSTERS: near-dup pairs are edges, a duplicate group is
     // a connected component (operators/Components, alternating
     // large-star/small-star) — every document labeled with the min
@@ -1939,6 +1962,19 @@ object SparkEntry {
     "multimodal_mp3_meta" -> ((s, dir) =>
       Multimodal.decodeContainerMeta(
           Multimodal.asMp3Media(t(s, dir, "documents"), "doc_id", "text", "source"))
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("n_samples"), col("duration_us"))
+        .orderBy("media_id")),
+
+    // FLAC STREAMINFO walk end to end: deterministic metadata-only
+    // streams (every parameter integer arithmetic on the char count),
+    // parsed back by the metadata-block walk — magic, block header,
+    // and the packed 64-bit rate/channels/bits/samples field. The
+    // oracle recomputes the same arithmetic, so a bit-offset slip in
+    // the 20/3/5/36 packing hash-mismatches instead of hiding.
+    "multimodal_flac_meta" -> ((s, dir) =>
+      Multimodal.decodeContainerMeta(
+          Multimodal.asFlacMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
         .select(col("media_id"), col("format"), col("channels"),
           col("sample_rate"), col("n_samples"), col("duration_us"))
         .orderBy("media_id")),
@@ -2830,6 +2866,24 @@ object SparkEntry {
     // plans, one truth
     "dedup_chargram_clustered" -> chargramJaccardPairsOracle,
 
+    // retrieval view of the same chargram truth: per-doc top-3 by
+    // (jaccard DESC, partner id ASC); jaccard is one double division of
+    // exact integers in both engines, so the rank key is bit-identical
+    "jaccard_topk" -> (chargramShCte + ",\n" +
+      """p AS (
+        |  SELECT a.doc_id AS id, b.doc_id AS partner_id,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6)
+        |SELECT id, partner_id, jaccard, rk FROM (
+        |  SELECT id, partner_id, round(j, 6) AS jaccard,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY j DESC, partner_id) AS INT) AS rk
+        |  FROM p)
+        |WHERE rk <= 3
+        |ORDER BY id, rk""".stripMargin),
+
     "decontaminate" -> decontaminatePairsOracle,
 
     // token-hash overlap counts equal token-string overlap counts
@@ -3391,6 +3445,21 @@ object SparkEntry {
         |SELECT doc_id AS media_id, 'mp3' AS format, ch AS channels,
         |  rate AS sample_rate, frames * 1152 AS n_samples,
         |  frames * 1152 * 1000000 // rate AS duration_us
+        |FROM p ORDER BY media_id""".stripMargin,
+
+    // predicts the FLAC STREAMINFO walk from asFlacMedia's arithmetic:
+    // rate from n%3, channels from n%2, total samples 1 + n%9973
+    "multimodal_flac_meta" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(CASE n % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 96000 END AS BIGINT) AS rate,
+        |    CAST(1 + n % 2 AS BIGINT) AS ch,
+        |    CAST(1 + n % 9973 AS BIGINT) AS ns
+        |  FROM t)
+        |SELECT doc_id AS media_id, 'flac' AS format, ch AS channels,
+        |  rate AS sample_rate, ns AS n_samples,
+        |  ns * 1000000 // rate AS duration_us
         |FROM p ORDER BY media_id""".stripMargin,
 
     "multimodal_mp4_meta" ->

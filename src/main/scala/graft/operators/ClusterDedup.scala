@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{NativeHash, Text}
@@ -229,6 +230,83 @@ object ClusterDedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       prune: Boolean = true): DataFrame = {
+    val (pairs, seal) = pairsClusteredPlan(df, idCol, shingleExpr,
+      threshold, numHashes, numBands, prune)
+    seal(pairs)
+  }
+
+  /** Bounded-output near-dup RETRIEVAL: for each document, its `k`
+    * most-similar partners (jaccard DESC, ties by ascending partner
+    * id) among pairs at J ≥ `threshold`. Output (id, partner_id,
+    * jaccard, rk). The [[graft.operators.OverlapJoin.topK]] pattern on
+    * the Jaccard family: pair LISTING is Ω(output) and output is
+    * quadratic in near-duplication (the chargram listing measured 71×
+    * wall at 100× replication, all of it qualifying output) — the
+    * retrieval variant bounds output at n·k and the row_number filter
+    * plans as a WindowGroupLimit, so per-task partial top-k runs
+    * before the window exchange and the full listing never
+    * materializes (the candidate plan seals only AFTER the window).
+    * Cross-engine rank determinism: jaccard is one double division of
+    * exact integers (c / (n_a + n_b − c)) in both engines, so the
+    * ordering key is bit-identical.
+    */
+  def topKBy(
+      df: DataFrame,
+      idCol: String,
+      shingleExpr: org.apache.spark.sql.Column,
+      threshold: Double,
+      k: Int,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      prune: Boolean = true): DataFrame = {
+    val (lazyOut, seal) =
+      topKPlanBy(df, idCol, shingleExpr, threshold, k, numHashes, numBands, prune)
+    seal(lazyOut)
+  }
+
+  /** [[topKBy]] split before its seal (PlanShapeSpec pins the
+    * WindowGroupLimit on the live plan; the sealed frame's plan is just
+    * the checkpoint scan).
+    */
+  private[graft] def topKPlanBy(
+      df: DataFrame,
+      idCol: String,
+      shingleExpr: org.apache.spark.sql.Column,
+      threshold: Double,
+      k: Int,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      prune: Boolean = true): (DataFrame, DataFrame => DataFrame) = {
+    require(k >= 1, "k must be >= 1")
+    val (pairs, seal) = pairsClusteredPlan(df, idCol, shingleExpr,
+      threshold, numHashes, numBands, prune)
+    // both directions in ONE pass (a self-union of projections would
+    // duplicate the whole verify subtree — no top-level exchange exists
+    // for ReuseExchange to share)
+    val sym = pairs.select(
+        explode(array(
+          struct(col("id_a").as("id"), col("id_b").as("partner_id")),
+          struct(col("id_b").as("id"), col("id_a").as("partner_id")))).as("e"),
+        col("jaccard"))
+      .select(col("e.id").as("id"), col("e.partner_id").as("partner_id"),
+        col("jaccard"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("jaccard").desc, col("partner_id").asc)
+    (sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= k), seal)
+  }
+
+  /** The uncut exact pair stream plus the seal that cuts a finished
+    * frame and releases the candidate core — [[topKPlanBy]] applies its
+    * bounded-output window between the two.
+    */
+  private def pairsClusteredPlan(
+      df: DataFrame,
+      idCol: String,
+      shingleExpr: org.apache.spark.sql.Column,
+      threshold: Double,
+      numHashes: Int,
+      numBands: Int,
+      prune: Boolean): (DataFrame, DataFrame => DataFrame) = {
     val core = candidateCore(df, idCol, shingleExpr, threshold,
       numHashes, numBands, prune)
 
@@ -269,10 +347,13 @@ object ClusterDedup {
       .join(groups.select(col("rep"), col("id").as("id_b")), Seq("rep"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    val out = Par.cut(crossGroups.union(intraGroups))
-    core.persisted.foreach(_.unpersist(false))
-    core.cuts.foreach(Par.free)
-    out
+    val pairsOut = crossGroups.union(intraGroups)
+    (pairsOut, { finished =>
+      val out = Par.cut(finished)
+      core.persisted.foreach(_.unpersist(false))
+      core.cuts.foreach(Par.free)
+      out
+    })
   }
 
   /** Shared step 5 verify: expand bound-surviving cluster pairs to

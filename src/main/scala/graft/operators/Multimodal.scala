@@ -372,6 +372,99 @@ object Multimodal {
     }(enc)
   }
 
+  /** Wrap a doc table as deterministic FLAC streams (STREAMINFO-only,
+    * every parameter pure integer arithmetic on the char count, so an
+    * external engine predicts the parsed meta without decoding bytes):
+    * rate from n%3 ∈ {44100, 48000, 96000}, channels = 1 + n%2,
+    * bits = 16 + 8·(n%2), total samples = 1 + n%9973.
+    */
+  def asFlacMedia(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val in = df.select(
+      col(idCol).cast("long").as("media_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      col(sourceCol).as("source"))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(MediaSchema))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        val payload = encodeFlac(
+          sampleRate = Seq(44100, 48000, 96000)((n % 3).toInt),
+          channels = 1 + (n % 2).toInt,
+          bitsPerSample = 16 + 8 * (n % 2).toInt,
+          totalSamples = 1 + n % 9973)
+        Row(id, payload, Row("audio/flac", payload.length.toLong, r.getString(2)))
+      }
+    }(enc)
+  }
+
+  // ---- FLAC STREAMINFO codec (xiph.org FLAC format §METADATA_BLOCK) --
+  // Header-level only, like the MP3/MP4 walks: the 34-byte STREAMINFO
+  // block carries sample rate (20 bits), channels−1 (3), bits−1 (5) and
+  // total samples (36) in one packed 64-bit field. Subset/frame decode
+  // (Rice-coded subframes) stays at the documented JNI/ONNX boundary.
+
+  /** Build a minimal valid FLAC stream: `fLaC` magic + one STREAMINFO
+    * metadata block (flagged last). No audio frames — the header-parse
+    * round-trip twin, not a playable file.
+    */
+  def encodeFlac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), s"bad sample rate $sampleRate")
+    require(channels >= 1 && channels <= 8, s"bad channel count $channels")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, s"bad bit depth $bitsPerSample")
+    require(totalSamples >= 0 && totalSamples < (1L << 36),
+      s"totalSamples $totalSamples exceeds the 36-bit STREAMINFO field")
+    val out = new Array[Byte](4 + 4 + 34)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last-block flag | type 0 (STREAMINFO)
+    out(5) = 0; out(6) = 0; out(7) = 34 // 24-bit block length
+    val b = java.nio.ByteBuffer.wrap(out, 8, 34)
+    b.putShort(4096.toShort); b.putShort(4096.toShort) // min/max block size
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)  // min frame size (unknown)
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)  // max frame size (unknown)
+    val packed = (sampleRate.toLong << 44) |
+      ((channels - 1).toLong << 41) |
+      ((bitsPerSample - 1).toLong << 36) |
+      totalSamples
+    b.putLong(packed)
+    // 16-byte MD5 of the (absent) audio stream stays zero
+    out
+  }
+
+  /** FLAC parse: magic + metadata-block walk to STREAMINFO, unpacking
+    * the 64-bit rate/channels/bits/samples field. Returns
+    * (channels, sampleRate, totalSamples) or None when malformed — a
+    * block that runs past the payload is truncation, not a shorter
+    * stream (the WAV/MP4 stance); rate 0 is invalid per spec.
+    */
+  private[graft] def parseFlac(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes.length < 8 || bytes(0) != 'f' || bytes(1) != 'L' ||
+      bytes(2) != 'a' || bytes(3) != 'C') return None
+    var pos = 4
+    while (pos + 4 <= bytes.length) {
+      val header = bytes(pos) & 0xff
+      val last = (header & 0x80) != 0
+      val typ = header & 0x7f
+      val len = ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) |
+        (bytes(pos + 3) & 0xff)
+      if (pos + 4L + len > bytes.length) return None // truncated block
+      if (typ == 0) {
+        if (len != 34) return None
+        val packed = java.nio.ByteBuffer.wrap(bytes, pos + 4 + 10, 8).getLong
+        val rate = (packed >>> 44).toInt
+        val channels = ((packed >>> 41) & 0x7).toInt + 1
+        val totalSamples = packed & ((1L << 36) - 1)
+        if (rate == 0) return None
+        return Some((channels, rate, totalSamples))
+      }
+      if (last) return None // stream ended without STREAMINFO
+      pos += 4 + len
+    }
+    None
+  }
+
   /** Build a minimal valid ISO-BMFF stream: `ftyp` (isom) then `moov`
     * holding an mvhd (v0) and `tracks` trak/tkhd (v0) boxes carrying
     * the given presentation size. Sample tables and mdat are omitted —
@@ -823,7 +916,7 @@ object Multimodal {
   }
 
   /** Decoded container header: `format` is "png" / "jpeg" / "wav" /
-    * "mp3" / "unknown";
+    * "mp3" / "mp4" / "flac" / "unknown";
     * image fields are null for audio and vice versa. All-null fields
     * (format "unknown") mean the bytes failed validation — wrong magic,
     * truncated header, a PNG IHDR whose CRC doesn't check out, or an
@@ -884,6 +977,13 @@ object Multimodal {
           Row("mp4", if (w > 0) w else null, if (h > 0) h else null,
             nTracks.toLong, timescale, durTicks,
             durTicks * 1000000L / timescale)
+        case None => unknown
+      }
+    } else if (new String(bytes, 0, 4, "US-ASCII") == "fLaC") {
+      parseFlac(bytes) match {
+        case Some((channels, rate, nSamples)) =>
+          Row("flac", null, null, channels.toLong, rate.toLong, nSamples,
+            nSamples * 1000000L / rate)
         case None => unknown
       }
     } else if (new String(bytes, 0, 4, "US-ASCII") == "RIFF"

@@ -221,6 +221,35 @@ class ClusterDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("topKBy: per-doc top-k of the exact pair truth, ties by partner id") {
+    import graft.functions.NativeHash
+    // the chargram replica corpus again — replica families mean every
+    // doc has MORE than k qualifying partners, so the cut is exercised
+    val base = Seq(
+      0L -> "深度学习模型训练数据质量控制流程",
+      1L -> "深度学习模型训练数据质量控制规范",
+      2L -> "完全不同的内容关于分布式计算框架")
+    val docs = base.flatMap { case (id, text) =>
+      (0 until 5).map { r => (id * 10 + r, if (r == 0) text else s"${text}版$r") }
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.6); k <- Seq(1, 3)) {
+      val pairs = JaccardDedup.nearDupPairsByChars(docs, "doc_id", "text", 3, t)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+      val truth = pairs.toSeq
+        .flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+        .groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+          ps.sortBy(p => (-p._3, p._2)).take(k).zipWithIndex
+            .map { case ((id, pid, j), r) => (id, pid, j, r + 1) }
+        }.toSet
+      assert(truth.exists(_._4 == k), s"fixture must cut at k=$k (t=$t)")
+      val got = ClusterDedup.topKBy(docs, "doc_id",
+          NativeHash.charShingleHashes(col("text"), 3), t, k)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got == truth, s"t=$t k=$k: missing=${truth -- got} extra=${got -- truth}")
+    }
+  }
+
   test("chain through mid-similarity links: components merge transitively across clusters") {
     // a—b and b—c above t, a—c below t: one component {a,b,c}
     val docs = Seq(

@@ -311,4 +311,40 @@ class MultimodalSpec extends AnyFunSuite {
     val m = Multimodal.parseContainerMeta(good ++ free)
     assert(m.getString(0) == "mp4" && m.getLong(5) == 500L)
   }
+
+  test("FLAC round-trip: rate, channels and total samples from the packed STREAMINFO field") {
+    for {
+      rate <- Seq(8000, 44100, 48000, 96000, 655350)
+      ch <- Seq(1, 2, 8)
+      bits <- Seq(8, 16, 24)
+      ns <- Seq(0L, 1L, 9973L, (1L << 36) - 1)
+    } {
+      val bytes = Multimodal.encodeFlac(rate, ch, bits, ns)
+      val m = Multimodal.parseContainerMeta(bytes)
+      assert(m.getString(0) == "flac", s"rate=$rate ch=$ch bits=$bits ns=$ns")
+      assert(m.getLong(3) == ch.toLong && m.getLong(4) == rate.toLong)
+      assert(m.getLong(5) == ns && m.getLong(6) == ns * 1000000L / rate)
+    }
+  }
+
+  test("FLAC: malformed streams are unknown, not plausible meta") {
+    val good = Multimodal.encodeFlac(44100, 2, 16, 1234L)
+    // STREAMINFO truncated mid-block: truncation, not a shorter stream
+    assert(Multimodal.parseContainerMeta(good.dropRight(5)).getString(0) == "unknown")
+    // wrong STREAMINFO length (the spec fixes it at 34)
+    val badLen = good.clone(); badLen(7) = 20
+    assert(Multimodal.parseContainerMeta(badLen).getString(0) == "unknown")
+    // a zero sample rate is invalid per spec
+    val zeroRate = Multimodal.encodeFlac(1, 2, 16, 10L)
+    java.util.Arrays.fill(zeroRate, 18, 21, 0.toByte) // clear the 20-bit rate field
+    assert(Multimodal.parseContainerMeta(zeroRate).getString(0) == "unknown")
+    // a non-STREAMINFO leading block flagged last: no STREAMINFO at all
+    val noInfo = good.clone(); noInfo(4) = (0x80 | 4).toByte // VORBIS_COMMENT
+    assert(Multimodal.parseContainerMeta(noInfo).getString(0) == "unknown")
+    // a padding block BEFORE STREAMINFO still reaches it (walk, not peek)
+    val pad = Array[Byte](4, 0, 0, 2, 0, 0) // type 4, len 2, two zero bytes
+    val walked = good.take(4) ++ pad ++ good.drop(4)
+    val m = Multimodal.parseContainerMeta(walked)
+    assert(m.getString(0) == "flac" && m.getLong(5) == 1234L)
+  }
 }

@@ -150,6 +150,19 @@ class PlanShapeSpec extends AnyFunSuite {
     seal(lazyOut) // materialize retrieval-sized, release the plan's checkpoints
   }
 
+  test("ClusterDedup.topKBy: WindowGroupLimit bounds the pair stream before the window exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === "zh")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val (lazyOut, seal) = graft.operators.ClusterDedup.topKPlanBy(
+      docs, "doc_id",
+      graft.functions.NativeHash.charShingleHashes(col("text"), 3),
+      threshold = 0.6, k = 3)
+    val p = plan(lazyOut)
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown lost:\n$p")
+    seal(lazyOut)
+  }
+
   test("crossPairs: broadcast bench prefixes, rarity-order positions, merge-walk verify") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
