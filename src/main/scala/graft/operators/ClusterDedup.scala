@@ -258,15 +258,29 @@ object ClusterDedup {
       k: Int,
       numHashes: Int = 64,
       numBands: Int = 16,
-      prune: Boolean = true): DataFrame = {
-    val (lazyOut, seal) =
-      topKPlanBy(df, idCol, shingleExpr, threshold, k, numHashes, numBands, prune)
+      prune: Boolean = true,
+      viaAgg: Boolean = true): DataFrame = {
+    val (lazyOut, seal) = topKPlanBy(df, idCol, shingleExpr, threshold, k,
+      numHashes, numBands, prune, viaAgg)
     seal(lazyOut)
   }
 
-  /** [[topKBy]] split before its seal (PlanShapeSpec pins the
-    * WindowGroupLimit on the live plan; the sealed frame's plan is just
-    * the checkpoint scan).
+  /** [[topKBy]] split before its seal (PlanShapeSpec pins the plan
+    * shape live; the sealed frame's plan is just the checkpoint scan).
+    *
+    * Two row-identical plans, chosen by `viaAgg`:
+    *   - `true` (default, the 100-TB shape): [[TopKAgg.topNeighbors]]
+    *     hash aggregate — one Ω(rows·log k) pass, map-side combined,
+    *     NO sort of the pair stream. The window formulation's partial
+    *     WindowGroupLimit still local-sorts every task's full input,
+    *     which the 100× soak measured at 2.9× the pair LISTING's wall
+    *     (1,380 s vs 475 s); the aggregate removes that sort.
+    *   - `false`: the row_number window (kept measurable — it is the
+    *     plan most engines reach for, and the A/B is the argument).
+    * Both rank by (score DESC, partner ASC); the aggregate's buffer
+    * uses the identical comparator, so outputs are row-identical and
+    * share one oracle. The agg path requires a long-typed id (the
+    * aggregator's input encoder).
     */
   private[graft] def topKPlanBy(
       df: DataFrame,
@@ -276,7 +290,8 @@ object ClusterDedup {
       k: Int,
       numHashes: Int = 64,
       numBands: Int = 16,
-      prune: Boolean = true): (DataFrame, DataFrame => DataFrame) = {
+      prune: Boolean = true,
+      viaAgg: Boolean = true): (DataFrame, DataFrame => DataFrame) = {
     require(k >= 1, "k must be >= 1")
     val (pairs, seal) = pairsClusteredPlan(df, idCol, shingleExpr,
       threshold, numHashes, numBands, prune)
@@ -290,9 +305,20 @@ object ClusterDedup {
         col("jaccard"))
       .select(col("e.id").as("id"), col("e.partner_id").as("partner_id"),
         col("jaccard"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("jaccard").desc, col("partner_id").asc)
-    (sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= k), seal)
+    val lazyOut =
+      if (viaAgg)
+        sym.groupBy(col("id"))
+          .agg(graft.functions.TopKAgg.topNeighbors(
+            col("partner_id"), col("jaccard"), k).as("__top"))
+          .select(col("id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+          .select(col("id"), col("__e._1").as("partner_id"),
+            col("__e._2").as("jaccard"), (col("__pos") + 1).cast("int").as("rk"))
+      else {
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("jaccard").desc, col("partner_id").asc)
+        sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      }
+    (lazyOut, seal)
   }
 
   /** The uncut exact pair stream plus the seal that cuts a finished

@@ -118,15 +118,23 @@ object OverlapJoin {
       k: Int,
       numHashes: Int = 64,
       numBands: Int = 16,
-      prune: Boolean = true): DataFrame = {
+      prune: Boolean = true,
+      viaAgg: Boolean = true): DataFrame = {
     val (lazyOut, seal) =
-      topKPlan(df, idCol, setCol, minOverlap, k, numHashes, numBands, prune)
+      topKPlan(df, idCol, setCol, minOverlap, k, numHashes, numBands, prune, viaAgg)
     seal(lazyOut)
   }
 
-  /** [[topK]] split before its seal, so PlanShapeSpec can pin the
-    * WindowGroupLimit pushdown on the operator's real plan (the sealed
-    * frame's plan is just the checkpoint scan).
+  /** [[topK]] split before its seal, so PlanShapeSpec can pin the plan
+    * shape live (the sealed frame's plan is just the checkpoint scan).
+    *
+    * `viaAgg = true` (default, the 100-TB shape) bounds the stream with
+    * [[graft.functions.TopKAgg]] — one hash-aggregate pass, map-side
+    * combined, NO per-task sort of the pair stream; `false` keeps the
+    * row_number window whose partial WindowGroupLimit local-sorts every
+    * task's full input (see ClusterDedup.topKPlanBy for the measured
+    * A/B). Ranks and ties are identical in both plans; overlap rides
+    * through the aggregator's double score losslessly (|overlap| ≪ 2⁵³).
     */
   private[graft] def topKPlan(
       df: DataFrame,
@@ -136,7 +144,8 @@ object OverlapJoin {
       k: Int,
       numHashes: Int = 64,
       numBands: Int = 16,
-      prune: Boolean = true): (DataFrame, DataFrame => DataFrame) = {
+      prune: Boolean = true,
+      viaAgg: Boolean = true): (DataFrame, DataFrame => DataFrame) = {
     require(k >= 1, "k must be >= 1")
     val p = clusteredPlan(df, idCol, setCol, minOverlap, numHashes, numBands, prune)
     // both directions in ONE pass over the pair stream — a
@@ -150,9 +159,21 @@ object OverlapJoin {
         col("overlap"))
       .select(col("e.id").as("id"), col("e.partner_id").as("partner_id"),
         col("overlap"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("overlap").desc, col("partner_id").asc)
-    (sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= k), p.seal)
+    val lazyOut =
+      if (viaAgg)
+        sym.groupBy(col("id"))
+          .agg(graft.functions.TopKAgg.topNeighbors(
+            col("partner_id"), col("overlap").cast("double"), k).as("__top"))
+          .select(col("id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+          .select(col("id"), col("__e._1").as("partner_id"),
+            col("__e._2").cast("long").as("overlap"),
+            (col("__pos") + 1).cast("int").as("rk"))
+      else {
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("overlap").desc, col("partner_id").asc)
+        sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      }
+    (lazyOut, p.seal)
   }
 
   private def clusteredPlan(

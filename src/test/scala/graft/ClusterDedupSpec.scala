@@ -243,10 +243,13 @@ class ClusterDedupSpec extends AnyFunSuite {
             .map { case ((id, pid, j), r) => (id, pid, j, r + 1) }
         }.toSet
       assert(truth.exists(_._4 == k), s"fixture must cut at k=$k (t=$t)")
-      val got = ClusterDedup.topKBy(docs, "doc_id",
-          NativeHash.charShingleHashes(col("text"), 3), t, k)
-        .as[(Long, Long, Double, Int)].collect().toSet
-      assert(got == truth, s"t=$t k=$k: missing=${truth -- got} extra=${got -- truth}")
+      for (viaAgg <- Seq(true, false)) {
+        val got = ClusterDedup.topKBy(docs, "doc_id",
+            NativeHash.charShingleHashes(col("text"), 3), t, k, viaAgg = viaAgg)
+          .as[(Long, Long, Double, Int)].collect().toSet
+        assert(got == truth,
+          s"t=$t k=$k viaAgg=$viaAgg: missing=${truth -- got} extra=${got -- truth}")
+      }
     }
   }
 

@@ -280,7 +280,26 @@ object GraftProperties extends Properties("graft") {
       // the parse must terminate and classify — a crash or hang on
       // crafted bytes is a denial-of-service on the whole partition
       val row = graft.operators.Multimodal.parseContainerMeta(bytes.toArray)
-      Set("png", "jpeg", "mp3", "mp4", "wav", "unknown").contains(row.getString(0))
+      Set("png", "jpeg", "mp3", "mp4", "wav", "flac", "unknown").contains(row.getString(0))
+    }
+
+  property("TopKAgg: any reduce/merge interleaving equals the sorted-truth top-k") =
+    forAll(
+      Gen.choose(1, 6),
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 15L), Gen.choose(0, 5).map(_ * 0.25)))),
+      Gen.choose(1, 5)) { (k, rows, splits) =>
+      // deliberately tiny id/score domains force duplicate scores (tie
+      // paths) and duplicate ids; split points exercise merge() across
+      // arbitrary partition boundaries, reduce() within them
+      val agg = new graft.functions.TopKAgg.TopNeighbors(k)
+      val parts = if (rows.isEmpty) Seq(rows) else rows.grouped(
+        math.max(1, rows.length / splits)).toSeq
+      val merged = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged)
+      val want = rows.sortBy { case (id, s) => (-s, id) }.take(k)
+      got == want
     }
 
   property("hive-text encodeRow never yields NULL and keeps the field count") =

@@ -98,16 +98,18 @@ class OverlapJoinSpec extends AnyFunSuite {
           .map { case ((id, pid, ov), r) => (id, pid, ov, r + 1) }
       }.toSet
 
-  private def gotTopK(df: DataFrame, m: Int, k: Int): Set[(Long, Long, Long, Int)] =
-    OverlapJoin.topK(df, "doc_id", tokens1, m, k)
+  private def gotTopK(df: DataFrame, m: Int, k: Int,
+      viaAgg: Boolean = true): Set[(Long, Long, Long, Int)] =
+    OverlapJoin.topK(df, "doc_id", tokens1, m, k, viaAgg = viaAgg)
       .as[(Long, Long, Long, Int)].collect().toSet
 
-  test("topK equals per-doc top-k of the direct join on sf0.001 documents") {
+  test("topK equals per-doc top-k of the direct join on sf0.001 documents (both plans)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val truth = topTruth(direct(docs, 30), 5)
     assert(truth.nonEmpty, "fixture must exercise the retrieval path")
-    assert(gotTopK(docs, 30, 5) == truth)
+    assert(gotTopK(docs, 30, 5) == truth, "TopKAgg plan")
+    assert(gotTopK(docs, 30, 5, viaAgg = false) == truth, "window plan")
   }
 
   test("topK on the replica corpus: k cuts inside and across the duplicate families") {

@@ -135,32 +135,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodes(p, "HashAggregate") == 0, s"aggregate re-appeared on the scoring path:\n$p")
   }
 
-  test("OverlapJoin.topK: WindowGroupLimit bounds the pair stream before the window exchange") {
+  test("OverlapJoin.topK: hash top-k aggregate by default, WindowGroupLimit on the window arm") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val (lazyOut, seal) = graft.operators.OverlapJoin.topKPlan(
-      docs, "doc_id",
-      graft.functions.NativeHash.shingleHashes(graft.functions.Text.tokens(col("text")), 1),
-      minOverlap = 30, k = 5)
-    val p = plan(lazyOut)
-    // the whole point of the retrieval variant: per-task partial top-k
-    // runs BELOW the window's exchange, so the Ω(output) listing never
-    // sits on disk whole (the 100× soak ENOSPC'd the listing twin)
-    assert(p.contains("WindowGroupLimit"), s"rank pushdown lost:\n$p")
-    seal(lazyOut) // materialize retrieval-sized, release the plan's checkpoints
+    def shingles = graft.functions.NativeHash.shingleHashes(
+      graft.functions.Text.tokens(col("text")), 1)
+    // default = TopKAgg: one hash pass bounds the stream, no per-task
+    // sort of the Ω(output) listing (the 100× soak measured the window
+    // arm's local sort at 2.9× the listing's wall on the jaccard twin)
+    val (aggOut, sealAgg) = graft.operators.OverlapJoin.topKPlan(
+      docs, "doc_id", shingles, minOverlap = 30, k = 5)
+    val pAgg = plan(aggOut)
+    assert(pAgg.contains("ObjectHashAggregate"), s"top-k aggregate lost:\n$pAgg")
+    assert(!pAgg.contains("WindowGroupLimit"), s"window re-appeared on the agg arm:\n$pAgg")
+    sealAgg(aggOut)
+    // the window arm stays measurable and keeps its rank pushdown
+    val (winOut, sealWin) = graft.operators.OverlapJoin.topKPlan(
+      docs, "doc_id", shingles, minOverlap = 30, k = 5, viaAgg = false)
+    val pWin = plan(winOut)
+    assert(pWin.contains("WindowGroupLimit"), s"rank pushdown lost:\n$pWin")
+    sealWin(winOut)
   }
 
-  test("ClusterDedup.topKBy: WindowGroupLimit bounds the pair stream before the window exchange") {
+  test("ClusterDedup.topKBy: hash top-k aggregate by default, WindowGroupLimit on the window arm") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("lang") === "zh")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val (lazyOut, seal) = graft.operators.ClusterDedup.topKPlanBy(
-      docs, "doc_id",
-      graft.functions.NativeHash.charShingleHashes(col("text"), 3),
-      threshold = 0.6, k = 3)
-    val p = plan(lazyOut)
-    assert(p.contains("WindowGroupLimit"), s"rank pushdown lost:\n$p")
-    seal(lazyOut)
+    def shingles = graft.functions.NativeHash.charShingleHashes(col("text"), 3)
+    val (aggOut, sealAgg) = graft.operators.ClusterDedup.topKPlanBy(
+      docs, "doc_id", shingles, threshold = 0.6, k = 3)
+    val pAgg = plan(aggOut)
+    assert(pAgg.contains("ObjectHashAggregate"), s"top-k aggregate lost:\n$pAgg")
+    assert(!pAgg.contains("WindowGroupLimit"), s"window re-appeared on the agg arm:\n$pAgg")
+    sealAgg(aggOut)
+    val (winOut, sealWin) = graft.operators.ClusterDedup.topKPlanBy(
+      docs, "doc_id", shingles, threshold = 0.6, k = 3, viaAgg = false)
+    val pWin = plan(winOut)
+    assert(pWin.contains("WindowGroupLimit"), s"rank pushdown lost:\n$pWin")
+    sealWin(winOut)
   }
 
   test("crossPairs: broadcast bench prefixes, rarity-order positions, merge-walk verify") {
