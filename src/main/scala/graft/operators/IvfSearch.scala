@@ -162,6 +162,11 @@ object IvfSearch {
     // 10x-replicated knn soak).
     val scored = index.assigned.join(broadcast(probes), Seq("list"))
       .select(col("qid"), col("id"), graft.functions.NativeHash.cosine(col("qvec"), col("vec")).as("score"))
+    // should the per-task sort under this WindowGroupLimit ever dominate
+    // (it does on pair-listing-sized streams — see TopKAgg's measured
+    // A/B), graft.functions.TopKAgg is the drop-in sort-free plan; at
+    // the scales these ANN rows run, scoring compute dominates and the
+    // pushdown's map-side top-k already bounds the exchange
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
