@@ -38,15 +38,13 @@ object GraftSession {
       // Spark 4's reader; surface them as Long nanos instead of crashing.
       // Consumers convert with `timestamp_micros(ts div 1000)`.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Typed-Aggregator plans (TopKAgg, MinHashAgg) run in
-      // ObjectHashAggregate, whose default sort-based fallback fires at
-      // 128 distinct groups per partition — i.e. immediately on any
-      // real corpus, re-introducing exactly the stream sort the top-k
-      // aggregate exists to avoid. O(k)-per-group buffers at 4M groups
-      // are ~hundreds of MB worst case per task; the fallback still
-      // exists above that for pathological key concentrations.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 22).toString)
+      // NOTE: the ObjectHashAggregate sort-fallback threshold is NOT
+      // raised here. TopKAgg's O(k)-buffer aggregate needs headroom
+      // (the default 128 groups/partition abandons hashing immediately
+      // on any real corpus), but a session-wide raise would also strip
+      // the only memory guard off UNBOUNDED-buffer object aggregates
+      // (collect_list, exact percentile) — so the topK operators scope
+      // it around their own materialization (TopKAgg.withHashAggHeadroom).
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   /** S7 — `hive = true` backs the session catalog with a Hive metastore

@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
 
 /** Bounded-memory streaming top-k neighbors: the partial-aggregating
   * alternative to a `row_number() <= k` window for per-key top-k over a
@@ -99,7 +100,68 @@ object TopKAgg {
     * by (score DESC, id ASC) — posexplode it for (rank-1, entry) rows.
     */
   def topNeighbors(id: Column, score: Column, k: Int): Column =
-    org.apache.spark.sql.functions
-      .udaf(new TopNeighbors(k), ExpressionEncoder[(Long, Double)]())
+    udaf(new TopNeighbors(k), ExpressionEncoder[(Long, Double)]())
       .apply(id, score)
+
+  /** Shared retrieval plumbing for the pair-listing operators
+    * (ClusterDedup.topKBy / OverlapJoin.topK): symmetrize a canonical
+    * (id_a < id_b, score) pair stream in ONE pass — a self-union of
+    * projections would duplicate the whole upstream verify subtree —
+    * then bound it to each id's top `k` partners by (score DESC,
+    * partner ASC), rank 1-based in `rk`. One definition, so the two
+    * operators' rank/tie semantics (and with them the shared-oracle
+    * guarantee) cannot drift apart.
+    *
+    * `viaAgg = true` is the sort-free [[TopNeighbors]] hash-aggregate
+    * plan; `false` the row_number window whose partial WindowGroupLimit
+    * local-sorts every task's full input (kept measurable — the 100×
+    * A/B is the argument). Integer scores ride through the
+    * aggregator's double losslessly (|score| ≪ 2⁵³) and are cast back.
+    */
+  private[graft] def perDocTopK(
+      pairs: DataFrame, scoreCol: String, k: Int, viaAgg: Boolean): DataFrame = {
+    val scoreType = pairs.schema(scoreCol).dataType
+    val sym = pairs.select(
+        explode(array(
+          struct(col("id_a").as("id"), col("id_b").as("partner_id")),
+          struct(col("id_b").as("id"), col("id_a").as("partner_id")))).as("e"),
+        col(scoreCol))
+      .select(col("e.id").as("id"), col("e.partner_id").as("partner_id"),
+        col(scoreCol))
+    if (viaAgg)
+      sym.groupBy(col("id"))
+        .agg(topNeighbors(col("partner_id"), col(scoreCol).cast("double"), k)
+          .as("__top"))
+        .select(col("id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("id"), col("__e._1").as("partner_id"),
+          col("__e._2").cast(scoreType).as(scoreCol),
+          (col("__pos") + 1).cast("int").as("rk"))
+    else {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col(scoreCol).desc, col("partner_id").asc)
+      sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    }
+  }
+
+  /** Run `body` with the ObjectHashAggregate sort-based fallback
+    * threshold raised to 4M groups/partition, restoring the previous
+    * setting after. The default (128) abandons hashing immediately on
+    * any real corpus — silently reintroducing the stream sort
+    * [[TopNeighbors]] exists to remove — but raising it SESSION-wide
+    * would strip the only memory guard off unbounded-buffer object
+    * aggregates (collect_list, exact percentile), so the top-k
+    * operators scope it around their own eager materialization. O(k)
+    * buffers at 4M groups are ~hundreds of MB worst case per task; the
+    * fallback still exists above that.
+    */
+  private[graft] def withHashAggHeadroom[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, (1 << 22).toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

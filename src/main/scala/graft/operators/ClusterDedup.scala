@@ -262,7 +262,9 @@ object ClusterDedup {
       viaAgg: Boolean = true): DataFrame = {
     val (lazyOut, seal) = topKPlanBy(df, idCol, shingleExpr, threshold, k,
       numHashes, numBands, prune, viaAgg)
-    seal(lazyOut)
+    // conf-scoped, not session-wide: the raise is only safe around an
+    // O(k)-buffer aggregate (see TopKAgg.withHashAggHeadroom)
+    graft.functions.TopKAgg.withHashAggHeadroom(df.sparkSession)(seal(lazyOut))
   }
 
   /** [[topKBy]] split before its seal (PlanShapeSpec pins the plan
@@ -295,30 +297,7 @@ object ClusterDedup {
     require(k >= 1, "k must be >= 1")
     val (pairs, seal) = pairsClusteredPlan(df, idCol, shingleExpr,
       threshold, numHashes, numBands, prune)
-    // both directions in ONE pass (a self-union of projections would
-    // duplicate the whole verify subtree — no top-level exchange exists
-    // for ReuseExchange to share)
-    val sym = pairs.select(
-        explode(array(
-          struct(col("id_a").as("id"), col("id_b").as("partner_id")),
-          struct(col("id_b").as("id"), col("id_a").as("partner_id")))).as("e"),
-        col("jaccard"))
-      .select(col("e.id").as("id"), col("e.partner_id").as("partner_id"),
-        col("jaccard"))
-    val lazyOut =
-      if (viaAgg)
-        sym.groupBy(col("id"))
-          .agg(graft.functions.TopKAgg.topNeighbors(
-            col("partner_id"), col("jaccard"), k).as("__top"))
-          .select(col("id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
-          .select(col("id"), col("__e._1").as("partner_id"),
-            col("__e._2").as("jaccard"), (col("__pos") + 1).cast("int").as("rk"))
-      else {
-        val w = Window.partitionBy(col("id"))
-          .orderBy(col("jaccard").desc, col("partner_id").asc)
-        sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      }
-    (lazyOut, seal)
+    (graft.functions.TopKAgg.perDocTopK(pairs, "jaccard", k, viaAgg), seal)
   }
 
   /** The uncut exact pair stream plus the seal that cuts a finished

@@ -82,16 +82,6 @@ object Embeddings {
     array_min(array(dists: _*)).getField("cid")
   }
 
-  /** One exact Lloyd iteration: assign with `assignExact`, recompute
-    * per-cluster per-dim means from DECIMAL-exact sums (one double
-    * division of order-free operands — plain avg() would re-admit the
-    * partition-summation-order dependence assignExact exists to kill),
-    * ROUND to 6 dp (the cross-engine contract: the next iteration's
-    * inputs are bit-identical on any engine reproducing the rounded
-    * means), and collect the k×dim table (bounded — same driver-side
-    * posture as IvfSearch's quantizer training). Clusters that lose
-    * all members drop out (k may shrink).
-    */
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540,
     * the LAION curation method): partition the corpus by nearest
     * centroid, then drop every document that has a SMALLER-id neighbor
@@ -138,6 +128,16 @@ object Embeddings {
       .select(col("id"), col("cluster"))
   }
 
+  /** One exact Lloyd iteration: assign with `assignExact`, recompute
+    * per-cluster per-dim means from DECIMAL-exact sums (one double
+    * division of order-free operands — plain avg() would re-admit the
+    * partition-summation-order dependence assignExact exists to kill),
+    * ROUND to 6 dp (the cross-engine contract: the next iteration's
+    * inputs are bit-identical on any engine reproducing the rounded
+    * means), and collect the k×dim table (bounded — same driver-side
+    * posture as IvfSearch's quantizer training). Clusters that lose
+    * all members drop out (k may shrink).
+    */
   def lloydIterExact(
       vecs: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] = {

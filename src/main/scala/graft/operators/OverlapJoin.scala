@@ -122,7 +122,9 @@ object OverlapJoin {
       viaAgg: Boolean = true): DataFrame = {
     val (lazyOut, seal) =
       topKPlan(df, idCol, setCol, minOverlap, k, numHashes, numBands, prune, viaAgg)
-    seal(lazyOut)
+    // conf-scoped, not session-wide: the raise is only safe around an
+    // O(k)-buffer aggregate (see TopKAgg.withHashAggHeadroom)
+    graft.functions.TopKAgg.withHashAggHeadroom(df.sparkSession)(seal(lazyOut))
   }
 
   /** [[topK]] split before its seal, so PlanShapeSpec can pin the plan
@@ -148,32 +150,7 @@ object OverlapJoin {
       viaAgg: Boolean = true): (DataFrame, DataFrame => DataFrame) = {
     require(k >= 1, "k must be >= 1")
     val p = clusteredPlan(df, idCol, setCol, minOverlap, numHashes, numBands, prune)
-    // both directions in ONE pass over the pair stream — a
-    // self-union of two projections would duplicate the whole verify
-    // subtree (the analyzer re-walks duplicated subtrees; no exchange
-    // sits at the top of the stream for ReuseExchange to share)
-    val sym = p.pairs.select(
-        explode(array(
-          struct(col("id_a").as("id"), col("id_b").as("partner_id")),
-          struct(col("id_b").as("id"), col("id_a").as("partner_id")))).as("e"),
-        col("overlap"))
-      .select(col("e.id").as("id"), col("e.partner_id").as("partner_id"),
-        col("overlap"))
-    val lazyOut =
-      if (viaAgg)
-        sym.groupBy(col("id"))
-          .agg(graft.functions.TopKAgg.topNeighbors(
-            col("partner_id"), col("overlap").cast("double"), k).as("__top"))
-          .select(col("id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
-          .select(col("id"), col("__e._1").as("partner_id"),
-            col("__e._2").cast("long").as("overlap"),
-            (col("__pos") + 1).cast("int").as("rk"))
-      else {
-        val w = Window.partitionBy(col("id"))
-          .orderBy(col("overlap").desc, col("partner_id").asc)
-        sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      }
-    (lazyOut, p.seal)
+    (graft.functions.TopKAgg.perDocTopK(p.pairs, "overlap", k, viaAgg), p.seal)
   }
 
   private def clusteredPlan(

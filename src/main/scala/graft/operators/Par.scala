@@ -49,20 +49,6 @@ object Par {
     * checkpoint `getCheckpointFile` is None and only the blocks drop.
     * Safe no-op on non-checkpointed frames (no LogicalRDD leaf).
     */
-  /** Drop EVERY persisted/checkpointed RDD left in the block manager —
-    * the between-queries sweep for harness mains (Bench, Verify, Soak)
-    * that run many operators in one JVM. Operators [[free]] their
-    * intermediate cuts, but each one's FINAL sealed output is
-    * necessarily still alive when it returns, and `catalog.clearCache()`
-    * does not touch checkpoint RDDs (they live outside the cache
-    * manager — see [[free]]). Left alone, a 150-query run accumulates
-    * every query's output blocks, and the storage-side pressure taxes
-    * later persist-heavy queries' execution memory. Only safe when NO
-    * live frame will be reused — i.e. between independent queries.
-    */
-  def sweepBlocks(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-
   def free(df: DataFrame): Unit = {
     val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
     df.queryExecution.analyzed.collect {
@@ -76,4 +62,26 @@ object Par {
       rdd.unpersist(false)
     }
   }
+
+  /** Drop EVERY persisted/LOCALLY-checkpointed RDD left in the block
+    * manager — the between-queries sweep for harness mains (Bench,
+    * Verify, Soak) that run many operators in one JVM. Operators
+    * [[free]] their intermediate cuts, but each one's FINAL sealed
+    * output is necessarily still alive when it returns, and
+    * `catalog.clearCache()` does not touch checkpoint RDDs (they live
+    * outside the cache manager — see [[free]]). Left alone, a 150-query
+    * run accumulates every query's output blocks, and the storage-side
+    * pressure taxes later persist-heavy queries' execution memory.
+    * Only safe when NO live frame will be reused — i.e. between
+    * independent queries.
+    *
+    * Limitation: with a checkpoint DIR configured, [[cut]] produces
+    * RELIABLE checkpoints whose blocks are unpersisted here but whose
+    * FILES live outside `getPersistentRDDs` — those are only removable
+    * per-frame via [[free]], so a long checkpoint-dir session should
+    * also clean its directory between jobs. The harness mains never
+    * set a checkpoint dir, so their sweep is complete.
+    */
+  def sweepBlocks(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 }
