@@ -141,6 +141,49 @@ object SparkEntry {
       |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
+
+  /** SemDeDup oracle template: the kmeans_iter CTE chain through the
+    * second assignment, then the min-id keep rule over within-cluster
+    * cosine. `seedBound` is the only degree of freedom — the fixed-k
+    * gate row and the √n-rule twin instantiate the SAME text, so the
+    * two plans are gated against one truth (the twin pattern).
+    */
+  private def semanticDedupOracle(seedBound: String): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(v, x -> round(x, 6)) AS c
+       |       FROM v WHERE vec_id < $seedBound),
+       |d1 AS (
+       |  SELECT vec_id, cid, SUM(CAST((vx - cx) * (vx - cx) AS DECIMAL(38,18))) AS d2
+       |  FROM (SELECT v.vec_id, c0.cid, unnest(v.v) AS vx, unnest(c0.c) AS cx
+       |        FROM v CROSS JOIN c0)
+       |  GROUP BY vec_id, cid),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |         SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |         FROM d1) WHERE rn = 1),
+       |vd AS (SELECT vec_id, unnest(v) AS vx, generate_subscripts(v, 1) AS pos FROM v),
+       |c1 AS (SELECT a1.cid, vd.pos,
+       |         round(CAST(SUM(CAST(vd.vx AS DECIMAL(28,12))) AS DOUBLE)
+       |               / CAST(COUNT(*) AS DOUBLE), 6) AS cx
+       |       FROM vd JOIN a1 USING (vec_id) GROUP BY a1.cid, vd.pos),
+       |d2t AS (
+       |  SELECT vd.vec_id, c1.cid,
+       |    SUM(CAST((vd.vx - c1.cx) * (vd.vx - c1.cx) AS DECIMAL(38,18))) AS d2
+       |  FROM vd JOIN c1 ON c1.pos = vd.pos GROUP BY vd.vec_id, c1.cid),
+       |a2 AS (SELECT vec_id, cid FROM (
+       |         SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |         FROM d2t) WHERE rn = 1),
+       |dup AS (
+       |  SELECT DISTINCT bb.vec_id
+       |  FROM a2 aa JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+       |  JOIN v va ON va.vec_id = aa.vec_id
+       |  JOIN v vb ON vb.vec_id = bb.vec_id
+       |  WHERE list_cosine_similarity(va.v, vb.v) >= 0.35)
+       |SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cluster
+       |FROM a2 WHERE a2.vec_id NOT IN (SELECT vec_id FROM dup)
+       |ORDER BY vec_id""".stripMargin
+
   /** The word-bigram shingle CTE opening shared by the three
     * decontamination oracles — ONE definition, so a future tokenization
     * fix cannot silently desynchronize one gate from the others.
@@ -1900,6 +1943,28 @@ object SparkEntry {
       val vecs = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val seed = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id"), transform(col("v"), x => round(x, 6)).as("c"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).toSeq
+      val c1 = Embeddings.lloydIterExact(vecs, "v", seed)
+      Embeddings.semanticDedup(vecs, "vec_id", "v", c1, threshold = 0.35)
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id")
+    }),
+
+    // the √n-rule arm, gated against the SAME oracle template: seeds =
+    // first ceil(√n) vectors, so the clustering budget grows with the
+    // corpus and the within-cluster pairwise stage stays bounded
+    // (tools/SemProbe at 10×: fixed k=8 pays 35× wall; k≈√n recovers
+    // Σ|c|²/k — 3.0× there). The kept set is k-dependent BY DESIGN
+    // (SemDeDup's recall trade), which is exactly why this arm needs
+    // its own oracle instantiation rather than sharing the fixed-k row's
+    "dedup_semantic_sqrtk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val kSeeds = math.ceil(math.sqrt(vecs.count().toDouble)).toLong
+      val seed = vecs.filter(col("vec_id") < kSeeds)
         .select(col("vec_id"), transform(col("v"), x => round(x, 6)).as("c"))
         .collect()
         .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
@@ -3843,42 +3908,17 @@ object SparkEntry {
     // means, id tie-break), then the min-id keep rule over
     // within-cluster cosine. list_cosine_similarity evaluates the same
     // left-to-right double fold as Vectors.cosine (the cosine_near_dup
-    // contract)
-    "dedup_semantic" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(v, x -> round(x, 6)) AS c
-        |       FROM v WHERE vec_id < 8),
-        |d1 AS (
-        |  SELECT vec_id, cid, SUM(CAST((vx - cx) * (vx - cx) AS DECIMAL(38,18))) AS d2
-        |  FROM (SELECT v.vec_id, c0.cid, unnest(v.v) AS vx, unnest(c0.c) AS cx
-        |        FROM v CROSS JOIN c0)
-        |  GROUP BY vec_id, cid),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |         SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |         FROM d1) WHERE rn = 1),
-        |vd AS (SELECT vec_id, unnest(v) AS vx, generate_subscripts(v, 1) AS pos FROM v),
-        |c1 AS (SELECT a1.cid, vd.pos,
-        |         round(CAST(SUM(CAST(vd.vx AS DECIMAL(28,12))) AS DOUBLE)
-        |               / CAST(COUNT(*) AS DOUBLE), 6) AS cx
-        |       FROM vd JOIN a1 USING (vec_id) GROUP BY a1.cid, vd.pos),
-        |d2t AS (
-        |  SELECT vd.vec_id, c1.cid,
-        |    SUM(CAST((vd.vx - c1.cx) * (vd.vx - c1.cx) AS DECIMAL(38,18))) AS d2
-        |  FROM vd JOIN c1 ON c1.pos = vd.pos GROUP BY vd.vec_id, c1.cid),
-        |a2 AS (SELECT vec_id, cid FROM (
-        |         SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |         FROM d2t) WHERE rn = 1),
-        |dup AS (
-        |  SELECT DISTINCT bb.vec_id
-        |  FROM a2 aa JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
-        |  JOIN v va ON va.vec_id = aa.vec_id
-        |  JOIN v vb ON vb.vec_id = bb.vec_id
-        |  WHERE list_cosine_similarity(va.v, vb.v) >= 0.35)
-        |SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cluster
-        |FROM a2 WHERE a2.vec_id NOT IN (SELECT vec_id FROM dup)
-        |ORDER BY vec_id""".stripMargin,
+    // contract). ONE template serves both the fixed-k gate row and the
+    // √n-rule twin — the seed bound is the only difference.
+    "dedup_semantic" -> semanticDedupOracle("8"),
+
+    // the scale-adaptive arm under the SAME template: seeds = first
+    // ceil(√n) vectors, so the clustering budget grows with the corpus
+    // (tools/SemProbe measured fixed k=8 paying 35× wall at 10× data
+    // and k≈√n recovering Σ|c|²/k)
+    "dedup_semantic_sqrtk" -> semanticDedupOracle(
+      "CAST(ceil(sqrt((SELECT count(*) FROM v))) AS BIGINT)"),
+
 
     // ---- relational analytics battery (round 6) ----
     // the SAME SQL text Spark executes — identical expression tree on
