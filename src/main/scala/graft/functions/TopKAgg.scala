@@ -143,25 +143,26 @@ object TopKAgg {
     }
   }
 
-  /** Run `body` with the ObjectHashAggregate sort-based fallback
-    * threshold raised to 4M groups/partition, restoring the previous
-    * setting after. The default (128) abandons hashing immediately on
-    * any real corpus — silently reintroducing the stream sort
-    * [[TopNeighbors]] exists to remove — but raising it SESSION-wide
-    * would strip the only memory guard off unbounded-buffer object
-    * aggregates (collect_list, exact percentile), so the top-k
-    * operators scope it around their own eager materialization. O(k)
-    * buffers at 4M groups are ~hundreds of MB worst case per task; the
-    * fallback still exists above that.
+  /** Re-root `df` into a CLONED session whose ObjectHashAggregate
+    * sort-based fallback threshold is raised to 4M groups/partition.
+    * The default (128) abandons hashing immediately on any real corpus
+    * — silently reintroducing the stream sort [[TopNeighbors]] exists
+    * to remove — but raising it on the CALLER's session would strip
+    * the only memory guard off unbounded-buffer object aggregates
+    * (collect_list, exact percentile) for every query planned there
+    * while the raise is live, including concurrent ones on a shared
+    * multi-threaded session (and a set/restore scope can restore stale
+    * values under nesting). `newSession()` shares the SparkContext and
+    * cached data but owns an ISOLATED SQLConf, so the raise is visible
+    * only to plans materialized through the returned frame — the
+    * caller's session never changes. O(k) buffers at 4M groups are
+    * ~hundreds of MB worst case per task; the fallback still exists
+    * above that.
     */
-  private[graft] def withHashAggHeadroom[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, (1 << 22).toString)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+  private[graft] def withHashAggHeadroom(df: DataFrame): DataFrame = {
+    val clone = df.sparkSession.newSession()
+    clone.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 22).toString)
+    org.apache.spark.sql.graft.Shims.ofRows(clone, df.queryExecution.logical)
   }
 }

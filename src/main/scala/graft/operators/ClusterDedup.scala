@@ -181,6 +181,64 @@ object ClusterDedup {
     (out, core.probes)
   }
 
+  /** INCREMENTAL labels for `base ∪ delta` from (a) the PREVIOUS run's
+    * labels over `base` and (b) only the exact pairs TOUCHING `delta` —
+    * the daily-ingest twin of [[components]]: a pipeline that ingests a
+    * batch per day re-labels the grown corpus WITHOUT re-running the
+    * base-internal candidate join or the full contraction.
+    *
+    * Exactness: the t-graph over base ∪ delta is (base-internal
+    * t-edges) ∪ (t-edges with ≥ 1 delta endpoint). `baseLabels`' star
+    * edges (id → component) span exactly the same connectivity as the
+    * base-internal t-edges — that is what labels ARE — so components
+    * over (star edges ∪ delta-touching exact pairs), with the union's
+    * ids as the vertex universe, equal [[components]] over the whole
+    * corpus: a delta doc that bridges two base clusters merges them
+    * through its two exact edges, and min-reachable-id labeling is
+    * preserved because star hubs are their components' minima.
+    * Row-identical to `components(base ∪ delta)` —
+    * IncrementalDedupSpec pins the equivalence including the bridge,
+    * delta-only-cluster, exact-duplicate and empty-text cases; the
+    * driver gates `dedup_clusters_incremental` against the SAME DuckDB
+    * oracle as `dedup_clusters`/`dedup_clusters_scalable` (three plans,
+    * one truth).
+    *
+    * Scale shape: candidates cost Σ_s dfPΔ(s)·dfP(s) (linear in the
+    * batch; the corpus side of the join is semi-joined to batch-active
+    * shingles first — see [[JaccardDedup.nearDupPairsIncremental]]),
+    * plus one linear shingle/df pass over the corpus and a contraction
+    * whose edge count is |labels| + |new pairs| — each non-singleton
+    * doc contributes ONE star edge, and almost all alternation rounds
+    * converge immediately because the star graph is already its own
+    * fixpoint except where delta edges touch. The only state carried
+    * between increments is the labels themselves — no index to
+    * persist, version, or invalidate.
+    */
+  def componentsIncremental(
+      baseLabels: DataFrame,
+      base: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 2,
+      threshold: Double = 0.3): DataFrame = {
+    val (pairs, release) = JaccardDedup.nearDupPairsIncrementalPlan(
+      base, delta, idCol, textCol, nGram, threshold)
+    val starEdges = baseLabels
+      .select(col("id").as("id_a"), col("component").as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    val verts = base.select(col(idCol).as("id"))
+      .unionByName(delta.select(col(idCol).as("id")))
+    // connectedComponents fully materializes (and cuts) its result
+    // before returning, so the incremental doc/prefix caches can be
+    // released immediately after
+    val out = Components.connectedComponents(
+      starEdges.unionByName(pairs.select(col("id_a"), col("id_b"))),
+      "id_a", "id_b", Some(verts))
+    release()
+    out
+  }
+
   /** The exact J ≥ threshold pair LISTING — (id_a, id_b, jaccard),
     * id_a < id_b — through the same replication-proof candidate path.
     * Row-identical to `JaccardDedup.nearDupPairs(df, idCol, textCol,
@@ -262,9 +320,10 @@ object ClusterDedup {
       viaAgg: Boolean = true): DataFrame = {
     val (lazyOut, seal) = topKPlanBy(df, idCol, shingleExpr, threshold, k,
       numHashes, numBands, prune, viaAgg)
-    // conf-scoped, not session-wide: the raise is only safe around an
-    // O(k)-buffer aggregate (see TopKAgg.withHashAggHeadroom)
-    graft.functions.TopKAgg.withHashAggHeadroom(df.sparkSession)(seal(lazyOut))
+    // cloned-session-scoped, never the caller's session: the raise is
+    // only safe around an O(k)-buffer aggregate (see
+    // TopKAgg.withHashAggHeadroom)
+    seal(graft.functions.TopKAgg.withHashAggHeadroom(lazyOut))
   }
 
   /** [[topKBy]] split before its seal (PlanShapeSpec pins the plan

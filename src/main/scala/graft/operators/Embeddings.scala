@@ -124,8 +124,15 @@ object Embeddings {
       .where(graft.functions.Vectors.cosine(col("a.__v"), col("b.__v"))
         >= threshold)
       .select(col("b.id").as("id")).distinct()
-    assigned.join(dupIds, Seq("id"), "left_anti")
-      .select(col("id"), col("cluster"))
+    // seal (the ClusterDedup/OverlapJoin discipline): cut the narrow
+    // final output, then release the assigned cut's blocks — without
+    // the free, every invocation in a long-lived session parks a
+    // corpus-sized (id, vec, cluster) frame in the block manager until
+    // a Par.sweepBlocks or session end
+    val out = Par.cut(assigned.join(dupIds, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster")))
+    Par.free(assigned)
+    out
   }
 
   /** One exact Lloyd iteration: assign with `assignExact`, recompute

@@ -201,6 +201,110 @@ object JaccardDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact J ≥ `threshold` pairs with AT LEAST ONE endpoint in `delta`,
+    * over the union corpus `base ∪ delta` — the incremental-ingest
+    * complement of [[nearDupPairs]]. A daily pipeline that already
+    * holds labels (or pairs) for `base` only needs the edges TOUCHING
+    * the new batch: base-internal pairs are a previous run's output.
+    *
+    * Candidate generation is the PPJoin prefix scheme under ONE global
+    * rarity order computed over the UNION (the [[crossPairs]] stance —
+    * the losslessness proof needs some fixed common order, and a pair
+    * at J ≥ t shares a shingle inside the first n − ⌈t·n⌉ + 1 elements
+    * of EACH side under any such order). Both orientations of a
+    * delta-base pair are covered by joining the DELTA prefix index
+    * against the full one; delta-delta pairs arrive twice and collapse
+    * in the canonical least/greatest distinct. Size and positional
+    * filters run inside the join condition, exactly as the self-join.
+    *
+    * Scale shape: the self-join's Σ_s dfP(s)² becomes
+    * Σ_s dfPΔ(s)·dfP(s) — linear in the batch for bounded prefix
+    * frequencies — and the full-side prefix index is first SEMI-JOINED
+    * to the batch's distinct prefix shingles, so the corpus-sized side
+    * ships only rows whose shingle the batch actually mentions. The
+    * union df count and the prefix window remain one linear pass over
+    * the corpus (the price of NOT persisting any index between
+    * increments: the only state this API needs from the previous run
+    * is its labels).
+    */
+  def nearDupPairsIncremental(
+      base: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 2,
+      threshold: Double = 0.3): DataFrame =
+    nearDupPairsIncrementalPlan(base, delta, idCol, textCol, nGram, threshold)._1
+
+  /** [[nearDupPairsIncremental]] plus the release of its persisted
+    * internals — for consumers (ClusterDedup.componentsIncremental)
+    * that fully materialize downstream and can then drop the doc/prefix
+    * caches instead of leaving them for a block sweep.
+    */
+  private[graft] def nearDupPairsIncrementalPlan(
+      base: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int,
+      threshold: Double): (DataFrame, () => Unit) = {
+    require(threshold > 0, "threshold must be > 0")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // one tagged union feeds shingling ONCE per doc (df count, prefix
+    // window, verify); no derived-column filter before the persist —
+    // it would be pushed below Par.widen's exchange (the documented
+    // pushdown trap)
+    val docs = Par.widen(
+        base.select(col(idCol).as("id"), col(textCol).as("__t"), lit(false).as("__d"))
+          .unionByName(
+            delta.select(col(idCol).as("id"), col(textCol).as("__t"), lit(true).as("__d"))))
+      .select(col("id"),
+        graft.functions.NativeHash.shingleHashes(Text.tokens(col("__t")), nGram).as("__sh"),
+        col("__d"))
+      .select(col("id"), col("__sh"), size(col("__sh")).as("n"), col("__d"))
+      .persist(MEMORY_AND_DISK)
+    val dfreq = docs.select(explode(col("__sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    val prefix = docs.select(col("id"), explode(col("__sh")).as("s"), col("n"), col("__d"))
+      .join(dfreq, Seq("s"))
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold - lit(Eps)) + 1)
+      .select(col("s"), col("id"), col("n"), col("pos"), col("__d"))
+      .persist(MEMORY_AND_DISK)
+    val dp = prefix.filter(col("__d"))
+    // delta-active shingles only: the corpus-sized side of the candidate
+    // join never ships a row the batch cannot match
+    val fp = prefix.join(dp.select("s").distinct(), Seq("s"), "left_semi")
+    val a = dp.select(col("s").as("__sa"), col("id").as("ia"),
+      col("n").as("__na"), col("pos").as("__pa"))
+    val b = fp.select(col("s").as("__sb"), col("id").as("ib"),
+      col("n").as("__nb"), col("pos").as("__pb"))
+    val alpha = ceil((col("__na") + col("__nb")) * (threshold / (1.0 + threshold)) - lit(Eps))
+    val cand = a.join(b,
+        col("__sa") === col("__sb") &&
+        col("ia") =!= col("ib") &&
+        greatest(col("__na"), col("__nb")) * threshold <=
+          least(col("__na"), col("__nb")) + lit(Eps) &&
+        lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb")) >= alpha)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+      .distinct()
+    val alphaV = ceil((col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - lit(Eps))
+      .cast("int")
+    val pairs = cand
+      .join(docs.select(col("id").as("id_a"), col("__sh").as("__sha"), col("n").as("n_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("__sh").as("__shb"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("c", graft.functions.NativeHash.sortedIntersectAtLeast(
+        col("__sha"), col("__shb"), alphaV))
+      .filter(col("c") >= 0)
+      .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    (pairs, () => { docs.unpersist(false); prefix.unpersist(false); () })
+  }
+
   /** Set-overlap self-join: every pair sharing ≥ `minOverlap` distinct
     * elements of a sorted-distinct set column (e.g. token-hash sets) —
     * the absolute-overlap sibling of the Jaccard join, used for

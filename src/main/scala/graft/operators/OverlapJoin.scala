@@ -122,9 +122,10 @@ object OverlapJoin {
       viaAgg: Boolean = true): DataFrame = {
     val (lazyOut, seal) =
       topKPlan(df, idCol, setCol, minOverlap, k, numHashes, numBands, prune, viaAgg)
-    // conf-scoped, not session-wide: the raise is only safe around an
-    // O(k)-buffer aggregate (see TopKAgg.withHashAggHeadroom)
-    graft.functions.TopKAgg.withHashAggHeadroom(df.sparkSession)(seal(lazyOut))
+    // cloned-session-scoped, never the caller's session: the raise is
+    // only safe around an O(k)-buffer aggregate (see
+    // TopKAgg.withHashAggHeadroom)
+    seal(graft.functions.TopKAgg.withHashAggHeadroom(lazyOut))
   }
 
   /** [[topK]] split before its seal, so PlanShapeSpec can pin the plan

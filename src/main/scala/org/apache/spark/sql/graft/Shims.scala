@@ -26,6 +26,20 @@ object Shims {
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Re-root a logical plan into another session (private[sql]
+    * `Dataset.ofRows`). Lets an operator materialize a finished plan
+    * under a CLONED session (`newSession()`: isolated SQLConf, shared
+    * SparkContext/cache) so a conf raise scoped to that materialization
+    * can never leak into queries planned concurrently on the caller's
+    * session (TopKAgg.withHashAggHeadroom).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Drain the listener bus (private[spark]): block until every queued
     * SparkListener event has been delivered. Measurement harnesses
     * (graft.tools.Soak) use this between queries so async stage-
