@@ -105,8 +105,9 @@ object Bench {
       // crashed rep's near-zero wall always trips the ratio and the
       // extra rep would just re-run a failure.
       val times = runs.map(_._1)
-      if (reps > 1 && runs.forall(_._2) && times.min > 0 && times.max / times.min > 3.0)
-        runs = runs :+ rep()
+      val extraRep =
+        reps > 1 && runs.forall(_._2) && times.min > 0 && times.max / times.min > 3.0
+      if (extraRep) runs = runs :+ rep()
       val sorted = runs.map(_._1).sorted
       // LOWER median: for the even-sized post-extra-rep list the upper
       // median can never drop below the original 3-rep median, which
@@ -114,22 +115,57 @@ object Bench {
       // report 1, not 3.5); for odd sizes both indices coincide
       val median = sorted.apply((runs.size - 1) / 2)
       println(f"""{"metric":"rep_detail","q":"$name","reps":${jsonArr(runs.map(_._1))},"median":$median%.3f,"min":${sorted.head}%.3f}""")
-      (name, median, sorted.head, runs.forall(_._2))
+      BenchRow(name, median, sorted.head, runs.forall(_._2), extraRep, runs.map(_._1))
     }
     val loadAfter = loadavg()
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map(r => "\"" + r.name + "\":" + f"${r.median}%.3f")
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val totalMin = results.map(_._3).sum
+    // queries whose median came from the 4-rep LOWER-median path, named
+    // in the totals so round-over-round comparisons can see which
+    // medians are lower-biased without re-parsing every rep_detail line
+    val extraReps = results.collect { case r if r.extraRep => "\"" + r.name + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_.median).sum
+    val totalMin = results.map(_.min).sum
     val loads = s""""loadavg_before":${jsonArr(loadBefore)},"loadavg_after":${jsonArr(loadAfter)}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,$loads,"queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,$loads,"queries":$qs,"failed":$failed,"extra_rep_queries":$extraReps,"reps":$reps,"sf":"$sfDir"}""")
     // the per-query line above outgrew the driver's 2000-char tail
     // capture (~133 queries), which truncated its LEADING totals fields
     // in the r6 artifact — so the totals are ALSO emitted as a short
     // final line that always fits inside any tail capture
-    println(f"""{"metric":"totals_tail","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,$loads,"n_queries":${results.size},"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    println(f"""{"metric":"totals_tail","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,$loads,"n_queries":${results.size},"failed":$failed,"extra_rep_queries":$extraReps,"reps":$reps,"sf":"$sfDir"}""")
+    // the driver artifact keeps only the last ~2 KB of stdout, which
+    // loses every rep_detail line and the alphabetical first half of
+    // the per-query map (exactly the contamination evidence a judge
+    // needs) — so the COMPLETE record is also written to a file that
+    // gets committed with the round. Round number inferred from the
+    // highest existing BENCH_r*.json (the driver writes r{N} AFTER this
+    // run, so current round = max + 1); plain BENCH_LOCAL.json when no
+    // prior artifacts are visible from the working directory.
+    try {
+      val rdetail = results.map { r =>
+        s"""{"q":"${r.name}","reps":${jsonArr(r.reps)},"median":${f"${r.median}%.3f"},""" +
+          s""""min":${f"${r.min}%.3f"},"ok":${r.ok},"extra_rep":${r.extraRep}}"""
+      }.mkString("[", ",", "]")
+      val full = f"""{"metric":"bench_local","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,$loads,"queries":$qs,"failed":$failed,"extra_rep_queries":$extraReps,"reps":$reps,"sf":"$sfDir","rep_detail":$rdetail}"""
+      val round = new java.io.File(".").listFiles()
+        .map(_.getName)
+        .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+          s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+        .sorted.lastOption
+      val out = round.fold("BENCH_LOCAL.json")(n => f"BENCH_LOCAL_r${n + 1}%02d.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (full + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] complete record written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL file: ${e.getMessage}")
+    }
     spark.stop()
   }
+
+  private final case class BenchRow(
+      name: String, median: Double, min: Double, ok: Boolean,
+      extraRep: Boolean, reps: Seq[Double])
 }
