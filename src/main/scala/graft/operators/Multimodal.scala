@@ -465,6 +465,241 @@ object Multimodal {
     None
   }
 
+  // ---- GIF (GIF89a, W3C/CompuServe spec) --------------------------
+  // Block-structure walk only, like MP4/FLAC: logical screen
+  // descriptor, graphic-control extensions (frame delays), image
+  // descriptors (frame count), sub-block chains. LZW pixel decode
+  // stays at the documented JNI/ONNX boundary.
+
+  /** Build a minimal valid GIF89a: header + logical screen descriptor
+    * (with a 2-entry global color table), then per frame a graphic
+    * control extension carrying `delayCs` and an image descriptor with
+    * a 1-byte LZW-data sub-block. Structure-complete for the metadata
+    * walk — not a decodable animation.
+    */
+  def encodeGif(width: Int, height: Int, frames: Int, delayCs: Int): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
+      s"bad GIF dims ${width}x$height")
+    require(frames >= 1 && delayCs >= 0 && delayCs <= 0xffff,
+      s"bad GIF frames=$frames delayCs=$delayCs")
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16le(v: Int): Unit = { u8(v); u8(v >>> 8) }
+    "GIF89a".foreach(c => u8(c))
+    u16le(width); u16le(height)
+    u8(0x80)            // GCT present, size field 0 -> 2 entries
+    u8(0); u8(0)        // background color index, aspect ratio
+    (0 until 6).foreach(_ => u8(0)) // the 2-entry GCT (black, black)
+    var f = 0
+    while (f < frames) {
+      u8(0x21); u8(0xf9); u8(4) // extension, graphic-control label, size
+      u8(0)                     // packed (no disposal, no transparency)
+      u16le(delayCs); u8(0); u8(0) // delay, transparent idx, terminator
+      u8(0x2c)                  // image descriptor
+      u16le(0); u16le(0); u16le(width); u16le(height)
+      u8(0)                     // packed: no local color table
+      u8(2)                     // LZW minimum code size
+      u8(1); u8(f & 0xff)       // one 1-byte data sub-block
+      u8(0)                     // sub-block terminator
+      f += 1
+    }
+    u8(0x3b) // trailer
+    bos.toByteArray
+  }
+
+  /** GIF parse: header + LSD, then the block walk — extensions
+    * (accumulating graphic-control delays), image descriptors (frame
+    * count, skipping optional local color tables and the LZW sub-block
+    * chain) — to the trailer. Returns (width, height, nFrames,
+    * totalDelayCs) or None when malformed; a sub-block chain that runs
+    * past the payload is truncation, not a shorter image (the
+    * WAV/MP4/FLAC stance).
+    */
+  private[graft] def parseGif(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes.length < 13) return None
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    if (hdr != "GIF89a" && hdr != "GIF87a") return None
+    def u16le(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    val w = u16le(6); val h = u16le(8)
+    if (w == 0 || h == 0) return None
+    val packed = bytes(10) & 0xff
+    var pos = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
+    var frames = 0
+    var delayCs = 0L
+    // skip a length-prefixed sub-block chain starting at p; -1 on truncation
+    def skipSubBlocks(p0: Int): Int = {
+      var p = p0
+      while (p < bytes.length && bytes(p) != 0) p += 1 + (bytes(p) & 0xff)
+      if (p >= bytes.length) -1 else p + 1
+    }
+    while (pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x3b => // trailer
+          return if (frames >= 1) Some((w, h, frames, delayCs)) else None
+        case 0x21 => // extension: label + sub-blocks
+          if (pos + 2 >= bytes.length) return None
+          val label = bytes(pos + 1) & 0xff
+          // GCE data block: packed(+3), delay u16le(+4..+5), tidx(+6)
+          if (label == 0xf9 && (bytes(pos + 2) & 0xff) >= 4 && pos + 6 <= bytes.length - 1)
+            delayCs += u16le(pos + 4)
+          pos = skipSubBlocks(pos + 2) match { case -1 => return None; case p => p }
+        case 0x2c => // image descriptor
+          if (pos + 10 >= bytes.length) return None
+          val ipacked = bytes(pos + 9) & 0xff
+          var p = pos + 10 + (if ((ipacked & 0x80) != 0) 3 * (1 << ((ipacked & 7) + 1)) else 0)
+          if (p >= bytes.length) return None
+          p += 1 // LZW minimum code size
+          pos = skipSubBlocks(p) match { case -1 => return None; case q => q }
+          frames += 1
+        case _ => return None
+      }
+    }
+    None // ran out of bytes without a trailer: truncated
+  }
+
+  /** Wrap a doc table as deterministic GIF89a animations (every
+    * parameter integer arithmetic on the char count, the asFlacMedia
+    * pattern): w = 1 + n%640, h = 1 + n%480, frames = 1 + n%5,
+    * per-frame delay = (1 + n%100) centiseconds.
+    */
+  def asGifMedia(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val in = df.select(
+      col(idCol).cast("long").as("media_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      col(sourceCol).as("source"))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(MediaSchema))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        val payload = encodeGif(
+          width = 1 + (n % 640).toInt,
+          height = 1 + (n % 480).toInt,
+          frames = 1 + (n % 5).toInt,
+          delayCs = 1 + (n % 100).toInt)
+        Row(id, payload, Row("image/gif", payload.length.toLong, r.getString(2)))
+      }
+    }(enc)
+  }
+
+  // ---- WebP (RIFF container, Google WebP spec) --------------------
+  // Chunk walk only: VP8X canvas size, ANIM/ANMF animation frames.
+  // VP8/VP8L bitstream decode stays at the JNI/ONNX boundary.
+
+  /** Build a minimal valid animated WebP: RIFF/WEBP wrapping a VP8X
+    * chunk (animation flag, canvas size), an ANIM chunk, and `frames`
+    * ANMF chunk headers each carrying `durationMs` and a 2-byte stub
+    * payload.
+    */
+  def encodeWebp(width: Int, height: Int, frames: Int, durationMs: Int): Array[Byte] = {
+    require(width >= 1 && width <= (1 << 24) && height >= 1 && height <= (1 << 24),
+      s"bad WebP canvas ${width}x$height")
+    require(frames >= 1 && durationMs >= 0 && durationMs < (1 << 24),
+      s"bad WebP frames=$frames durationMs=$durationMs")
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16le(v: Int): Unit = { u8(v); u8(v >>> 8) }
+    def u24le(v: Int): Unit = { u8(v); u8(v >>> 8); u8(v >>> 16) }
+    def u32le(v: Int): Unit = { u16le(v); u16le(v >>> 16) }
+    def fourcc(s: String): Unit = s.foreach(c => u8(c))
+    val anmfSize = 16 + 2 // header + stub payload (even: no pad byte)
+    val riffPayload = 4 /*WEBP*/ + (8 + 10) /*VP8X*/ + (8 + 6) /*ANIM*/ +
+      frames * (8 + anmfSize)
+    fourcc("RIFF"); u32le(riffPayload); fourcc("WEBP")
+    fourcc("VP8X"); u32le(10)
+    u8(0x02)                  // flags: Animation (bit 1)
+    u24le(0)                  // reserved
+    u24le(width - 1); u24le(height - 1)
+    fourcc("ANIM"); u32le(6)
+    u32le(0)                  // background color
+    u16le(0)                  // loop count (0 = infinite)
+    var f = 0
+    while (f < frames) {
+      fourcc("ANMF"); u32le(anmfSize)
+      u24le(0); u24le(0)      // frame x/2, y/2
+      u24le(width - 1); u24le(height - 1)
+      u24le(durationMs)
+      u8(0)                   // flags: no blend/dispose bits set
+      u8(0); u8(0)            // stub frame payload
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** WebP parse: RIFF/WEBP chunk walk — VP8X canvas size (u24le
+    * minus-one fields), ANMF count + summed durations; falls back to
+    * the VP8L lossless header (0x2f signature, 14-bit packed dims) for
+    * still images without a VP8X. Returns (width, height, nFrames,
+    * totalDurationMs) with nFrames = 1 and duration 0 for stills, or
+    * None when malformed (a chunk running past the payload is
+    * truncation).
+    */
+  private[graft] def parseWebp(bytes: Array[Byte]): Option[(Long, Long, Int, Long)] = {
+    if (bytes.length < 12) return None
+    if (new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(bytes, 8, 4, "US-ASCII") != "WEBP") return None
+    def u24le(p: Int): Int =
+      (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) | ((bytes(p + 2) & 0xff) << 16)
+    def u32le(p: Int): Long =
+      (u24le(p).toLong) | ((bytes(p + 3) & 0xff).toLong << 24)
+    val riffEnd = math.min(8L + u32le(4), bytes.length.toLong)
+    var pos = 12L
+    var w = -1L; var h = -1L
+    var frames = 0
+    var durMs = 0L
+    while (pos + 8 <= riffEnd) {
+      val typ = new String(bytes, pos.toInt, 4, "US-ASCII")
+      val size = u32le(pos.toInt + 4)
+      if (pos + 8 + size > riffEnd) return None // truncated chunk
+      val p = pos.toInt + 8
+      typ match {
+        case "VP8X" =>
+          if (size < 10) return None
+          w = u24le(p + 4) + 1L; h = u24le(p + 7) + 1L
+        case "ANMF" =>
+          if (size < 16) return None
+          frames += 1
+          durMs += u24le(p + 12)
+        case "VP8L" =>
+          // lossless header: 0x2f then 14-bit w-1 / h-1, LSB-first
+          if (w < 0 && size >= 5 && (bytes(p) & 0xff) == 0x2f) {
+            val b = u32le(p + 1)
+            w = (b & 0x3fff) + 1L; h = ((b >> 14) & 0x3fff) + 1L
+          }
+        case _ => () // VP8 (lossy still), ICCP, EXIF, XMP: skip
+      }
+      pos += 8 + size + (size & 1) // chunks are even-aligned
+    }
+    if (w <= 0 || h <= 0) return None
+    if (frames == 0) Some((w, h, 1, 0L)) else Some((w, h, frames, durMs))
+  }
+
+  /** Wrap a doc table as deterministic animated WebPs (integer
+    * arithmetic on the char count): w = 1 + n%1024, h = 1 + n%768,
+    * frames = 1 + n%4, per-frame duration = (10 + n%90) ms.
+    */
+  def asWebpMedia(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val in = df.select(
+      col(idCol).cast("long").as("media_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      col(sourceCol).as("source"))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(MediaSchema))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        val payload = encodeWebp(
+          width = 1 + (n % 1024).toInt,
+          height = 1 + (n % 768).toInt,
+          frames = 1 + (n % 4).toInt,
+          durationMs = 10 + (n % 90).toInt)
+        Row(id, payload, Row("image/webp", payload.length.toLong, r.getString(2)))
+      }
+    }(enc)
+  }
+
   /** Build a minimal valid ISO-BMFF stream: `ftyp` (isom) then `moov`
     * holding an mvhd (v0) and `tracks` trak/tkhd (v0) boxes carrying
     * the given presentation size. Sample tables and mdat are omitted —
@@ -984,6 +1219,22 @@ object Multimodal {
         case Some((channels, rate, nSamples)) =>
           Row("flac", null, null, channels.toLong, rate.toLong, nSamples,
             nSamples * 1000000L / rate)
+        case None => unknown
+      }
+    } else if (new String(bytes, 0, 3, "US-ASCII") == "GIF") {
+      parseGif(bytes) match {
+        // frame count and total delay land in the count/µs slots — the
+        // same (count, duration) pairing the audio and MP4 arms emit
+        case Some((w, h, frames, delayCs)) =>
+          Row("gif", w.toLong, h.toLong, null, null, frames.toLong,
+            delayCs * 10000L)
+        case None => unknown
+      }
+    } else if (new String(bytes, 0, 4, "US-ASCII") == "RIFF"
+        && new String(bytes, 8, 4, "US-ASCII") == "WEBP") {
+      parseWebp(bytes) match {
+        case Some((w, h, frames, durMs)) =>
+          Row("webp", w, h, null, null, frames.toLong, durMs * 1000L)
         case None => unknown
       }
     } else if (new String(bytes, 0, 4, "US-ASCII") == "RIFF"

@@ -347,4 +347,77 @@ class MultimodalSpec extends AnyFunSuite {
     val m = Multimodal.parseContainerMeta(walked)
     assert(m.getString(0) == "flac" && m.getLong(5) == 1234L)
   }
+
+  test("GIF round-trip: dims, frame count and accumulated delays from the block walk") {
+    for {
+      (w, h) <- Seq((1, 1), (640, 480), (65535, 65535))
+      frames <- Seq(1, 2, 5)
+      delay <- Seq(0, 7, 65535)
+    } {
+      val bytes = Multimodal.encodeGif(w, h, frames, delay)
+      val m = Multimodal.parseContainerMeta(bytes)
+      assert(m.getString(0) == "gif", s"w=$w h=$h frames=$frames delay=$delay")
+      assert(m.getLong(1) == w.toLong && m.getLong(2) == h.toLong)
+      assert(m.getLong(5) == frames.toLong)
+      assert(m.getLong(6) == frames.toLong * delay * 10000L)
+    }
+  }
+
+  test("GIF: malformed streams are unknown, not plausible meta") {
+    val good = Multimodal.encodeGif(10, 20, 3, 4)
+    // truncated mid sub-block chain: truncation, not fewer frames
+    assert(Multimodal.parseContainerMeta(good.dropRight(3)).getString(0) == "unknown")
+    // missing trailer: the walk must not report a complete animation
+    assert(Multimodal.parseContainerMeta(good.dropRight(1)).getString(0) == "unknown")
+    // an unknown block introducer aborts the walk
+    val junk = good.clone(); junk(19) = 0x55 // first frame's GCE intro byte
+    assert(Multimodal.parseContainerMeta(junk).getString(0) == "unknown")
+    // GIF87a (no extensions) parses too: strip the GCEs
+    val bytes = Multimodal.encodeGif(10, 20, 1, 4)
+    val gce = 8 // GCE block length: 0x21 0xf9 0x04 packed delay*2 tidx 0x00
+    val lsdEnd = 13 + 6 // header+LSD + 2-entry GCT
+    val no89 = ("GIF87a".getBytes("US-ASCII") ++ bytes.slice(6, lsdEnd)
+      ++ bytes.slice(lsdEnd + gce, bytes.length))
+    val m = Multimodal.parseContainerMeta(no89)
+    assert(m.getString(0) == "gif" && m.getLong(5) == 1L && m.getLong(6) == 0L)
+  }
+
+  test("WebP round-trip: VP8X canvas, ANMF count and summed durations") {
+    for {
+      (w, h) <- Seq((1, 1), (1024, 768), (1 << 24, 1 << 24))
+      frames <- Seq(1, 3, 4)
+      dur <- Seq(0, 33, 99)
+    } {
+      val bytes = Multimodal.encodeWebp(w, h, frames, dur)
+      val m = Multimodal.parseContainerMeta(bytes)
+      assert(m.getString(0) == "webp", s"w=$w h=$h frames=$frames dur=$dur")
+      assert(m.getLong(1) == w.toLong && m.getLong(2) == h.toLong)
+      assert(m.getLong(5) == frames.toLong)
+      assert(m.getLong(6) == frames.toLong * dur * 1000L)
+    }
+  }
+
+  test("WebP: malformed and still-image streams") {
+    val good = Multimodal.encodeWebp(100, 50, 2, 40)
+    // truncated chunk: unknown, not fewer frames
+    assert(Multimodal.parseContainerMeta(good.dropRight(4)).getString(0) == "unknown")
+    // no VP8X and no VP8L: no dims -> unknown
+    val bare = good.take(12)
+    assert(Multimodal.parseContainerMeta(bare).getString(0) == "unknown")
+    // VP8L still image: dims from the 14-bit packed lossless header
+    val vp8l = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def u32le(v: Int): Unit = (0 to 3).foreach(i => bos.write((v >>> (8 * i)) & 0xff))
+      "RIFF".foreach(bos.write(_)); u32le(4 + 8 + 6); "WEBP".foreach(bos.write(_))
+      "VP8L".foreach(bos.write(_)); u32le(6)
+      bos.write(0x2f)
+      // w-1 = 99 (14 bits), h-1 = 49 (14 bits), LSB-first packed
+      val packed = 99 | (49 << 14)
+      u32le(packed); bos.write(0)
+      bos.toByteArray
+    }
+    val m = Multimodal.parseContainerMeta(vp8l)
+    assert(m.getString(0) == "webp" && m.getLong(1) == 100L && m.getLong(2) == 50L)
+    assert(m.getLong(5) == 1L && m.getLong(6) == 0L)
+  }
 }
