@@ -177,7 +177,10 @@ object ClusterDedup {
       .select(col("id"), col("id").as("component"))
     val out = Par.cut(labeled.union(isolated))
     core.persisted.foreach(_.unpersist(false))
-    (core.cuts :+ crossEdges).foreach(Par.free)
+    // clComp is itself a cut (connectedComponents' sealed result) with
+    // no consumer beyond `out` — freeing it here closes a per-call
+    // block leak in long-lived sessions (the semanticDedup seal rule)
+    (core.cuts :+ crossEdges :+ clComp).foreach(Par.free)
     (out, core.probes)
   }
 

@@ -196,6 +196,91 @@ object StreamOps {
       }
       .start()
 
+  /** Seed the state dirs for [[incrementalClusterSink]]: the initial
+    * corpus under `part=seed` and its full component labels (computed
+    * once via the scalable batch path) beside it. An empty seed corpus
+    * is fine — the first micro-batch then labels itself from scratch.
+    */
+  def seedClusterState(
+      corpus: DataFrame, idCol: String, textCol: String,
+      corpusDir: String, labelsDir: String,
+      nGram: Int = 2, threshold: Double = 0.3): Unit = {
+    corpus.select(col(idCol), col(textCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$corpusDir/part=seed")
+    val labels = graft.operators.ClusterDedup.components(corpus, idCol, textCol, nGram, threshold)
+    labels.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$labelsDir/part=seed")
+    graft.operators.Par.free(labels) // the sealed cut has no further consumer
+  }
+
+  /** Streaming twin of `ClusterDedup.componentsIncremental` — the
+    * CANONICAL-LABELS daily-ingest story end to end: each micro-batch
+    * re-labels the grown corpus from (a) the previous batch's labels
+    * (star edges — they span the base connectivity by definition) and
+    * (b) only the exact near-dup pairs touching the batch. No
+    * base-internal candidate join ever re-runs; the inter-batch state
+    * is the labels themselves, so there is no index to version or
+    * invalidate. Batch N writes the FULL post-batch labeling to
+    * `labelsDir/part=b<N>` and its docs to `corpusDir/part=b<N>`;
+    * readers take the highest part for current labels (older label
+    * partitions are retention/compaction fodder — only the latest is
+    * ever read back).
+    *
+    * Exactly-once across restarts via the deterministic `part=b<N>` +
+    * Overwrite idiom (the [[incrementalDedupSink]] contract): a replay
+    * excludes its OWN partitions from the base corpus and label scan,
+    * so a crash anywhere between the two writes and the checkpoint
+    * commit replays to identical output.
+    */
+  def incrementalClusterSink(
+      newDocs: DataFrame, // streaming (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      corpusDir: String,
+      labelsDir: String,
+      checkpoint: String,
+      nGram: Int = 2,
+      threshold: Double = 0.3): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val self = s"b$batchId"
+        val base = spark.read.parquet(corpusDir)
+          .filter(col("part") =!= self).drop("part")
+        val labelled = spark.read.parquet(labelsDir)
+          .filter(col("part") =!= self)
+        // latest labels = highest batch index ('seed' sorts below b0);
+        // the distinct-part collect is a handful of strings
+        val parts = labelled.select("part").distinct()
+          .collect().map(_.getString(0))
+        val latest = parts.maxBy(p =>
+          if (p == "seed") -1L else p.stripPrefix("b").toLong)
+        val baseLabels = labelled.filter(col("part") === latest).drop("part")
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the labeling's own result checkpoint (and anything the
+        // contraction pinned) must not accumulate batch over batch in a
+        // long-running stream — release everything this batch pinned
+        // once its writes have run (the incrementalDedupSink pattern)
+        val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+        try {
+          graft.operators.ClusterDedup
+            .componentsIncremental(baseLabels, base, b, idCol, textCol, nGram, threshold)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$labelsDir/part=$self")
+          b.select(col(idCol), col(textCol))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$corpusDir/part=$self")
+        } finally {
+          b.unpersist()
+          val pinned = spark.sparkContext.getPersistentRDDs
+          (pinned.keySet -- pinnedBefore).foreach(id =>
+            pinned.get(id).foreach(_.unpersist(blocking = false)))
+        }
+        ()
+      }
+      .start()
+
   /** Streaming twin of `MinHashDedup.incrementalPairs` — the daily-
     * ingest dedup story end to end: each micro-batch of new docs probes
     * the persistent band index (only the batch is shingled and signed;

@@ -254,6 +254,52 @@ class StreamingSpec extends AnyFunSuite {
       s"replay must see only the pre-batch corpus; got ${pairs.sorted.mkString(", ")}")
   }
 
+  test("incremental cluster labels track the grown corpus per batch, replay-safe across restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.ClusterDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_incclust").toString
+    val (corpusDir, labelsDir, chk) = (s"$root/corpus", s"$root/labels", s"$root/chk")
+    def doc(fam: String, salt: Int): String =
+      (0 until 10).map(i => s"$fam${(i + salt) % 12}").mkString(" ")
+    val seed = Seq(1L -> doc("alpha", 0), 2L -> doc("alpha", 1),
+      10L -> doc("beta", 0), 11L -> doc("beta", 1)).toDF("doc_id", "text")
+    StreamOps.seedClusterState(seed, "doc_id", "text", corpusDir, labelsDir)
+    val in = MemoryStream[(Long, String)]
+    def pipeline() = StreamOps.incrementalClusterSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", corpusDir, labelsDir, chk)
+    def latestLabels(part: String): Map[Long, Long] =
+      spark.read.parquet(s"$labelsDir/part=$part")
+        .as[(Long, Long)].collect().toMap
+    // batch 0: a bridge doc merges the two seed clusters
+    val bridge = (0 until 6).map(i => s"alpha$i").mkString(" ") + " " +
+      (0 until 6).map(i => s"beta$i").mkString(" ")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val q1 = pipeline()
+    try {
+      in.addData(20L -> bridge)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val after0 = latestLabels("b0")
+    assert(after0.size == 5 && after0.values.toSet == Set(1L), s"bridge merge failed: $after0")
+    // batch 1 arrives while the query is DOWN: restart must label the
+    // 7-doc corpus exactly once, identically to a full recompute
+    in.addData(30L -> doc("gamma", 0), 31L -> doc("gamma", 1))
+    val q2 = pipeline()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val after1 = latestLabels("b1")
+    // the STREAM side must leave nothing pinned (checked before the
+    // full-recompute comparison below, whose own sealed result cut is
+    // legitimately alive while we read it)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"cluster stream leaked persisted RDDs: $leaked")
+    val full = ClusterDedup.components(
+        spark.read.parquet(corpusDir).drop("part"), "doc_id", "text", 2, 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(after1 == full, s"\n stream=$after1\n full=$full")
+    assert(after1(30L) == 30L && after1(31L) == 30L)
+  }
+
   test("file source reads csv directories with the same pipeline shape") {
     import spark.implicits._
     import org.apache.spark.sql.types._
