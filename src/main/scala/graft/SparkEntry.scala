@@ -1874,6 +1874,25 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // graph ANN (sharded HNSW): the gate arm runs efSearch=0 —
+    // EXHAUSTIVE per shard, which is provably exact because the layer-0
+    // insertion chain keeps every shard graph connected — so the full
+    // graph machinery (splitmix64 levels, greedy descent, beam,
+    // neighbor pruning, shard merge) sits under the brute-force oracle
+    // VERBATIM. The production beam (efSearch small) is recall-pinned
+    // in GraphAnnSpec: navigability is not a per-row structural
+    // property, so the ivf_partial fixture trick has no analogue here
+    "ann_hnsw" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      GraphAnn.hnswTopK(corpus, queries, k = 5, m = 8, efConstruction = 32,
+          efSearch = 0, nShards = 4)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // banded multi-table SRP (bits auto-sized to corpus, 32 tables):
     // full recall on the fixture corpus — verified against the exact
     // brute-force oracle below (the r1/r2 single-table multi-probe
@@ -3946,6 +3965,23 @@ object SparkEntry {
         |SELECT id, nbr_id, rank FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
 
     "ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, e.vec_id AS id,
+        |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+        |  FROM q CROSS JOIN embeddings e),
+        |r AS (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
+        |  FROM s)
+        |SELECT qid, id, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // EXACT ground truth for the sharded-HNSW gate arm: same SQL as
+    // ann_bruteforce — efSearch=0 is exhaustive per shard (layer-0
+    // chain connectivity), so the graph machinery must reproduce the
+    // exact top-k to hash-match
+    "ann_hnsw" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
         |s AS (
