@@ -185,37 +185,64 @@ object ClusterDedup {
   }
 
   /** INCREMENTAL labels for `base ∪ delta` from (a) the PREVIOUS run's
-    * labels over `base` and (b) only the exact pairs TOUCHING `delta` —
-    * the daily-ingest twin of [[components]]: a pipeline that ingests a
-    * batch per day re-labels the grown corpus WITHOUT re-running the
-    * base-internal candidate join or the full contraction.
+    * labels over `base` and (b) only the exact connectivity TOUCHING
+    * `delta` — the daily-ingest twin of [[components]]: a pipeline that
+    * ingests a batch per day re-labels the grown corpus WITHOUT
+    * re-running the base-internal candidate join or the full
+    * contraction, and the only state carried between increments is the
+    * labels themselves (no index to persist, version, or invalidate).
     *
     * Exactness: the t-graph over base ∪ delta is (base-internal
     * t-edges) ∪ (t-edges with ≥ 1 delta endpoint). `baseLabels`' star
-    * edges (id → component) span exactly the same connectivity as the
-    * base-internal t-edges — that is what labels ARE — so components
-    * over (star edges ∪ delta-touching exact pairs), with the union's
-    * ids as the vertex universe, equal [[components]] over the whole
-    * corpus: a delta doc that bridges two base clusters merges them
-    * through its two exact edges, and min-reachable-id labeling is
-    * preserved because star hubs are their components' minima.
+    * edges (id → component) span exactly the base-internal
+    * connectivity — that is what labels ARE — so components over
+    * (base star edges ∪ delta star-contraction edges ∪ verified
+    * delta-touching cluster edges), with the union's ids as the vertex
+    * universe, equal [[components]] over the whole corpus; min-id
+    * labeling is preserved because every edge endpoint is a doc id.
     * Row-identical to `components(base ∪ delta)` —
     * IncrementalDedupSpec pins the equivalence including the bridge,
-    * delta-only-cluster, exact-duplicate and empty-text cases; the
-    * driver gates `dedup_clusters_incremental` against the SAME DuckDB
-    * oracle as `dedup_clusters`/`dedup_clusters_scalable` (three plans,
-    * one truth).
+    * delta-only-cluster, exact-duplicate, replicated-corpus and
+    * empty-text cases; the driver gates `dedup_clusters_incremental`
+    * against the SAME DuckDB oracle as
+    * `dedup_clusters`/`dedup_clusters_scalable` (three plans, one
+    * truth).
     *
-    * Scale shape: candidates cost Σ_s dfPΔ(s)·dfP(s) (linear in the
-    * batch; the corpus side of the join is semi-joined to batch-active
-    * shingles first — see [[JaccardDedup.nearDupPairsIncremental]]),
-    * plus one linear shingle/df pass over the corpus and a contraction
-    * whose edge count is |labels| + |new pairs| — each non-singleton
-    * doc contributes ONE star edge, and almost all alternation rounds
-    * converge immediately because the star graph is already its own
-    * fixpoint except where delta edges touch. The only state carried
-    * between increments is the labels themselves — no index to
-    * persist, version, or invalidate.
+    * Scale shape — CLUSTER granularity, like the batch core, with the
+    * base/delta SPLIT healed before candidates. Two cheaper designs
+    * were built and measured out on the 10×-replicated soak corpus:
+    *   - a doc-level delta-vs-all prefix join
+    *     ([[JaccardDedup.nearDupPairsIncremental]], kept as the
+    *     pair-LISTING API and the measurable A/B arm) inherits the g²
+    *     replication pathology — 409 s where a FULL clustered
+    *     recompute takes ~50 s;
+    *   - base-clusters-from-labels + delta-only contraction leaves
+    *     each replica family SPLIT across the base/delta boundary and
+    *     the batch side near doc granularity: 17.7M candidates, 1.66M
+    *     singleton-bypass survivors, 245 s prune (vs the batch core's
+    *     6.0M / 1.8k / 33 s on the same corpus).
+    * So the contraction here is the batch core's LINEAR step 2 over
+    * ALL docs (one window + groupBy, never an iterative pass over
+    * doc-level edges — a components run over the ~g×n star edges was
+    * itself measured as this arm's bottleneck at 100×), merged EXACTLY
+    * with the previous run's labels at LABEL granularity: one
+    * incidence edge (star label, previous component) per base doc,
+    * distinct, then components of that tiny label graph — replica
+    * families collapse to one cluster regardless of which side of the
+    * split their members landed on. Candidates, the sound size/positional relaxations, the
+    * member-anchor bound, and the exact member verify are the SHARED
+    * steps 3-5 ([[clusterCandidatePlan]] / [[verifiedMemberPairs]])
+    * restricted to clusters holding ≥ 1 delta doc and, at expansion, to
+    * member pairs with ≥ 1 delta endpoint. Per-increment cost: linear
+    * passes (shingles, banding, narrow pre-contraction) plus candidate
+    * and verify volume proportional to the DELTA-TOUCHED slice of the
+    * cluster graph — a 1% daily batch prices ~1% of the quadratic
+    * stages (IncProbe at 100×: 59 s vs 169 s full recompute at a 1.4%
+    * batch), while the adversarial every-family-touched split (the %7
+    * gate fixture) degrades to a bounded ~1-1.4× of the full clustered
+    * recompute — never to the doc-level g² cliff. Operationally: a
+    * batch that touches nearly every cluster should simply run
+    * [[components]]; this arm exists for the proportional case.
     */
   def componentsIncremental(
       baseLabels: DataFrame,
@@ -224,21 +251,113 @@ object ClusterDedup {
       idCol: String,
       textCol: String,
       nGram: Int = 2,
-      threshold: Double = 0.3): DataFrame = {
-    val (pairs, release) = JaccardDedup.nearDupPairsIncrementalPlan(
-      base, delta, idCol, textCol, nGram, threshold)
-    val starEdges = baseLabels
-      .select(col("id").as("id_a"), col("component").as("id_b"))
-      .where(col("id_a") =!= col("id_b"))
+      threshold: Double = 0.3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      prune: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hashed = Par.widen(
+        base.select(col(idCol).as("id"), col(textCol).as("__t"), lit(false).as("__d"))
+          .unionByName(
+            delta.select(col(idCol).as("id"), col(textCol).as("__t"), lit(true).as("__d"))))
+      .select(col("id"),
+        NativeHash.shingleHashes(Text.tokens(col("__t")), nGram).as("__sh"),
+        col("__d"))
+      .select(col("id"), col("__sh"),
+        coalesce(size(col("__sh")), lit(0)).as("n"), col("__d"))
+      .persist(MEMORY_AND_DISK)
+    val nonEmpty = Par.cut(hashed.where(col("n") > 0))
+
+    // LSH star contraction over ALL docs (the batch core's step 2 — a
+    // LINEAR pass): base-only contraction is not enough, because an
+    // uncontracted delta side leaves the batch at DOC granularity and a
+    // replica-heavy batch then re-enters the g² candidate regime (first
+    // cut of this operator, measured: 17.7M candidates / 1.66M
+    // singleton-bypass survivors / 245 s prune at 10×, vs the batch
+    // core's 6.0M / 1.8k / 33 s on the same corpus). Star edges are
+    // exact-verified t-edges, so they are REAL connectivity, reusable
+    // in the final pass.
+    val buckets = nonEmpty.select(col("id"),
+      posexplode(NativeHash.minhashBandBucketsHashed(col("__sh"), numHashes, numBands))
+        .as(Seq("band", "bucket")))
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val lshCand = buckets
+      .withColumn("__hub", min(col("id")).over(bucketW))
+      .filter(col("__hub") < col("id"))
+      .select(col("__hub").as("id_a"), col("id").as("id_b")).distinct()
+    val alphaV = ceil((col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - lit(Eps))
+      .cast("int")
+    val starEdges = lshCand
+      .join(nonEmpty.select(col("id").as("id_a"), col("__sh").as("__sha"), col("n").as("n_a")), Seq("id_a"))
+      .join(nonEmpty.select(col("id").as("id_b"), col("__sh").as("__shb"), col("n").as("n_b")), Seq("id_b"))
+      .filter(greatest(col("n_a"), col("n_b")) * threshold <=
+        least(col("n_a"), col("n_b")) + lit(Eps))
+      .withColumn("c", NativeHash.sortedIntersectAtLeast(col("__sha"), col("__shb"), alphaV))
+      .filter(col("c") >= 0)
+      .filter(col("c") / (col("n_a") + col("n_b") - col("c")) >= threshold)
+      .select("id_a", "id_b")
+
+    // star label per doc: the batch core's one-pass contraction
+    // (cl(x) = min(x, min t-neighbor)) — a groupBy + join, NO iterative
+    // components over doc-level edges (a components pass over the ~g×n
+    // star edges was measured as the incremental arm's own bottleneck
+    // at 100×: distributed alternation rounds the batch core never pays)
+    val nbrMin = starEdges.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .union(starEdges.select(col("id_b").as("id"), col("id_a").as("nb")))
+      .groupBy("id").agg(min("nb").as("__nbmin"))
+    val starLab = nonEmpty.join(nbrMin, Seq("id"), "left")
+      .select(col("id"), col("__sh"), col("n"), col("__d"),
+        least(col("id"), coalesce(col("__nbmin"), col("id"))).as("__sl"))
+
+    // merge the star grouping with the previous run's components
+    // EXACTLY, at LABEL granularity: each base doc witnesses one
+    // incidence edge (its star label, its previous component) — the
+    // closure of two groupings is the components of this tiny label
+    // graph (≈ one distinct row per replica family, driver union-find
+    // territory), never of the doc-level edge set. Every merged group
+    // is connected through docs shared by alternating star/component
+    // groups, so it lies inside one t-component — a VALID cluster that
+    // heals the base/delta family split maximally.
+    val incidence = starLab.where(!col("__d"))
+      .join(baseLabels.select(col("id"), col("component").as("__bc")), Seq("id"))
+      .select(col("__sl").as("id_a"), col("__bc").as("id_b")).distinct()
+    val mergedLabel = Components.connectedComponents(incidence, "id_a", "id_b")
+      .select(col("id").as("__sl"), col("component").as("__m"))
+    // delta-only star clusters never meet a base doc: their label is
+    // absent from the incidence graph and survives as-is
+    val member = Par.cut(starLab
+      .join(mergedLabel, Seq("__sl"), "left")
+      .select(col("id"), col("__sh"), col("n"), col("__d"),
+        coalesce(col("__m"), col("__sl")).as("cl")))
     val verts = base.select(col(idCol).as("id"))
       .unionByName(delta.select(col(idCol).as("id")))
+
+    // shared steps 3-5, restricted to clusters holding >= 1 delta doc
+    // and (at expansion) to member pairs with >= 1 delta endpoint —
+    // base-internal pairs are the previous run's output
+    val cc = clusterCandidatePlan(member, threshold, prune, requireDelta = true)
+    val pruned = Par.cut(cc.prunePlan(cc.candCl))
+    val witnessed = pruned.where(col("__wit")).select(col("cl_a"), col("cl_b"))
+    val crossEdges = Par.cut(witnessed.union(
+      verifiedMemberPairs(pruned.where(!col("__wit")), member, threshold,
+          deltaOnly = true)
+        .select(col("cl_a"), col("cl_b")).distinct()))
+
+    // final labels: the pre-contraction's (id → cl) star edges carry
+    // its connectivity (each edge abbreviates a path of known t-edges),
+    // plus the verified delta-touching cluster edges
+    val preStar = member.where(col("id") =!= col("cl"))
+      .select(col("id").as("id_a"), col("cl").as("id_b"))
     // connectedComponents fully materializes (and cuts) its result
-    // before returning, so the incremental doc/prefix caches can be
+    // before returning, so every incremental intermediate can be
     // released immediately after
     val out = Components.connectedComponents(
-      starEdges.unionByName(pairs.select(col("id_a"), col("id_b"))),
+      preStar.unionByName(crossEdges.select(col("cl_a").as("id_a"), col("cl_b").as("id_b"))),
       "id_a", "id_b", Some(verts))
-    release()
+    hashed.unpersist(false)
+    Seq(nonEmpty, member, cc.cpost, pruned, crossEdges, mergedLabel).foreach(Par.free)
     out
   }
 
@@ -429,15 +548,32 @@ object ClusterDedup {
     * (cl_a, cl_b, ida, idb, jaccard) — consumers project what they
     * need.
     */
-  private def verifiedMemberPairs(
-      pruned: DataFrame, member: DataFrame, threshold: Double): DataFrame = {
+  private[operators] def verifiedMemberPairs(
+      pruned: DataFrame, member: DataFrame, threshold: Double,
+      deltaOnly: Boolean = false): DataFrame = {
     val alphaV = ceil((col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - lit(Eps))
       .cast("int")
-    pruned
-      .join(member.select(col("cl").as("cl_a"), col("id").as("ida"),
-        col("__sh").as("__sha"), col("n").as("n_a")), Seq("cl_a"))
-      .join(member.select(col("cl").as("cl_b"), col("id").as("idb"),
-        col("__sh").as("__shb"), col("n").as("n_b")), Seq("cl_b"))
+    def aSide(src: DataFrame) = src.select(col("cl").as("cl_a"), col("id").as("ida"),
+      col("__sh").as("__sha"), col("n").as("n_a"))
+    def bSide(src: DataFrame) = src.select(col("cl").as("cl_b"), col("id").as("idb"),
+      col("__sh").as("__shb"), col("n").as("n_b"))
+    // the incremental arm only needs member pairs with >= 1 delta DOC
+    // endpoint (base-base pairs are the previous run's connectivity).
+    // A post-join (__da || __db) filter would still SHIP every member
+    // pair's shingle arrays through the join first, so the expansion
+    // splits into two disjoint pre-filtered arms instead: (delta A ×
+    // all B) ∪ (base A × delta B) — on a mostly-base cluster graph the
+    // arrays shipped drop from |A|·|B| to ~2·f·|A|·|B| at delta
+    // fraction f
+    val expanded =
+      if (!deltaOnly) pruned.join(aSide(member), Seq("cl_a")).join(bSide(member), Seq("cl_b"))
+      else pruned
+        .join(aSide(member.where(col("__d"))), Seq("cl_a"))
+        .join(bSide(member), Seq("cl_b"))
+        .unionByName(pruned
+          .join(aSide(member.where(!col("__d"))), Seq("cl_a"))
+          .join(bSide(member.where(col("__d"))), Seq("cl_b")))
+    expanded
       .filter(greatest(col("n_a"), col("n_b")) * threshold <=
         least(col("n_a"), col("n_b")) + lit(Eps))
       .withColumn("c", NativeHash.sortedIntersectAtLeast(
@@ -565,42 +701,152 @@ object ClusterDedup {
         least(col("id"), coalesce(col("__nbmin"), col("id"))).as("cl")))
     val repCluster = member.select("id", "cl")
 
-    // ---- 3. cluster-level candidate generation ----
-    // Postings lift the PPJoin prefix index to clusters with the doc-
-    // level prunes RELAXED soundly (so singleton clusters — the normal
-    // case on low-duplication corpora — degenerate to exactly the
-    // doc-level filters, and candidate volume at 1× replication matches
-    // the direct pipeline's):
-    //   - positional: per (s, cluster) keep mr = max over members of
-    //     (n − pos). A qualifying member pair survives through its
-    //     first-shared-element posting s*, where
-    //     1 + min(n_a−p_a, n_b−p_b) ≥ α(n_a,n_b) ≥ α(minN_A,minN_B)
-    //     (α is increasing in sizes), and n−p ≤ mr by construction —
-    //     so 1 + min(mr_a, mr_b) ≥ α(minN_A, minN_B) holds for s*.
-    //   - size: some member pair could satisfy t·max ≤ min only if
-    //     t·max(minN_A, minN_B) ≤ min(maxN_A, maxN_B).
-    // The index explodes from `member` (= reps + their contraction
-    // label), so `cl` rides the prefix pipeline instead of being
-    // re-joined onto the index-sized stream; cluster stats join ONCE
-    // onto the postings (narrow (s, cl, mr) rows) and from there ride
-    // the candidate self-join — the pair stream downstream never
-    // re-joins per-cluster metadata it already carries.
+    // ---- 3 + 4: cluster-level candidates + anchor-bound prune ----
+    val cc = clusterCandidatePlan(member, threshold, prune, requireDelta = false)
+    val pruned = Par.cut(cc.prunePlan(cc.candCl))
+
+    // probe frames for the plan-shape pins (plans only — executing the
+    // consumers re-runs the same stages): the FULLY LAZY prune over the
+    // uncut candidate stream (both the prune cut and the candCl cut
+    // would hide their subtrees behind leaves) and the connectivity
+    // projection of the witness-split step 5
+    val pruneProbe = cc.prunePlan(cc.candCl)
+    val crossEdgesProbe = pruneProbe.where(col("__wit")).select(col("cl_a"), col("cl_b"))
+      .union(verifiedMemberPairs(pruneProbe.where(!col("__wit")), member, threshold)
+        .select(col("cl_a"), col("cl_b")).distinct())
+
+    Core(hashed, docRep, reps, repCluster, member, pruned,
+      Probes(cc.cpostRaw, cc.candCl, pruneProbe, crossEdgesProbe),
+      persisted = Seq(hashed),
+      cuts = collapseCut.toSeq ++ Seq(member, cc.cpost, pruned))
+  }
+
+  /** Steps 3-4 over an arbitrary member frame, shared by the batch core
+    * and the incremental arm.
+    */
+  private[operators] final case class ClusterCand(
+      cpostRaw: DataFrame,
+      cpost: DataFrame, // cut — consumer releases it
+      candCl: DataFrame,
+      prunePlan: DataFrame => DataFrame)
+
+  /** Cluster-level candidate generation + anchor-bound prune over a
+    * member frame (id, __sh, n, cl[, __d]) — any grouping where each
+    * cluster lies within one t-component is valid (contraction labels,
+    * a previous run's FULL component labels, or singletons).
+    *
+    * ---- 3. cluster-level candidate generation ----
+    * Postings lift the PPJoin prefix index to clusters with the doc-
+    * level prunes RELAXED soundly (so singleton clusters — the normal
+    * case on low-duplication corpora — degenerate to exactly the
+    * doc-level filters, and candidate volume at 1× replication matches
+    * the direct pipeline's):
+    *   - positional: per (s, cluster) keep mr = max over members of
+    *     (n − pos). A qualifying member pair survives through its
+    *     first-shared-element posting s*, where
+    *     1 + min(n_a−p_a, n_b−p_b) ≥ α(n_a,n_b) ≥ α(minN_A,minN_B)
+    *     (α is increasing in sizes), and n−p ≤ mr by construction —
+    *     so 1 + min(mr_a, mr_b) ≥ α(minN_A, minN_B) holds for s*.
+    *   - size: some member pair could satisfy t·max ≤ min only if
+    *     t·max(minN_A, minN_B) ≤ min(maxN_A, maxN_B).
+    * The index explodes from `member`, so `cl` rides the prefix
+    * pipeline instead of being re-joined onto the index-sized stream;
+    * cluster stats join ONCE onto the postings (narrow (s, cl, mr)
+    * rows) and from there ride the candidate self-join — the pair
+    * stream downstream never re-joins per-cluster metadata it already
+    * carries.
+    *
+    * `requireDelta = true` (the incremental arm): member carries a
+    * boolean `__d`, lifted per cluster (a cluster is delta iff any
+    * member is), and the candidate join keeps only pairs with ≥ 1
+    * delta endpoint — base-internal cluster pairs never reach the
+    * distinct exchange (their connectivity is the previous run's
+    * labels).
+    *
+    * ---- 4. anchor-bound prune + hub witness ----
+    * The anchor of cluster c is its MIN-ID MEMBER's shingle set. NOT
+    * the doc named by the label: star labels chain (cl(x) = nbmin(x)
+    * while that doc itself stars to a smaller hub), so doc c need not
+    * belong to cluster c, and a non-member reference set would need
+    * its own diff term — a member anchor makes the singleton case
+    * exact by construction. For members x ∈ A, y ∈ B, every element of
+    * S_x ∩ S_y is in H_A ∩ H_B, missing from H_A (⊆ S_x \ H_A), or
+    * missing from H_B (⊆ S_y \ H_B):
+    *     c(x,y) ≤ |H_A ∩ H_B| + maxD_A + maxD_B
+    * with maxD_C = max over members of |S_x \ H_C| (exact, one
+    * corpus-linear walk per member; multi-member clusters only —
+    * a singleton's anchor IS its member, so maxD = 0 exactly and the
+    * bound walk IS the member pair's verify walk). Qualifying needs
+    * c(x,y) ≥ α(n_x,n_y) ≥ α(minN_A,minN_B) = αmin, so a cluster pair
+    * retires when one early-exit anchor walk cannot reach
+    * αmin − maxD_A − maxD_B. This replaced the r13 union bound
+    * (|U_A∩U_B| ≥ max(minN)·t): unions ACCUMULATE every member's
+    * noise, so on the 100×-replicated soak corpus the per-replica
+    * marker shingles put ~R shared elements into every multi-member
+    * union, the bound passed for EVERY cluster pair, and the step-5
+    * |A|×|B| expansion OOM'd a 48 g heap. A single-doc anchor carries
+    * each marker at most once, the diffs maxD stay at edit size, and
+    * the walk is doc-length, not union-length (no cap needed).
+    * (For a previous-run FULL component used as a cluster — the
+    * incremental base side — a long chain component can make maxD
+    * vacuous; the pair then just falls through to the member verify,
+    * i.e. the prune degrades to `prune = false`, never to wrong.)
+    *
+    * WITNESS: when the walk passes it returns the EXACT |H_A∩H_B|
+    * (countAtLeast early-exits only to say "can't reach α"), so
+    * J(H_A,H_B) ≥ t is decided for free. Anchors are members, so a
+    * witness-true pair is itself a qualifying cross-cluster member
+    * pair — the components consumer takes it as a cluster edge with
+    * ZERO member expansion. On replica-heavy corpora this is what
+    * keeps step 5 off the g² expansion entirely: fragments of one
+    * replica family have near-identical anchors, so their cluster
+    * edges are all witnessed.
+    *
+    * SINGLETON-SINGLETON BYPASS: when both clusters are single-member,
+    * the anchor IS the member, maxD = 0, and the bound walk would be
+    * byte-for-byte the pair's step-5 verify walk — running it here
+    * means joining anchor arrays onto the pair a second time for zero
+    * pruning information. On low-duplication corpora (the gate corpus:
+    * 99.8% distinct sets, contraction rarely fires) singleton pairs
+    * ARE the candidate stream, and gating them doubled the core's
+    * array movement (measured at 1×: ~4.6 GB shuffle and +3-5 s per
+    * consumer vs routing them straight to verify). Multi-member pairs
+    * — the replica families the prune exists for — still take the
+    * anchor gate, so the 100× behavior is untouched.
+    */
+  private[operators] def clusterCandidatePlan(
+      member: DataFrame,
+      threshold: Double,
+      prune: Boolean,
+      requireDelta: Boolean): ClusterCand = {
     val index = member.select(col("id"), explode(col("__sh")).as("s"), col("n"), col("cl"))
-    val cStats = member.groupBy("cl")
-      .agg(min("n").as("minN"), max("n").as("maxN"), count(lit(1)).as("nm"))
+    // the per-cluster delta flag exists ONLY in the incremental arm —
+    // the batch path's plan stays byte-identical to pre-extraction
+    val statCols = Seq(min("n").as("minN"), max("n").as("maxN"),
+      count(lit(1)).as("nm")) ++
+      (if (requireDelta) Seq(max(col("__d")).as("isDelta")) else Nil)
+    val cStats = member.groupBy("cl").agg(statCols.head, statCols.tail: _*)
     val cpostRaw = JaccardDedup.prefixIndex(index, "id", threshold, keep = Seq("cl"))
       .groupBy(col("s"), col("cl"))
       .agg(max(col("n") - col("pos")).as("mr"))
       .join(cStats, Seq("cl"))
     val cpost = Par.cut(cpostRaw)
     val alphaMin = ceil((col("__mna") + col("__mnb")) * (threshold / (1.0 + threshold)) - lit(Eps))
+    val aCols = Seq(col("s").as("__sa"), col("cl").as("cl_a"), col("mr").as("__mra"),
+      col("minN").as("__mna"), col("maxN").as("__mxa"), col("nm").as("__nma")) ++
+      (if (requireDelta) Seq(col("isDelta").as("__dla")) else Nil)
+    val bCols = Seq(col("s").as("__sb"), col("cl").as("cl_b"), col("mr").as("__mrb"),
+      col("minN").as("__mnb"), col("maxN").as("__mxb"), col("nm").as("__nmb")) ++
+      (if (requireDelta) Seq(col("isDelta").as("__dlb")) else Nil)
+    val deltaPred =
+      if (requireDelta) col("__dla") || col("__dlb")
+      else lit(true)
     val candCl = cpost
-      .select(col("s").as("__sa"), col("cl").as("cl_a"), col("mr").as("__mra"),
-        col("minN").as("__mna"), col("maxN").as("__mxa"), col("nm").as("__nma"))
-      .join(cpost.select(col("s").as("__sb"), col("cl").as("cl_b"), col("mr").as("__mrb"),
-          col("minN").as("__mnb"), col("maxN").as("__mxb"), col("nm").as("__nmb")),
+      .select(aCols: _*)
+      .join(cpost.select(bCols: _*),
         col("__sa") === col("__sb") &&
         col("cl_a") < col("cl_b") &&
+        deltaPred &&
         least(col("__mxa"), col("__mxb")) + lit(Eps) >=
           greatest(col("__mna"), col("__mnb")) * threshold &&
         lit(1) + least(col("__mra"), col("__mrb")) >= alphaMin)
@@ -612,48 +858,13 @@ object ClusterDedup {
       .select(col("cl_a"), col("cl_b"), col("__mna"), col("__mnb"),
         col("__nma"), col("__nmb"))
       .distinct()
-    // NOT cut or persisted, even though the singleton bypass below
-    // scans it from two union arms: the expensive part (the candidate
-    // self-join's exchanges) is shared between identical subtrees by
-    // Spark's ReuseExchange, so only cheap post-shuffle map work runs
-    // per arm — an eager materialization was tried and measured
-    // slightly SLOWER at the gate (it blocks the pipeline and hides
-    // the stream behind a leaf).
-
-    // ---- 4. anchor-bound prune + hub witness. The anchor of cluster c
-    // is its MIN-ID MEMBER's shingle set. NOT the doc named by the
-    // label: star labels chain (cl(x) = nbmin(x) while that doc itself
-    // stars to a smaller hub), so doc c need not belong to cluster c,
-    // and a non-member reference set would need its own diff term — a
-    // member anchor makes the singleton case exact by construction.
-    // For members x ∈ A, y ∈ B, every element of S_x ∩ S_y is in
-    // H_A ∩ H_B, missing from H_A (⊆ S_x \ H_A), or missing from H_B
-    // (⊆ S_y \ H_B):
-    //     c(x,y) ≤ |H_A ∩ H_B| + maxD_A + maxD_B
-    // with maxD_C = max over members of |S_x \ H_C| (exact, one
-    // corpus-linear walk per member; multi-member clusters only —
-    // a singleton's anchor IS its member, so maxD = 0 exactly and the
-    // bound walk IS the member pair's verify walk). Qualifying needs
-    // c(x,y) ≥ α(n_x,n_y) ≥ α(minN_A,minN_B) = αmin, so a cluster pair
-    // retires when one early-exit anchor walk cannot reach
-    // αmin − maxD_A − maxD_B. This replaced the r13 union bound
-    // (|U_A∩U_B| ≥ max(minN)·t): unions ACCUMULATE every member's
-    // noise, so on the 100×-replicated soak corpus the per-replica
-    // marker shingles put ~R shared elements into every multi-member
-    // union, the bound passed for EVERY cluster pair, and the step-5
-    // |A|×|B| expansion OOM'd a 48 g heap. A single-doc anchor carries
-    // each marker at most once, the diffs maxD stay at edit size, and
-    // the walk is doc-length, not union-length (no cap needed).
-    //
-    // WITNESS: when the walk passes it returns the EXACT |H_A∩H_B|
-    // (countAtLeast early-exits only to say "can't reach α"), so
-    // J(H_A,H_B) ≥ t is decided for free. Anchors are members, so a
-    // witness-true pair is itself a qualifying cross-cluster member
-    // pair — the components consumer takes it as a cluster edge with
-    // ZERO member expansion. On replica-heavy corpora this is what
-    // keeps step 5 off the g² expansion entirely: fragments of one
-    // replica family have near-identical anchors, so their cluster
-    // edges are all witnessed.
+    // candCl NOT cut or persisted, even though the singleton bypass
+    // below scans it from two union arms: the expensive part (the
+    // candidate self-join's exchanges) is shared between identical
+    // subtrees by Spark's ReuseExchange, so only cheap post-shuffle map
+    // work runs per arm — an eager materialization was tried and
+    // measured slightly SLOWER at the gate (it blocks the pipeline and
+    // hides the stream behind a leaf).
     val anchors = member.groupBy("cl")
       .agg(min_by(struct(col("__sh"), col("n")), col("id")).as("__h"))
       .select(col("cl"), col("__h.__sh").as("__hsh"), col("__h.n").as("__hn"))
@@ -663,19 +874,8 @@ object ClusterDedup {
       .groupBy("cl")
       .agg(max(col("n") - NativeHash.sortedIntersectCount(col("__sh"), col("__hsh")))
         .as("__maxd"))
-    // SINGLETON-SINGLETON BYPASS: when both clusters are single-member,
-    // the anchor IS the member, maxD = 0, and the bound walk would be
-    // byte-for-byte the pair's step-5 verify walk — running it here
-    // means joining anchor arrays onto the pair a second time for zero
-    // pruning information. On low-duplication corpora (the gate corpus:
-    // 99.8% distinct sets, contraction rarely fires) singleton pairs
-    // ARE the candidate stream, and gating them doubled the core's
-    // array movement (measured at 1×: ~4.6 GB shuffle and +3-5 s per
-    // consumer vs routing them straight to verify). Multi-member pairs
-    // — the replica families the prune exists for — still take the
-    // anchor gate, so the 100× behavior is untouched.
     val bothSingle = col("__nma") === 1 && col("__nmb") === 1
-    def prunePlan(cand: DataFrame) =
+    def prunePlan(cand: DataFrame): DataFrame =
       if (!prune) cand.select(col("cl_a"), col("cl_b"), lit(false).as("__wit"))
       else cand.where(!bothSingle)
         .join(anchors.select(col("cl").as("cl_a"), col("__hsh").as("__ha"), col("__hn").as("__hna")), Seq("cl_a"))
@@ -691,26 +891,6 @@ object ClusterDedup {
             .as("__wit"))
         .union(cand.where(bothSingle)
           .select(col("cl_a"), col("cl_b"), lit(false).as("__wit")))
-    val prunedLazy = prunePlan(candCl)
-    // cut (narrow rows: two ids + the witness flag): the components
-    // consumer reads the frame twice (witnessed edges + ambiguous
-    // verify), and a leaf also keeps the candidate join out of every
-    // downstream analyzer walk
-    val pruned = Par.cut(prunedLazy)
-
-    // probe frames for the plan-shape pins (plans only — executing the
-    // consumers re-runs the same stages): the FULLY LAZY prune over the
-    // uncut candidate stream (both the prune cut and the candCl cut
-    // would hide their subtrees behind leaves) and the connectivity
-    // projection of the witness-split step 5
-    val pruneProbe = prunePlan(candCl)
-    val crossEdgesProbe = pruneProbe.where(col("__wit")).select(col("cl_a"), col("cl_b"))
-      .union(verifiedMemberPairs(pruneProbe.where(!col("__wit")), member, threshold)
-        .select(col("cl_a"), col("cl_b")).distinct())
-
-    Core(hashed, docRep, reps, repCluster, member, pruned,
-      Probes(cpostRaw, candCl, pruneProbe, crossEdgesProbe),
-      persisted = Seq(hashed),
-      cuts = collapseCut.toSeq ++ Seq(member, cpost, pruned))
+    ClusterCand(cpostRaw, cpost, candCl, prunePlan)
   }
 }

@@ -226,6 +226,16 @@ object JaccardDedup {
     * the corpus (the price of NOT persisting any index between
     * increments: the only state this API needs from the previous run
     * is its labels).
+    *
+    * REPLICATION CAVEAT (measured): doc-level frequencies multiply by
+    * g under g near-identical copies on BOTH sides of the candidate
+    * join, so on replica-heavy corpora this LISTING inherits the g²
+    * pathology — the 10× soak measured 409 s here where a full
+    * CLUSTERED recompute takes 116 s. When only labels (not the pair
+    * listing) are needed, use
+    * [[ClusterDedup.componentsIncremental]], which runs the same
+    * incremental idea at cluster granularity and stays at
+    * distinct-content cost.
     */
   def nearDupPairsIncremental(
       base: DataFrame,

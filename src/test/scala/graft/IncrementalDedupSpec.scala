@@ -85,6 +85,20 @@ class IncrementalDedupSpec extends AnyFunSuite {
     check(base, delta)
   }
 
+  test("replicated corpus (the soak shape): near-identical copies on both sides") {
+    // every doc carries 5 near-dup replicas with a tiny suffix edit —
+    // the boilerplate-crawl shape whose g² candidate growth the
+    // cluster-granularity incremental arm exists to avoid; exactness
+    // must hold regardless
+    val fams = Array("apple", "banana", "cherry")
+    val corpus = for {
+      f <- 0 until 3
+      r <- 0 until 5
+    } yield (f * 100L + r) -> (doc(fams(f), 0) + s" rep$r marker")
+    val (delta, base) = corpus.partition(_._1 % 7 == 0)
+    check(base, delta)
+  }
+
   test("incremental pair stream lists exactly the delta-touching exact pairs") {
     val base = Seq(1L -> doc("alpha", 0), 2L -> doc("alpha", 1),
       3L -> doc("beta", 0))
