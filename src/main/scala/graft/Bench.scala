@@ -144,7 +144,12 @@ object Bench {
     // highest existing BENCH_r*.json (the driver writes r{N} AFTER this
     // run, so current round = max + 1); plain BENCH_LOCAL.json when no
     // prior artifacts are visible from the working directory.
-    try {
+    // FULL runs only: a targeted `runMain graft.Bench q1 q2` (local
+    // iteration, A/B adjudication) must not clobber the round's
+    // complete record with a 2-query file.
+    if (only.nonEmpty) {
+      System.err.println("[bench] targeted run: BENCH_LOCAL file not written")
+    } else try {
       val rdetail = results.map { r =>
         s"""{"q":"${r.name}","reps":${jsonArr(r.reps)},"median":${f"${r.median}%.3f"},""" +
           s""""min":${f"${r.min}%.3f"},"ok":${r.ok},"extra_rep":${r.extraRep}}"""
