@@ -873,6 +873,134 @@ object NativeHash {
     * workhorse for threshold joins (see SortedIntersectHelper
     * .countAtLeast for the bail condition's exactness argument).
     */
+  /** Merge-walk algebra over sorted-distinct long arrays backing the
+    * DIFF-BASED member verify (ClusterDedup / OverlapJoin step 5): a
+    * member x of cluster C is carried as edit-sized diffs against C's
+    * anchor set H — dM = H \ S_x (what x is missing), dP = S_x \ H
+    * (what x adds) — and a member pair's exact intersection is
+    * reconstructed from the anchor-pair walk plus these small-array
+    * terms:
+    *
+    *   |S_x ∩ S_y| = |H_A∩H_B|                       (the prune's walk)
+    *               + (|dPx∩H_B| − |dMx∩H_B|)         (adjust, side A)
+    *               + (|dPy∩H_A| − |dMy∩H_A|)         (adjust, side B)
+    *               + |dMx∩dMy| − |dPx∩dMy|
+    *               − |dPy∩dMx| + |dPx∩dPy|           (correction)
+    *
+    * Proof: write S_x = (H_A \ dMx) ⊎ dPx and S_y likewise; S_x∩S_y
+    * splits into four disjoint pieces — (H_A∩H_B) \ (dMx∪dMy),
+    * dPy ∩ (H_A\dMx), dPx ∩ (H_B\dMy), dPx∩dPy — and
+    * inclusion-exclusion over the first (dMx ⊆ H_A, dMy ⊆ H_B, so
+    * dMx∩dMy ⊆ H_A∩H_B) gives exactly the terms above. Every term is
+    * an exact set cardinality, so the assembled count is the same
+    * integer the direct full-array walk returns. The point at scale:
+    * the member-pair join ships and walks only edit-sized diffs — the
+    * anchor-sized work happens once per (member, opposite cluster),
+    * never per member pair.
+    */
+  final class SortedDiffHelper extends Serializable {
+    /** Elements of `a` not present in `b` (both sorted distinct) — the
+      * output stays sorted distinct.
+      */
+    def diff(a: ArrayData, b: ArrayData): ArrayData = {
+      val na = a.numElements(); val nb = b.numElements()
+      val out = new Array[Long](na)
+      var i = 0; var j = 0; var o = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { i += 1; j += 1 }
+        else if (x < y) { out(o) = x; o += 1; i += 1 }
+        else j += 1
+      }
+      while (i < na) { out(o) = a.getLong(i); o += 1; i += 1 }
+      new GenericArrayData(if (o == na) out else java.util.Arrays.copyOf(out, o))
+    }
+    private def count(a: ArrayData, b: ArrayData): Int = {
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var c = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
+    }
+    /** |dP ∩ h| − |dM ∩ h|: the side's exact contribution relative to
+      * its own anchor's walk against `h` (the OPPOSITE cluster's
+      * anchor). dM/dP are edit-sized, so both walks are bounded by
+      * |h| + |diff|.
+      */
+    def anchorAdjust(dM: ArrayData, dP: ArrayData, h: ArrayData): Int =
+      count(dP, h) - count(dM, h)
+    /** |daM∩dbM| − |daP∩dbM| − |dbP∩daM| + |daP∩dbP| — the per-pair
+      * term; all four walks are over edit-sized arrays.
+      */
+    def correction(daM: ArrayData, daP: ArrayData,
+        dbM: ArrayData, dbP: ArrayData): Int =
+      count(daM, dbM) - count(daP, dbM) - count(dbP, daM) + count(daP, dbP)
+  }
+
+  /** `sorted_diff(a, b)`: sorted elements of a absent from b. */
+  case class SortedDiffExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val helper = new SortedDiffHelper
+    override def nullSafeEval(a: Any, b: Any): Any =
+      helper.diff(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("sortedDiffHelper", helper, classOf[SortedDiffHelper].getName)
+      defineCodeGen(ctx, ev, (a, b) => s"$h.diff($a, $b)")
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedDiffExpr =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "sorted_diff"
+  }
+
+  /** `anchor_adjust(dM, dP, h)` = |dP∩h| − |dM∩h| (see SortedDiffHelper). */
+  case class AnchorAdjustExpr(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    @transient private lazy val helper = new SortedDiffHelper
+    override def nullSafeEval(dm: Any, dp: Any, h: Any): Any =
+      helper.anchorAdjust(dm.asInstanceOf[ArrayData], dp.asInstanceOf[ArrayData],
+        h.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("sortedDiffHelper", helper, classOf[SortedDiffHelper].getName)
+      defineCodeGen(ctx, ev, (a, b, c) => s"$h.anchorAdjust($a, $b, $c)")
+    }
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): AnchorAdjustExpr =
+      copy(first = newFirst, second = newSecond, third = newThird)
+    override def prettyName: String = "anchor_adjust"
+  }
+
+  /** `diff_correction(daM, daP, dbM, dbP)` — the per-pair term of the
+    * diff-based verify (see SortedDiffHelper).
+    */
+  case class DiffCorrectionExpr(first: Expression, second: Expression,
+      third: Expression, fourth: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType),
+      ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    @transient private lazy val helper = new SortedDiffHelper
+    override def nullSafeEval(daM: Any, daP: Any, dbM: Any, dbP: Any): Any =
+      helper.correction(daM.asInstanceOf[ArrayData], daP.asInstanceOf[ArrayData],
+        dbM.asInstanceOf[ArrayData], dbP.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("sortedDiffHelper", helper, classOf[SortedDiffHelper].getName)
+      defineCodeGen(ctx, ev, (a, b, c, d) => s"$h.correction($a, $b, $c, $d)")
+    }
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression, newFourth: Expression): DiffCorrectionExpr =
+      copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+    override def prettyName: String = "diff_correction"
+  }
+
   case class SortedIntersectAtLeastExpr(first: Expression, second: Expression,
       third: Expression) extends TernaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType), IntegerType)
@@ -926,6 +1054,17 @@ object NativeHash {
   def sortedIntersectAtLeast(a: Column, b: Column, alpha: Column): Column =
     Shims.column(SortedIntersectAtLeastExpr(
       Shims.expression(a), Shims.expression(b), Shims.expression(alpha)))
+
+  def sortedDiff(a: Column, b: Column): Column =
+    Shims.column(SortedDiffExpr(Shims.expression(a), Shims.expression(b)))
+
+  def anchorAdjust(dM: Column, dP: Column, h: Column): Column =
+    Shims.column(AnchorAdjustExpr(
+      Shims.expression(dM), Shims.expression(dP), Shims.expression(h)))
+
+  def diffCorrection(daM: Column, daP: Column, dbM: Column, dbP: Column): Column =
+    Shims.column(DiffCorrectionExpr(Shims.expression(daM), Shims.expression(daP),
+      Shims.expression(dbM), Shims.expression(dbP)))
 
   def shingleDupRatio(tokens: Column, n: Int): Column =
     Shims.column(ShingleDupRatioExpr(Shims.expression(tokens), n))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,14 +63,19 @@ import graft.functions.{NativeHash, Text}
   *      prune is an optimization, never a correctness arm
   *      (`prune = false` disables it; exactness tests run both arms).
   *   5. EXACT VERIFY — ambiguous surviving cluster pairs expand to
-  *      member pairs, re-checked with the doc-level size filter and the
-  *      early-exit sorted-intersection walk at exactly
-  *      [[JaccardDedup]]'s α bound (same ±1e-9 fp guards); pairs whose
-  *      anchor walk already proved a J ≥ t anchor edge (the WITNESS of
-  *      step 4) are cluster edges with no expansion at all on the
-  *      components path. True cross-cluster edges + the contraction
-  *      edges of steps 1-2 span the same components as the full
-  *      t-graph, so the final labels — min reachable id through
+  *      member pairs, re-checked at exactly [[JaccardDedup]]'s α bound
+  *      (same ±1e-9 fp guards); pairs whose anchor walk already proved
+  *      a J ≥ t anchor edge (the WITNESS of step 4) are cluster edges
+  *      with no expansion at all on the components path. Anchor-gated
+  *      pairs verify through the DIFF identity (each member carried as
+  *      edit-sized diffs against its cluster anchor; the pair's exact
+  *      count reassembled from the prune's anchor walk — see
+  *      [[verifiedMemberPairs]] and
+  *      [[graft.functions.NativeHash.SortedDiffHelper]]), so the
+  *      member-pair join never ships full shingle arrays; bypass pairs
+  *      keep the direct early-exit walk. True cross-cluster edges + the
+  *      contraction edges of steps 1-2 span the same components as the
+  *      full t-graph, so the final labels — min reachable id through
   *      cluster-graph components — equal the direct pipeline's.
   *
   * Scale shape: every step is a narrow-key shuffle (shingle hash,
@@ -131,7 +136,9 @@ object ClusterDedup {
       reps: DataFrame,       // (id, __sh, n) — one per distinct set
       repCluster: DataFrame, // (id, cl) — LSH star contraction of reps
       member: DataFrame,     // (id, __sh, n, cl)
-      pruned: DataFrame,     // (cl_a, cl_b, __wit) pairs surviving the bound
+      anchors: DataFrame,    // (cl, __hsh, __hn)
+      diffs: DataFrame,      // (cl, id, n, __hn, __dm, __dp) — member-vs-anchor diffs
+      pruned: DataFrame,     // (cl_a, cl_b, __wit, __hc, size stats) surviving the bound
       probes: Probes,
       persisted: Seq[DataFrame],
       cuts: Seq[DataFrame])
@@ -157,7 +164,8 @@ object ClusterDedup {
     // edges as-is, no member expansion; only ambiguous pairs expand.
     val witnessed = core.pruned.where(col("__wit")).select(col("cl_a"), col("cl_b"))
     val crossEdges = Par.cut(witnessed.union(
-      verifiedMemberPairs(core.pruned.where(!col("__wit")), core.member, threshold)
+      verifiedMemberPairs(core.pruned.where(!col("__wit")), core.member,
+          core.diffs, core.anchors, threshold)
         .select(col("cl_a"), col("cl_b")).distinct()))
 
     // ---- assemble: cluster-graph components, then fan labels back out
@@ -341,8 +349,8 @@ object ClusterDedup {
     val pruned = Par.cut(cc.prunePlan(cc.candCl))
     val witnessed = pruned.where(col("__wit")).select(col("cl_a"), col("cl_b"))
     val crossEdges = Par.cut(witnessed.union(
-      verifiedMemberPairs(pruned.where(!col("__wit")), member, threshold,
-          deltaOnly = true)
+      verifiedMemberPairs(pruned.where(!col("__wit")), member,
+          cc.diffs, cc.anchors, threshold, deltaOnly = true)
         .select(col("cl_a"), col("cl_b")).distinct()))
 
     // final labels: the pre-contraction's (id → cl) star edges carry
@@ -357,7 +365,8 @@ object ClusterDedup {
       preStar.unionByName(crossEdges.select(col("cl_a").as("id_a"), col("cl_b").as("id_b"))),
       "id_a", "id_b", Some(verts))
     hashed.unpersist(false)
-    Seq(nonEmpty, member, cc.cpost, pruned, crossEdges, mergedLabel).foreach(Par.free)
+    Seq(nonEmpty, member, cc.cpost, cc.diffs, pruned, crossEdges, mergedLabel)
+      .foreach(Par.free)
     out
   }
 
@@ -497,21 +506,34 @@ object ClusterDedup {
       numHashes, numBands, prune)
 
     // ---- 5'. exact member verification, KEEPING ids + jaccard ----
-    val cross = verifiedMemberPairs(core.pruned, core.member, threshold)
+    val cross = verifiedMemberPairs(core.pruned, core.member,
+        core.diffs, core.anchors, threshold)
       .select(least(col("ida"), col("idb")).as("ra"),
         greatest(col("ida"), col("idb")).as("rb"), col("jaccard"))
     // intra-cluster pairs: the cluster exists because members share a
-    // hub, not because they pairwise qualify — verify each pair
+    // hub, not because they pairwise qualify — verify each pair. The
+    // DIFF identity with both sides on the SAME anchor H collapses to
+    // c = |H| − |dM_a| − |dM_b| + correction (adj against the own
+    // anchor is −|dM| exactly: dP∩H = ∅ and dM ⊆ H), so the g²
+    // intra expansion of a replica-family cluster ships edit-sized
+    // diffs instead of full member arrays — this was THE dominant
+    // verify volume on the 100× soak (the family contracts into one
+    // cluster, so its quadratic lives here, not in the cross arm)
     val alphaV = ceil((col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - lit(Eps))
       .cast("int")
-    val intra = core.member.select(col("cl"), col("id").as("ra"), col("__sh").as("__sha"), col("n").as("n_a"))
-      .join(core.member.select(col("cl"), col("id").as("rb"), col("__sh").as("__shb"), col("n").as("n_b")), Seq("cl"))
+    val intra = core.diffs.select(col("cl"), col("id").as("ra"), col("n").as("n_a"),
+        col("__hn"), col("__dm").as("__dma"), col("__dp").as("__dpa"))
+      .join(core.diffs.select(col("cl"), col("id").as("rb"), col("n").as("n_b"),
+        col("__dm").as("__dmb"), col("__dp").as("__dpb")), Seq("cl"))
       .filter(col("ra") < col("rb"))
       .filter(greatest(col("n_a"), col("n_b")) * threshold <=
         least(col("n_a"), col("n_b")) + lit(Eps))
-      .withColumn("c", NativeHash.sortedIntersectAtLeast(
-        col("__sha"), col("__shb"), alphaV))
-      .filter(col("c") >= 0)
+      // sound pre-walk bound: correction ≤ min(|dM_a|,|dM_b|) +
+      // min(|dP_a|,|dP_b|), so c ≤ |H| − max(|dM|) + min(|dP|)
+      .filter(col("__hn") - greatest(size(col("__dma")), size(col("__dmb"))) +
+        least(size(col("__dpa")), size(col("__dpb"))) >= alphaV)
+      .withColumn("c", col("__hn") - size(col("__dma")) - size(col("__dmb")) +
+        NativeHash.diffCorrection(col("__dma"), col("__dpa"), col("__dmb"), col("__dpb")))
       .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("ra"), col("rb"), col("jaccard"))
@@ -543,16 +565,47 @@ object ClusterDedup {
   }
 
   /** Shared step 5 verify: expand bound-surviving cluster pairs to
-    * member pairs and run the doc-level size filter + exact early-exit
-    * walk at [[JaccardDedup]]'s α bound. Returns
-    * (cl_a, cl_b, ida, idb, jaccard) — consumers project what they
-    * need.
+    * member pairs. Two row-identical arms, routed per PAIR by `__hc`
+    * nullability, both ending at the same α/threshold semantics:
+    *
+    *   - DIFF arm (`__hc` non-null — every anchor-gated survivor): the
+    *     member pair's exact intersection is reconstructed as
+    *     `__hc + adj_a + adj_b + correction` — see
+    *     [[graft.functions.NativeHash.SortedDiffHelper]] for the
+    *     identity and its proof. The member-pair join ships and walks
+    *     only edit-sized diff arrays; anchor-sized work happens once
+    *     per (member, opposite cluster) in the expansion join that
+    *     computes adj — Σ(|A|+|B|) anchor walks per surviving pair,
+    *     never |A|·|B| full-array walks. This is what keeps the verify
+    *     stage off the g² array movement on replica-heavy corpora (the
+    *     r14/r15 100× soak's dominant cost: 6.15 GB expansion
+    *     exchanges). Two sound prunes retire rows early: a per-SIDE
+    *     size prefilter (a member that cannot size-match ANY opposite
+    *     member — vs the opposite cluster's [minN, maxN] — never
+    *     expands) and the per-pair count bound
+    *     c ≤ __hc + |dP_a| + |dP_b| checked before the correction walk.
+    *   - DIRECT arm (`__hc` null — the singleton-singleton bypass, and
+    *     every pair when `prune = false`): the original full-array
+    *     early-exit merge walk. For 1×1 expansions the diff arm would
+    *     be byte-for-byte the same walk plus bookkeeping, so the bypass
+    *     keeps its fast path.
+    *
+    * Exactness: every diff-arm term is an exact set cardinality, so the
+    * assembled count is the same integer the direct walk returns and
+    * the jaccard division sees identical operands — bit-identical
+    * doubles, one oracle. Returns (cl_a, cl_b, ida, idb, jaccard) —
+    * consumers project what they need.
     */
   private[operators] def verifiedMemberPairs(
-      pruned: DataFrame, member: DataFrame, threshold: Double,
+      pruned: DataFrame, member: DataFrame, diffs: DataFrame,
+      anchors: DataFrame, threshold: Double,
       deltaOnly: Boolean = false): DataFrame = {
     val alphaV = ceil((col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - lit(Eps))
       .cast("int")
+    val sizeCompat = greatest(col("n_a"), col("n_b")) * threshold <=
+      least(col("n_a"), col("n_b")) + lit(Eps)
+
+    // ---- DIRECT arm: bypass pairs (and everything when prune=false) ----
     def aSide(src: DataFrame) = src.select(col("cl").as("cl_a"), col("id").as("ida"),
       col("__sh").as("__sha"), col("n").as("n_a"))
     def bSide(src: DataFrame) = src.select(col("cl").as("cl_b"), col("id").as("idb"),
@@ -560,28 +613,73 @@ object ClusterDedup {
     // the incremental arm only needs member pairs with >= 1 delta DOC
     // endpoint (base-base pairs are the previous run's connectivity).
     // A post-join (__da || __db) filter would still SHIP every member
-    // pair's shingle arrays through the join first, so the expansion
-    // splits into two disjoint pre-filtered arms instead: (delta A ×
-    // all B) ∪ (base A × delta B) — on a mostly-base cluster graph the
-    // arrays shipped drop from |A|·|B| to ~2·f·|A|·|B| at delta
-    // fraction f
-    val expanded =
-      if (!deltaOnly) pruned.join(aSide(member), Seq("cl_a")).join(bSide(member), Seq("cl_b"))
-      else pruned
+    // pair's arrays through the join first, so the expansion splits
+    // into two disjoint pre-filtered arms instead: (delta A × all B) ∪
+    // (base A × delta B) — on a mostly-base cluster graph the arrays
+    // shipped drop from |A|·|B| to ~2·f·|A|·|B| at delta fraction f
+    val direct0 = pruned.where(col("__hc").isNull).select("cl_a", "cl_b")
+    val directExp =
+      if (!deltaOnly) direct0.join(aSide(member), Seq("cl_a")).join(bSide(member), Seq("cl_b"))
+      else direct0
         .join(aSide(member.where(col("__d"))), Seq("cl_a"))
         .join(bSide(member), Seq("cl_b"))
-        .unionByName(pruned
+        .unionByName(direct0
           .join(aSide(member.where(!col("__d"))), Seq("cl_a"))
           .join(bSide(member.where(col("__d"))), Seq("cl_b")))
-    expanded
-      .filter(greatest(col("n_a"), col("n_b")) * threshold <=
-        least(col("n_a"), col("n_b")) + lit(Eps))
+    val direct = directExp
+      .filter(sizeCompat)
       .withColumn("c", NativeHash.sortedIntersectAtLeast(
         col("__sha"), col("__shb"), alphaV))
       .filter(col("c") >= 0)
       .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("cl_a"), col("cl_b"), col("ida"), col("idb"), col("jaccard"))
+
+    // ---- DIFF arm: anchor-gated pairs carry the exact __hc ----
+    val gated = pruned.where(col("__hc").isNotNull)
+    def expand(sfx: String, own: String, opp: String,
+        oppMin: Column, oppMax: Column, m: DataFrame) = {
+      val keep = Seq(col("cl_a"), col("cl_b")) ++
+        (if (sfx == "a") Seq(col("__hc")) else Nil) ++
+        Seq(col(s"id$sfx"), col(s"n_$sfx"), col(s"__dm$sfx"), col(s"__dp$sfx"),
+          col(s"__adj$sfx"))
+      gated.join(m.select(col("cl").as(own), col("id").as(s"id$sfx"),
+          col("n").as(s"n_$sfx"), col("__dm").as(s"__dm$sfx"),
+          col("__dp").as(s"__dp$sfx")), Seq(own))
+        // x size-matches some y ∈ [minN_opp, maxN_opp] only if
+        // t·n_x ≤ maxN_opp and t·minN_opp ≤ n_x (size-compat is
+        // t·max ≤ min) — qualifying pairs survive, rows that cannot
+        // pair never reach the anchor join below
+        .filter(col(s"n_$sfx") * threshold <= oppMax + lit(Eps) &&
+          oppMin * threshold <= col(s"n_$sfx") + lit(Eps))
+        .join(anchors.select(col("cl").as(opp), col("__hsh").as("__hOpp")), Seq(opp))
+        .withColumn(s"__adj$sfx", NativeHash.anchorAdjust(
+          col(s"__dm$sfx"), col(s"__dp$sfx"), col("__hOpp")))
+        .select(keep: _*)
+    }
+    def pairArm(aFilter: Option[Column], bFilter: Option[Column]) = {
+      val ea = expand("a", "cl_a", "cl_b", col("__mnb"), col("__mxb"),
+        aFilter.fold(diffs)(diffs.where(_)))
+      val eb = expand("b", "cl_b", "cl_a", col("__mna"), col("__mxa"),
+        bFilter.fold(diffs)(diffs.where(_)))
+      ea.join(eb, Seq("cl_a", "cl_b"))
+    }
+    val expanded =
+      if (!deltaOnly) pairArm(None, None)
+      else pairArm(Some(col("__d")), None)
+        .unionByName(pairArm(Some(!col("__d")), Some(col("__d"))))
+    val diffVerified = expanded
+      .filter(sizeCompat)
+      // sound count bound c ≤ __hc + |dP_a| + |dP_b| (each shared
+      // element is in H_A∩H_B, S_x\H_A, or S_y\H_B) — retires the pair
+      // before any walk when it cannot reach α
+      .filter(col("__hc") + size(col("__dpa")) + size(col("__dpb")) >= alphaV)
+      .withColumn("c", col("__hc") + col("__adja") + col("__adjb") +
+        NativeHash.diffCorrection(col("__dma"), col("__dpa"), col("__dmb"), col("__dpb")))
+      .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("cl_a"), col("cl_b"), col("ida"), col("idb"), col("jaccard"))
+    direct.unionByName(diffVerified)
   }
 
   /** Steps 1-4 of the object doc — everything up to (and including)
@@ -712,13 +810,14 @@ object ClusterDedup {
     // projection of the witness-split step 5
     val pruneProbe = cc.prunePlan(cc.candCl)
     val crossEdgesProbe = pruneProbe.where(col("__wit")).select(col("cl_a"), col("cl_b"))
-      .union(verifiedMemberPairs(pruneProbe.where(!col("__wit")), member, threshold)
+      .union(verifiedMemberPairs(pruneProbe.where(!col("__wit")), member,
+          cc.diffs, cc.anchors, threshold)
         .select(col("cl_a"), col("cl_b")).distinct())
 
-    Core(hashed, docRep, reps, repCluster, member, pruned,
+    Core(hashed, docRep, reps, repCluster, member, cc.anchors, cc.diffs, pruned,
       Probes(cc.cpostRaw, cc.candCl, pruneProbe, crossEdgesProbe),
       persisted = Seq(hashed),
-      cuts = collapseCut.toSeq ++ Seq(member, cc.cpost, pruned))
+      cuts = collapseCut.toSeq ++ Seq(member, cc.cpost, cc.diffs, pruned))
   }
 
   /** Steps 3-4 over an arbitrary member frame, shared by the batch core
@@ -728,6 +827,8 @@ object ClusterDedup {
       cpostRaw: DataFrame,
       cpost: DataFrame, // cut — consumer releases it
       candCl: DataFrame,
+      anchors: DataFrame, // (cl, __hsh, __hn) — lazy agg over the member cut
+      diffs: DataFrame,   // (cl, id, n, __hn, __dm, __dp[, __d]) — cut, consumer releases
       prunePlan: DataFrame => DataFrame)
 
   /** Cluster-level candidate generation + anchor-bound prune over a
@@ -850,13 +951,14 @@ object ClusterDedup {
         least(col("__mxa"), col("__mxb")) + lit(Eps) >=
           greatest(col("__mna"), col("__mnb")) * threshold &&
         lit(1) + least(col("__mra"), col("__mrb")) >= alphaMin)
-      // minN/nm are functionally dependent on the cluster ids, so
+      // minN/maxN/nm are functionally dependent on the cluster ids, so
       // carrying them through the DISTINCT leaves its semantics
       // unchanged while sparing the downstream prune any stats re-join
       // over the pair stream (at 1× replication that re-join was 2
-      // extra shuffles of the full candidate set)
+      // extra shuffles of the full candidate set); maxN rides along for
+      // the verify stage's per-SIDE size prefilter at member expansion
       .select(col("cl_a"), col("cl_b"), col("__mna"), col("__mnb"),
-        col("__nma"), col("__nmb"))
+        col("__mxa"), col("__mxb"), col("__nma"), col("__nmb"))
       .distinct()
     // candCl NOT cut or persisted, even though the singleton bypass
     // below scans it from two union arms: the expensive part (the
@@ -868,15 +970,40 @@ object ClusterDedup {
     val anchors = member.groupBy("cl")
       .agg(min_by(struct(col("__sh"), col("n")), col("id")).as("__h"))
       .select(col("cl"), col("__h.__sh").as("__hsh"), col("__h.n").as("__hn"))
-    val maxD = member
+    // MEMBER DIFFS — each member re-expressed as edit-sized diffs
+    // against its cluster anchor (__dm = H \ S_x missing, __dp = S_x \ H
+    // added). One corpus-linear anchor join for multi-member clusters
+    // (the same join the old maxD stage paid); singleton members are a
+    // pure projection — their anchor IS the member, so both diffs are
+    // empty by construction and no arrays ship. The cut is what the
+    // DIFF-BASED verify (see verifiedMemberPairs) and maxD both read.
+    val dCol = if (requireDelta) Seq(col("__d")) else Nil
+    val emptyArr = typedLit(Array.empty[Long])
+    val multiDiffs = member
       .join(cStats.where(col("nm") > 1).select("cl"), Seq("cl"))
       .join(anchors, Seq("cl"))
-      .groupBy("cl")
-      .agg(max(col("n") - NativeHash.sortedIntersectCount(col("__sh"), col("__hsh")))
-        .as("__maxd"))
+      .select(Seq(col("cl"), col("id"), col("n"), col("__hn"),
+        NativeHash.sortedDiff(col("__hsh"), col("__sh")).as("__dm"),
+        NativeHash.sortedDiff(col("__sh"), col("__hsh")).as("__dp")) ++ dCol: _*)
+    val singleDiffs = member
+      .join(cStats.where(col("nm") === 1).select("cl"), Seq("cl"))
+      .select(Seq(col("cl"), col("id"), col("n"), col("n").as("__hn"),
+        emptyArr.as("__dm"), emptyArr.as("__dp")) ++ dCol: _*)
+    val diffs = Par.cut(multiDiffs.unionByName(singleDiffs))
+    // maxD_C = max over members of |S_x \ H_C| = max |__dp| — a narrow
+    // aggregate over the diffs cut (singletons contribute 0 exactly,
+    // matching the old left-join-coalesce semantics)
+    val maxD = diffs.groupBy("cl").agg(max(size(col("__dp"))).as("__maxd"))
     val bothSingle = col("__nma") === 1 && col("__nmb") === 1
+    // prune output carries the walk's EXACT anchor intersection (__hc,
+    // null on the bypass/no-prune arms — the verify's routing flag) and
+    // the per-cluster size stats the verify's per-side prefilters read
+    val passCols = Seq(col("__mna"), col("__mnb"), col("__mxa"), col("__mxb"))
+    def noWalk(cand: DataFrame): DataFrame = cand.select(
+      Seq(col("cl_a"), col("cl_b"), lit(false).as("__wit"),
+        lit(null).cast("int").as("__hc")) ++ passCols: _*)
     def prunePlan(cand: DataFrame): DataFrame =
-      if (!prune) cand.select(col("cl_a"), col("cl_b"), lit(false).as("__wit"))
+      if (!prune) noWalk(cand)
       else cand.where(!bothSingle)
         .join(anchors.select(col("cl").as("cl_a"), col("__hsh").as("__ha"), col("__hn").as("__hna")), Seq("cl_a"))
         .join(anchors.select(col("cl").as("cl_b"), col("__hsh").as("__hb"), col("__hn").as("__hnb")), Seq("cl_b"))
@@ -886,11 +1013,10 @@ object ClusterDedup {
           (alphaMin - coalesce(col("__da"), lit(0)) - coalesce(col("__db"), lit(0)))
             .cast("int")))
         .filter(col("__hc") >= 0)
-        .select(col("cl_a"), col("cl_b"),
+        .select(Seq(col("cl_a"), col("cl_b"),
           (col("__hc") / (col("__hna") + col("__hnb") - col("__hc")) >= threshold)
-            .as("__wit"))
-        .union(cand.where(bothSingle)
-          .select(col("cl_a"), col("cl_b"), lit(false).as("__wit")))
-    ClusterCand(cpostRaw, cpost, candCl, prunePlan)
+            .as("__wit"), col("__hc")) ++ passCols: _*)
+        .union(noWalk(cand.where(bothSingle)))
+    ClusterCand(cpostRaw, cpost, candCl, anchors, diffs, prunePlan)
   }
 }

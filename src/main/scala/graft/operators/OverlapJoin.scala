@@ -256,13 +256,28 @@ object OverlapJoin {
     // non-positive thresholds, so a slack bound degrades to a plain
     // walk, never a false prune.
     val anchors = member.groupBy("cl")
-      .agg(min_by(col("__set"), col("id")).as("__hset"))
-    val maxD = member
+      .agg(min_by(struct(col("__set"), col("n")), col("id")).as("__h"))
+      .select(col("cl"), col("__h.__set").as("__hset"), col("__h.n").as("__hn"))
+    // MEMBER DIFFS (the ClusterDedup treatment): each member carried as
+    // edit-sized diffs against its cluster anchor — __dm = H \ S_x,
+    // __dp = S_x \ H. Multi-member clusters pay the same corpus-linear
+    // anchor join the old maxD stage paid; singletons are a projection
+    // (their anchor IS the member — both diffs empty, no arrays ship).
+    val emptyArr = typedLit(Array.empty[Long])
+    val multiDiffs = member
       .join(cStats.where(col("nm") > 1).select("cl"), Seq("cl"))
       .join(anchors, Seq("cl"))
-      .groupBy("cl")
-      .agg(max(col("n") - NativeHash.sortedIntersectCount(col("__set"), col("__hset")))
-        .as("__maxd"))
+      .select(col("cl"), col("id"), col("n"), col("__hn"),
+        NativeHash.sortedDiff(col("__hset"), col("__set")).as("__dm"),
+        NativeHash.sortedDiff(col("__set"), col("__hset")).as("__dp"))
+    val singleDiffs = member
+      .join(cStats.where(col("nm") === 1).select("cl"), Seq("cl"))
+      .select(col("cl"), col("id"), col("n"), col("n").as("__hn"),
+        emptyArr.as("__dm"), emptyArr.as("__dp"))
+    val diffs = Par.cut(multiDiffs.unionByName(singleDiffs))
+    // maxD_C = max over members of |S_x \ H_C| = max |__dp| (singletons
+    // contribute 0 exactly, matching the left-join-coalesce semantics)
+    val maxD = diffs.groupBy("cl").agg(max(size(col("__dp"))).as("__maxd"))
     // SINGLETON-SINGLETON BYPASS (see ClusterDedup): when both sides
     // are single-member clusters the anchor walk IS the pair's verify
     // walk, so gating it only joins the anchor arrays onto the pair
@@ -270,32 +285,84 @@ object OverlapJoin {
     // are the bulk of the candidates. They go straight to verify;
     // multi-member pairs (the replica families) still take the gate.
     val bothSingle = col("__nma") === 1 && col("__nmb") === 1
+    // the prune keeps the walk's EXACT anchor intersection (__hc) — the
+    // verify's diff arm reassembles every member pair's count from it;
+    // bypass pairs carry null and keep the direct full-array walk
     val pruned =
-      if (!prune) candCl.select("cl_a", "cl_b")
+      if (!prune) candCl.select(col("cl_a"), col("cl_b"),
+        lit(null).cast("int").as("__hc"))
       else candCl.where(!bothSingle)
         .join(anchors.select(col("cl").as("cl_a"), col("__hset").as("__ha")), Seq("cl_a"))
         .join(anchors.select(col("cl").as("cl_b"), col("__hset").as("__hb")), Seq("cl_b"))
         .join(maxD.select(col("cl").as("cl_a"), col("__maxd").as("__da")), Seq("cl_a"), "left")
         .join(maxD.select(col("cl").as("cl_b"), col("__maxd").as("__db")), Seq("cl_b"), "left")
-        .filter(NativeHash.sortedIntersectAtLeast(col("__ha"), col("__hb"),
+        .withColumn("__hc", NativeHash.sortedIntersectAtLeast(col("__ha"), col("__hb"),
           (lit(k) - coalesce(col("__da"), lit(0)) - coalesce(col("__db"), lit(0)))
-            .cast("int")) >= 0)
-        .select("cl_a", "cl_b")
-        .union(candCl.where(bothSingle).select("cl_a", "cl_b"))
+            .cast("int")))
+        .filter(col("__hc") >= 0)
+        .select(col("cl_a"), col("cl_b"), col("__hc"))
+        .union(candCl.where(bothSingle).select(col("cl_a"), col("cl_b"),
+          lit(null).cast("int").as("__hc")))
 
-    // ---- 5. verify: cross-cluster member pairs + intra-cluster pairs
+    // ---- 5. verify: cross-cluster member pairs + intra-cluster pairs.
+    // Anchor-gated pairs use the DIFF identity (see ClusterDedup
+    // .verifiedMemberPairs / NativeHash.SortedDiffHelper):
+    //   c = __hc + adj_a + adj_b + correction
+    // with adj computed once per (member, opposite cluster) — the
+    // member-pair join ships only edit-sized diffs, so a replica
+    // family's quadratic expansion moves O(edit) bytes per pair instead
+    // of two full element arrays. Bypass (singleton-singleton) pairs
+    // keep the direct early-exit walk — for them the diff arm IS that
+    // walk plus bookkeeping.
     def verified(pairs: DataFrame): DataFrame = pairs
       .withColumn("c", NativeHash.sortedIntersectAtLeast(
         col("__sa"), col("__sb"), lit(k)))
       .filter(col("c") >= 0)
       .select(least(col("ra"), col("rb")).as("ra"),
         greatest(col("ra"), col("rb")).as("rb"), col("c").cast("long").as("overlap"))
-    val cross = verified(pruned
+    val directCross = verified(pruned.where(col("__hc").isNull).select("cl_a", "cl_b")
       .join(member.select(col("cl").as("cl_a"), col("id").as("ra"), col("__set").as("__sa")), Seq("cl_a"))
       .join(member.select(col("cl").as("cl_b"), col("id").as("rb"), col("__set").as("__sb")), Seq("cl_b")))
-    val intra = verified(member.select(col("cl"), col("id").as("ra"), col("__set").as("__sa"))
-      .join(member.select(col("cl"), col("id").as("rb"), col("__set").as("__sb")), Seq("cl"))
-      .filter(col("ra") < col("rb")))
+    val gated = pruned.where(col("__hc").isNotNull)
+    def expand(sfx: String, own: String, opp: String) = {
+      val keep = Seq(col("cl_a"), col("cl_b")) ++
+        (if (sfx == "a") Seq(col("__hc")) else Nil) ++
+        Seq(col(s"r$sfx"), col(s"__dm$sfx"), col(s"__dp$sfx"), col(s"__adj$sfx"))
+      gated.join(diffs.select(col("cl").as(own), col("id").as(s"r$sfx"),
+          col("__dm").as(s"__dm$sfx"), col("__dp").as(s"__dp$sfx")), Seq(own))
+        .join(anchors.select(col("cl").as(opp), col("__hset").as("__hOpp")), Seq(opp))
+        .withColumn(s"__adj$sfx", NativeHash.anchorAdjust(
+          col(s"__dm$sfx"), col(s"__dp$sfx"), col("__hOpp")))
+        .select(keep: _*)
+    }
+    val diffCross = expand("a", "cl_a", "cl_b")
+      .join(expand("b", "cl_b", "cl_a"), Seq("cl_a", "cl_b"))
+      // sound count bound c ≤ __hc + |dP_a| + |dP_b| — retires the pair
+      // before the correction walk
+      .filter(col("__hc") + size(col("__dpa")) + size(col("__dpb")) >= k)
+      .withColumn("c", col("__hc") + col("__adja") + col("__adjb") +
+        NativeHash.diffCorrection(col("__dma"), col("__dpa"), col("__dmb"), col("__dpb")))
+      .filter(col("c") >= k)
+      .select(least(col("ra"), col("rb")).as("ra"),
+        greatest(col("ra"), col("rb")).as("rb"), col("c").cast("long").as("overlap"))
+    val cross = directCross.unionByName(diffCross)
+    // intra: both sides share the anchor, so adj = −|dM| exactly and
+    // c = |H| − |dM_a| − |dM_b| + correction — the replica family's g²
+    // lives here (the family contracts into ONE cluster), now at
+    // edit-sized bytes per pair
+    val intra = diffs.select(col("cl"), col("id").as("ra"), col("__hn"),
+        col("__dm").as("__dma"), col("__dp").as("__dpa"))
+      .join(diffs.select(col("cl"), col("id").as("rb"),
+        col("__dm").as("__dmb"), col("__dp").as("__dpb")), Seq("cl"))
+      .filter(col("ra") < col("rb"))
+      // c ≤ |H| − max(|dM|) + min(|dP|) (correction ≤ min(|dM_a|,|dM_b|)
+      // + min(|dP_a|,|dP_b|)) — cheap pre-walk bound
+      .filter(col("__hn") - greatest(size(col("__dma")), size(col("__dmb"))) +
+        least(size(col("__dpa")), size(col("__dpb"))) >= k)
+      .withColumn("c", col("__hn") - size(col("__dma")) - size(col("__dmb")) +
+        NativeHash.diffCorrection(col("__dma"), col("__dpa"), col("__dmb"), col("__dpb")))
+      .filter(col("c") >= k)
+      .select(col("ra"), col("rb"), col("c").cast("long").as("overlap"))
     // NO cut here: repPairs has exactly one consumer (the fan-out
     // below), and pair listings are output-sized — an eager checkpoint
     // of Ω(output) rows would double the operator's peak disk for zero
@@ -321,7 +388,7 @@ object OverlapJoin {
     ClusteredPairs(pairsOut, { finished =>
       val out = Par.cut(finished)
       base.unpersist(false)
-      Seq(docRep, reps, repCluster, member, cpost).foreach(Par.free)
+      Seq(docRep, reps, repCluster, member, diffs, cpost).foreach(Par.free)
       out
     })
   }

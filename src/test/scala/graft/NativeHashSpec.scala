@@ -148,6 +148,55 @@ class NativeHashSpec extends AnyFunSuite {
     assert(df.filter(NativeHash.sortedIntersectCount(col("a"), col("b")) =!= col("want")).count() == 0)
   }
 
+  test("sorted_diff equals array_except on sorted long arrays, output stays sorted") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L), Seq(1L, 5L)),
+      (Seq.empty[Long], Seq(1L), Seq.empty[Long]),
+      (Seq(7L), Seq(7L), Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq.empty[Long], Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L), Seq(1L, 2L, 3L))
+    ).toDF("a", "b", "want")
+    assert(df.filter(NativeHash.sortedDiff(col("a"), col("b")) =!= col("want")).count() == 0)
+  }
+
+  test("diff identity: __hc + adj_a + adj_b + correction equals the direct intersection count") {
+    // the verify-stage reconstruction (ClusterDedup/OverlapJoin step 5):
+    // random sorted-distinct sets per (anchor_a, member_a, anchor_b,
+    // member_b); the assembled count must equal |S_a ∩ S_b| exactly on
+    // every draw — including degenerate empty diffs (member == anchor)
+    // and the intra flavor (shared anchor, adj = −|dM|)
+    val rng = new scala.util.Random(7)
+    def randSet(): Seq[Long] =
+      (0 until (1 + rng.nextInt(40))).map(_ => rng.nextInt(60).toLong).distinct.sorted
+    def mutate(h: Seq[Long]): Seq[Long] = rng.nextInt(4) match {
+      case 0 => h // exact copy: both diffs empty
+      case _ => ((h.filter(_ => rng.nextInt(10) > 1) ++
+        (0 until rng.nextInt(6)).map(_ => 100L + rng.nextInt(30))).distinct).sorted
+    }
+    val rows = (0 until 300).map { _ =>
+      val hA = randSet(); val hB = randSet()
+      (hA, mutate(hA), hB, mutate(hB))
+    } ++ (0 until 100).map { _ => // intra flavor: one shared anchor
+      val h = randSet()
+      (h, mutate(h), h, mutate(h))
+    }
+    val df = rows.toDF("ha", "sa", "hb", "sb")
+      .withColumn("want", NativeHash.sortedIntersectCount(col("sa"), col("sb")))
+      .withColumn("__hc", NativeHash.sortedIntersectCount(col("ha"), col("hb")))
+      .withColumn("dma", NativeHash.sortedDiff(col("ha"), col("sa")))
+      .withColumn("dpa", NativeHash.sortedDiff(col("sa"), col("ha")))
+      .withColumn("dmb", NativeHash.sortedDiff(col("hb"), col("sb")))
+      .withColumn("dpb", NativeHash.sortedDiff(col("sb"), col("hb")))
+      .withColumn("got", col("__hc") +
+        NativeHash.anchorAdjust(col("dma"), col("dpa"), col("hb")) +
+        NativeHash.anchorAdjust(col("dmb"), col("dpb"), col("ha")) +
+        NativeHash.diffCorrection(col("dma"), col("dpa"), col("dmb"), col("dpb")))
+    assert(df.filter(col("got") =!= col("want")).count() == 0)
+    // the count bound the verify prunes on must never under-estimate
+    assert(df.filter(col("__hc") + size(col("dpa")) + size(col("dpb")) <
+      col("want")).count() == 0)
+  }
+
   test("shingle_dup_ratio matches the HOF 1 - distinct/total formula") {
     import graft.functions.Text
     val texts = Seq(

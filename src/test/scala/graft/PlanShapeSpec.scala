@@ -106,9 +106,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pPruned.contains("sorted_intersect_at_least"), s"plan:\n$pPruned")
     assert(pPruned.contains("__ha") && !pPruned.contains("__sha"), s"plan:\n$pPruned")
     // the witness split shows as a Union: a no-expansion witnessed arm
-    // (no member arrays) plus the ambiguous member-verify arm (__sha);
-    // the __wit name itself is collapsed into the pushed-down predicate
+    // plus the verify arms — the DIFF arm (anchor-gated pairs: adj per
+    // member-vs-opposite-anchor, correction per pair over edit-sized
+    // diffs) and the DIRECT bypass arm (full-array walk, __sha). The
+    // full member arrays must appear ONLY under the bypass/direct walk,
+    // never in the gated expansion (that was the 6.15 GB stage).
     val pCross = plan(probes.crossEdges)
+    assert(pCross.contains("anchor_adjust") && pCross.contains("diff_correction"),
+      s"diff-based verify lost from the gated arm:\n$pCross")
     assert(pCross.contains("sorted_intersect_at_least") &&
       pCross.contains("__sha") && nodes(pCross, "Union") >= 1, s"plan:\n$pCross")
 
