@@ -154,13 +154,26 @@ object Bench {
         s"""{"q":"${r.name}","reps":${jsonArr(r.reps)},"median":${f"${r.median}%.3f"},""" +
           s""""min":${f"${r.min}%.3f"},"ok":${r.ok},"extra_rep":${r.extraRep}}"""
       }.mkString("[", ",", "]")
-      val full = f"""{"metric":"bench_local","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,$loads,"queries":$qs,"failed":$failed,"extra_rep_queries":$extraReps,"reps":$reps,"sf":"$sfDir","rep_detail":$rdetail}"""
-      val round = new java.io.File(".").listFiles()
-        .map(_.getName)
-        .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
-          s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
-        .sorted.lastOption
-      val out = round.fold("BENCH_LOCAL.json")(n => f"BENCH_LOCAL_r${n + 1}%02d.json")
+      // Round resolution: explicit SPARK_GRAFT_ROUND wins (set it when
+      // re-running a full bench AFTER the driver has already committed
+      // this round's BENCH_r{N}.json — inference would otherwise label
+      // the rerun as a round that has not happened); otherwise inferred
+      // as max existing + 1. The resolved round is embedded in the
+      // payload so a misfiled record stays self-identifying, and an
+      // existing target file triggers a loud warning instead of a
+      // silent clobber.
+      val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+        .orElse(new java.io.File(".").listFiles()
+          .map(_.getName)
+          .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+            s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+          .sorted.lastOption.map(_ + 1))
+      val full = f"""{"metric":"bench_local","round":${round.getOrElse(-1)},"value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,$loads,"queries":$qs,"failed":$failed,"extra_rep_queries":$extraReps,"reps":$reps,"sf":"$sfDir","rep_detail":$rdetail}"""
+      val out = round.fold("BENCH_LOCAL.json")(n => f"BENCH_LOCAL_r$n%02d.json")
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+        System.err.println(s"[bench] WARNING: $out already exists and will be " +
+          "overwritten — if the driver already committed this round's bench, " +
+          "set SPARK_GRAFT_ROUND to the intended round before re-running")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (full + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] complete record written to $out")

@@ -45,7 +45,7 @@ object Bpe {
   /** Fixture merges, rank = position (1-based). Constituents-first:
     * "th"←1, "in"←3, "an"←4, "er"←5, "le"←18 are all created before
     * any pair that uses them. Mirrored VERBATIM by the DuckDB oracle's
-    * VALUES list (SparkEntry `bpeMergesSql`) — the gate catches drift.
+    * VALUES list (SparkEntry `bpeSqlScaffold`) — the gate catches drift.
     */
   val FixtureMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",

@@ -158,9 +158,31 @@ object TopKAgg {
     * caller's session never changes. O(k) buffers at 4M groups are
     * ~hundreds of MB worst case per task; the fallback still exists
     * above that.
+    *
+    * One clone is cached per parent session (weak keys — a retired
+    * parent lets its clone GC too) instead of a fresh SessionState per
+    * call, and the parent's CURRENT runtime SQL conf is re-synced onto
+    * the clone on every call — `newSession()` alone inherits only
+    * builder-time (SparkConf-backed) entries, so a caller's runtime
+    * tuning (e.g. `spark.sql.shuffle.partitions`) would otherwise be
+    * silently absent when the top-k frame materializes. Static/
+    * non-settable entries are skipped.
     */
+  private val headroomClones =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
   private[graft] def withHashAggHeadroom(df: DataFrame): DataFrame = {
-    val clone = df.sparkSession.newSession()
+    val parent = df.sparkSession
+    val clone = headroomClones.synchronized {
+      var c = headroomClones.get(parent)
+      if (c == null) { c = parent.newSession(); headroomClones.put(parent, c) }
+      c
+    }
+    parent.conf.getAll.foreach { case (key, v) =>
+      if (!clone.conf.getOption(key).contains(v))
+        try clone.conf.set(key, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
+    }
     clone.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       (1 << 22).toString)
     org.apache.spark.sql.graft.Shims.ofRows(clone, df.queryExecution.logical)

@@ -365,8 +365,8 @@ object ClusterDedup {
       preStar.unionByName(crossEdges.select(col("cl_a").as("id_a"), col("cl_b").as("id_b"))),
       "id_a", "id_b", Some(verts))
     hashed.unpersist(false)
-    Seq(nonEmpty, member, cc.cpost, cc.diffs, pruned, crossEdges, mergedLabel)
-      .foreach(Par.free)
+    Seq(nonEmpty, member, cc.cpost, cc.anchors, cc.diffs, pruned, crossEdges,
+      mergedLabel).foreach(Par.free)
     out
   }
 
@@ -817,7 +817,7 @@ object ClusterDedup {
     Core(hashed, docRep, reps, repCluster, member, cc.anchors, cc.diffs, pruned,
       Probes(cc.cpostRaw, cc.candCl, pruneProbe, crossEdgesProbe),
       persisted = Seq(hashed),
-      cuts = collapseCut.toSeq ++ Seq(member, cc.cpost, cc.diffs, pruned))
+      cuts = collapseCut.toSeq ++ Seq(member, cc.cpost, cc.anchors, cc.diffs, pruned))
   }
 
   /** Steps 3-4 over an arbitrary member frame, shared by the batch core
@@ -827,7 +827,7 @@ object ClusterDedup {
       cpostRaw: DataFrame,
       cpost: DataFrame, // cut — consumer releases it
       candCl: DataFrame,
-      anchors: DataFrame, // (cl, __hsh, __hn) — lazy agg over the member cut
+      anchors: DataFrame, // (cl, __hsh, __hn) — cut, consumer releases
       diffs: DataFrame,   // (cl, id, n, __hn, __dm, __dp[, __d]) — cut, consumer releases
       prunePlan: DataFrame => DataFrame)
 
@@ -967,9 +967,14 @@ object ClusterDedup {
     // work runs per arm — an eager materialization was tried and
     // measured slightly SLOWER at the gate (it blocks the pipeline and
     // hides the stream behind a leaf).
-    val anchors = member.groupBy("cl")
+    // anchors CUT once: three separate executions read it (the diffs
+    // cut below, the prune cut, and the verify's adj expansion — the
+    // last is new with the diff verify; uncut, each would recompute the
+    // corpus-array min_by shuffle. One cluster-count-sized checkpoint
+    // replaces up to three aggregate passes.
+    val anchors = Par.cut(member.groupBy("cl")
       .agg(min_by(struct(col("__sh"), col("n")), col("id")).as("__h"))
-      .select(col("cl"), col("__h.__sh").as("__hsh"), col("__h.n").as("__hn"))
+      .select(col("cl"), col("__h.__sh").as("__hsh"), col("__h.n").as("__hn")))
     // MEMBER DIFFS — each member re-expressed as edit-sized diffs
     // against its cluster anchor (__dm = H \ S_x missing, __dp = S_x \ H
     // added). One corpus-linear anchor join for multi-member clusters

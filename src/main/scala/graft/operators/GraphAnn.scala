@@ -46,9 +46,32 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnn {
 
+  /** The per-shard build materializes its shard in task memory
+    * (`rows.toArray` + O(M) int links per node), so SHARD size — never
+    * corpus size — is the operator's memory ceiling. 64k rows ≈ 200 MB
+    * of float vectors at dim 768; raise only with executor memory to
+    * back it.
+    */
+  val DefaultMaxShardRows: Int = 1 << 16
+
+  /** Corpus-derived shard count (the IVF nLists-from-corpus stance):
+    * the smallest count keeping every hash-balanced shard under
+    * `maxShardRows`. Monotone in n, never 0.
+    */
+  private[graft] def autoShards(n: Long, maxShardRows: Int): Int = {
+    require(maxShardRows >= 1, s"maxShardRows must be >= 1, got $maxShardRows")
+    math.min(math.max(1L, (n + maxShardRows - 1) / maxShardRows), 1L << 20).toInt
+  }
+
   /** Per-query top-k by cosine through the sharded HNSW. Output
     * (qid, id, score, rank). `efSearch = 0` → exhaustive (exact);
     * otherwise the layer-0 beam holds max(efSearch, k) entries.
+    * `nShards = 0` (the default) derives the shard count from a corpus
+    * count via [[autoShards]] — at 100 TB a fixed shard knob either
+    * overshoots (needless merge width) or blows the per-task
+    * `rows.toArray` ceiling as the corpus grows under it; pass an
+    * explicit positive value only when the caller already knows the
+    * corpus scale (the count costs one narrow aggregate pass).
     */
   def hnswTopK(
       corpus: DataFrame, // (id, vec: array<float>)
@@ -57,11 +80,14 @@ object GraphAnn {
       m: Int = 8,
       efConstruction: Int = 64,
       efSearch: Int = 0,
-      nShards: Int = 8): DataFrame = {
-    require(k >= 1 && m >= 2 && efConstruction >= m && nShards >= 1,
+      nShards: Int = 0,
+      maxShardRows: Int = DefaultMaxShardRows): DataFrame = {
+    require(k >= 1 && m >= 2 && efConstruction >= m && nShards >= 0,
       s"bad hnsw params k=$k m=$m efC=$efConstruction shards=$nShards")
     val spark = corpus.sparkSession
     import spark.implicits._
+    val shards =
+      if (nShards > 0) nShards else autoShards(corpus.count(), maxShardRows)
     // bounded collect: the query table (the bruteForceTopK stance)
     val qs = queries.select(col("qid").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
@@ -69,7 +95,7 @@ object GraphAnn {
     val ef = efSearch
     val (mm, efc, kk) = (m, efConstruction, k)
     val perShard = corpus.select(col("id").cast("long"), col("vec"))
-      .repartition(nShards, col("id"))
+      .repartition(shards, col("id"))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val items = rows.toArray.sortBy(_._1) // ascending-id insertion: deterministic

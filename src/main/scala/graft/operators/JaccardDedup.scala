@@ -243,13 +243,28 @@ object JaccardDedup {
       idCol: String,
       textCol: String,
       nGram: Int = 2,
-      threshold: Double = 0.3): DataFrame =
-    nearDupPairsIncrementalPlan(base, delta, idCol, textCol, nGram, threshold)._1
+      threshold: Double = 0.3): DataFrame = {
+    // SEALED: materialize the (output-sized) listing, then release the
+    // doc/prefix persists — the lazy form would leave those
+    // MEMORY_AND_DISK blocks pinned for the session lifetime on every
+    // call (the semanticDedup/components per-call block-leak class).
+    // Callers that need the lazy frame use the Plan variant and own the
+    // release closure.
+    val (pairs, release) =
+      nearDupPairsIncrementalPlan(base, delta, idCol, textCol, nGram, threshold)
+    val out = Par.cut(pairs)
+    release()
+    out
+  }
 
-  /** [[nearDupPairsIncremental]] plus the release of its persisted
-    * internals — for consumers (ClusterDedup.componentsIncremental)
-    * that fully materialize downstream and can then drop the doc/prefix
-    * caches instead of leaving them for a block sweep.
+  /** [[nearDupPairsIncremental]] split before its seal: the LAZY pair
+    * frame plus the closure releasing the doc/prefix persists once the
+    * consumer has fully materialized downstream. Consumed by the sealed
+    * public wrapper; kept private[graft] for probes that want to plan
+    * or time the unsealed stream (ClusterDedup.componentsIncremental
+    * does NOT consume this — its final design runs its own
+    * cluster-granularity path; this doc-level listing is its measured
+    * A/B arm, see IncProbe).
     */
   private[graft] def nearDupPairsIncrementalPlan(
       base: DataFrame,

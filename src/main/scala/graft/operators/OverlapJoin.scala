@@ -255,9 +255,12 @@ object OverlapJoin {
     // |A|·|B| member expansion. countAtLeast returns the full count for
     // non-positive thresholds, so a slack bound degrades to a plain
     // walk, never a false prune.
-    val anchors = member.groupBy("cl")
+    // cut once: the diffs build, the prune, and the verify's adj
+    // expansion are separate executions — uncut, each recomputes the
+    // corpus-array min_by shuffle (see ClusterDedup's note)
+    val anchors = Par.cut(member.groupBy("cl")
       .agg(min_by(struct(col("__set"), col("n")), col("id")).as("__h"))
-      .select(col("cl"), col("__h.__set").as("__hset"), col("__h.n").as("__hn"))
+      .select(col("cl"), col("__h.__set").as("__hset"), col("__h.n").as("__hn")))
     // MEMBER DIFFS (the ClusterDedup treatment): each member carried as
     // edit-sized diffs against its cluster anchor — __dm = H \ S_x,
     // __dp = S_x \ H. Multi-member clusters pay the same corpus-linear
@@ -388,7 +391,7 @@ object OverlapJoin {
     ClusteredPairs(pairsOut, { finished =>
       val out = Par.cut(finished)
       base.unpersist(false)
-      Seq(docRep, reps, repCluster, member, diffs, cpost).foreach(Par.free)
+      Seq(docRep, reps, repCluster, member, anchors, diffs, cpost).foreach(Par.free)
       out
     })
   }

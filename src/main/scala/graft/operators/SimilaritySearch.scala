@@ -34,6 +34,26 @@ object SimilaritySearch {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Measured per-query recall of an approximate top-k against the
+    * exact one: (qid, k, recalled) with recalled = |approx ∩ exact| for
+    * that query (both frames in the (qid, id, …) top-k shape). This is
+    * the RECALL GATE row machinery — a production-knobbed index whose
+    * probe assignment or beam degrades on natural data reports
+    * recalled < k here instead of hiding behind a structurally-exact
+    * fixture (GraphAnnSpec demonstrates the < k report on a genuinely
+    * lossy beam). Queries absent from `approx` still emit (recalled
+    * = 0). Shuffles only (qid, id) pairs — never embeddings.
+    */
+  def recall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select("qid", "id")
+      .join(approx.select("qid", "id"), Seq("qid", "id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("__r"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), lit(k).as("k"),
+        coalesce(col("__r"), lit(0L)).cast("int").as("recalled"))
+  }
+
   /** Exact k-NN SELF-join: every corpus vector's k nearest neighbors
     * by cosine, self excluded. Inherently Ω(n²) — this is the
     * ground-truth/baseline arm for corpora where n² pairs are

@@ -221,9 +221,20 @@ object StreamOps {
     * is the labels themselves, so there is no index to version or
     * invalidate. Batch N writes the FULL post-batch labeling to
     * `labelsDir/part=b<N>` and its docs to `corpusDir/part=b<N>`;
-    * readers take the highest part for current labels (older label
-    * partitions are retention/compaction fodder — only the latest is
-    * ever read back).
+    * readers take the highest part for current labels.
+    *
+    * LABEL RETENTION: each batch writes a FULL labeling, so an
+    * uncompacted `labelsDir` grows by one corpus-sized labeling per
+    * micro-batch — unbounded in a long-running stream. After its
+    * writes, batch N deletes every label partition older than the
+    * newest `retainLabels` (default 2: the just-written b<N> plus its
+    * predecessor). `retainLabels >= 2` is REQUIRED for replay
+    * identity: a crash between the b<N> writes and the checkpoint
+    * commit replays batch N, which reads the PREVIOUS labeling — the
+    * predecessor must still exist. Deletion is idempotent (a replay
+    * re-deletes already-missing parts) and `corpusDir` is never
+    * compacted — it IS the corpus. StreamingSpec pins restart
+    * correctness after compaction against the batch-mode recompute.
     *
     * Exactly-once across restarts via the deterministic `part=b<N>` +
     * Overwrite idiom (the [[incrementalDedupSink]] contract): a replay
@@ -239,11 +250,14 @@ object StreamOps {
       labelsDir: String,
       checkpoint: String,
       nGram: Int = 2,
-      threshold: Double = 0.3): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.3,
+      retainLabels: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        require(retainLabels >= 2,
+          s"retainLabels must be >= 2 (replay of batch N reads the previous labeling), got $retainLabels")
         val spark = batch.sparkSession
         val self = s"b$batchId"
         val base = spark.read.parquet(corpusDir)
@@ -276,6 +290,23 @@ object StreamOps {
           val pinned = spark.sparkContext.getPersistentRDDs
           (pinned.keySet -- pinnedBefore).foreach(id =>
             pinned.get(id).foreach(_.unpersist(blocking = false)))
+        }
+        // compaction: keep only the newest `retainLabels` label parts
+        // (ordering: seed < b0 < b1 < …). Runs AFTER the batch's writes
+        // so the just-written part is always among the kept; idempotent
+        // under replay (a re-run re-deletes already-missing parts)
+        val lp = new org.apache.hadoop.fs.Path(labelsDir)
+        val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (lfs.exists(lp)) {
+          def ord(name: String): Long = {
+            val v = name.stripPrefix("part=")
+            if (v == "seed") -1L else v.stripPrefix("b").toLong
+          }
+          lfs.listStatus(lp).filter(_.isDirectory).map(_.getPath)
+            .filter(_.getName.startsWith("part="))
+            .sortBy(p => ord(p.getName))
+            .dropRight(retainLabels)
+            .foreach(p => lfs.delete(p, true))
         }
         ()
       }

@@ -78,6 +78,54 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("corpus-derived sharding: autoShards math pinned, auto arm stays exact") {
+    // the per-shard build holds the shard in task memory (rows.toArray)
+    // — shard count must grow with the corpus, not sit on a fixed knob
+    assert(GraphAnn.autoShards(0L, 1 << 16) == 1)
+    assert(GraphAnn.autoShards(1L, 1 << 16) == 1)
+    assert(GraphAnn.autoShards((1L << 16), 1 << 16) == 1)
+    assert(GraphAnn.autoShards((1L << 16) + 1, 1 << 16) == 2)
+    assert(GraphAnn.autoShards(10_000_000L, 1 << 16) == 153)
+    assert(GraphAnn.autoShards(300L, 100) == 3)
+    // nShards = 0 (the default): derived count, exhaustive arm still
+    // exact — sharding never affects the exact merge's result
+    val corpus = mkCorpus(250, 16, seed = 53)
+    val queries = corpus.take(3).map { case (id, v) => (id + 1000L, v) }
+    val got = GraphAnn.hnswTopK(corpus.toDF("id", "vec"),
+        queries.toDF("qid", "qvec"), k = 6, m = 6, efConstruction = 24,
+        efSearch = 0, maxShardRows = 100) // → 3 shards derived
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._3).map(_._2).toSeq }
+    queries.foreach { case (qid, qv) =>
+      assert(got(qid) == bruteTopK(corpus, qv, 6), s"qid=$qid")
+    }
+  }
+
+  test("recall gate machinery reports < k on a genuinely lossy beam") {
+    import graft.operators.SimilaritySearch
+    // a deliberately starved beam (efSearch=1, m=2) on a random corpus
+    // misses true neighbors — the measured-recall row must SAY so
+    // (recalled < k), not paper over it; the exhaustive arm under the
+    // same measurement reports full k (the control)
+    val corpus = mkCorpus(400, 16, seed = 61)
+    val queries = mkCorpus(10, 16, seed = 67).map { case (id, v) => (id + 9000L, v) }
+    val cdf = corpus.toDF("id", "vec")
+    val qdf = queries.toDF("qid", "qvec")
+    val exact = SimilaritySearch.bruteForceTopK(cdf, qdf, 8)
+    val lossy = GraphAnn.hnswTopK(cdf, qdf, k = 8, m = 2, efConstruction = 2,
+      efSearch = 1, nShards = 1)
+    val rLossy = SimilaritySearch.recall(exact, lossy, 8)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(rLossy.length == 10 && rLossy.forall(r => r._2 == 8 && r._3 <= 8))
+    assert(rLossy.map(_._3).sum < 10 * 8,
+      s"starved beam should drop recall somewhere: $rLossy")
+    val full = GraphAnn.hnswTopK(cdf, qdf, k = 8, m = 8, efConstruction = 32,
+      efSearch = 0, nShards = 2)
+    val rFull = SimilaritySearch.recall(exact, full, 8)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(rFull.forall(_._3 == 8), s"exhaustive control must be full recall: $rFull")
+  }
+
   test("tiny and degenerate shards: singleton corpus, zero vectors, k > n") {
     val corpus = Seq(1L -> Array.fill(4)(0f), 2L -> Array(1f, 0f, 0f, 0f))
       .toDF("id", "vec")

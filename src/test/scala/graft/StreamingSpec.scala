@@ -300,6 +300,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(after1(30L) == 30L && after1(31L) == 30L)
   }
 
+  test("cluster-label compaction: old label parts deleted, restart after compaction stays exact") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.ClusterDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_incclust_cmp").toString
+    val (corpusDir, labelsDir, chk) = (s"$root/corpus", s"$root/labels", s"$root/chk")
+    def doc(fam: String, salt: Int): String =
+      (0 until 10).map(i => s"$fam${(i + salt) % 12}").mkString(" ")
+    val seed = Seq(1L -> doc("alpha", 0), 2L -> doc("alpha", 1)).toDF("doc_id", "text")
+    StreamOps.seedClusterState(seed, "doc_id", "text", corpusDir, labelsDir)
+    val in = MemoryStream[(Long, String)]
+    def pipeline() = StreamOps.incrementalClusterSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", corpusDir, labelsDir, chk,
+      retainLabels = 2)
+    def labelParts(): Set[String] =
+      new java.io.File(labelsDir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("part=")).toSet
+    // two batches in one run → {seed,b0,b1} compacts to {b0,b1}
+    val q1 = pipeline()
+    try {
+      in.addData(10L -> doc("beta", 0)); q1.processAllAvailable()
+      in.addData(11L -> doc("beta", 1)); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(labelParts() == Set("part=b0", "part=b1"),
+      s"compaction should keep exactly the newest 2: ${labelParts()}")
+    // batch 2 arrives while the query is DOWN: the restart reads b1 —
+    // the predecessor retention guarantees — and must re-label the
+    // 5-doc corpus identically to a batch-mode recompute
+    in.addData(20L -> doc("gamma", 0))
+    val q2 = pipeline()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(labelParts() == Set("part=b1", "part=b2"), s"${labelParts()}")
+    val got = spark.read.parquet(s"$labelsDir/part=b2").as[(Long, Long)].collect().toMap
+    val full = ClusterDedup.components(
+        spark.read.parquet(corpusDir).drop("part"), "doc_id", "text", 2, 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == full, s"\n stream=$got\n full=$full")
+  }
+
   test("file source reads csv directories with the same pipeline shape") {
     import spark.implicits._
     import org.apache.spark.sql.types._
