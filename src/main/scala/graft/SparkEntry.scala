@@ -267,6 +267,64 @@ object SparkEntry {
        |                    WHERE instr(b.s, chr(31)||m.x||chr(31)||m.y||chr(31)) > 0))""".stripMargin
   }
 
+  /** Oracle for `bpe_learn_merges` — greedy BPE TRAINING, k rounds,
+    * generated as k chained NON-recursive CTE levels (standard SQL
+    * forbids aggregation over a recursive CTE's own working table, so
+    * the choose-then-apply alternation cannot live inside ONE
+    * recursion; it CAN be unrolled, because k is a fixture constant):
+    * level i computes frequency-weighted adjacent-pair counts over the
+    * previous level's tokenizations (`pc{i}`), picks the (count DESC,
+    * x, y) argmax (`b{i}`), and applies it in ONE `replace()` call
+    * (`d{i}`).
+    *
+    * Token-string encoding makes the single replace exact: every token
+    * carries its OWN delimiters — s = ⨁ (US ‖ t ‖ US) — so the pair
+    * pattern `US x US US y US` never shares a delimiter with the next
+    * occurrence, and left-to-right non-overlapping `replace` semantics
+    * ARE the BPE merge-all-occurrences pass (a first-cut oracle shared
+    * single delimiters, where `replace` consumes the next occurrence's
+    * leading separator and silently skips adjacent matches; and its
+    * per-level recursive walk re-executed upstream levels per
+    * reference — minutes of DuckDB wall. MATERIALIZED pins each level
+    * to one evaluation.) An empty `b{i}` (pairs exhausted) degrades to
+    * the identity via the LEFT JOIN + CASE, matching the engine's
+    * early stop.
+    */
+  private def bpeLearnOracle(k: Int): String = {
+    val us = "chr(31)"
+    def pat = s"$us||b.x||$us||$us||b.y||$us"
+    val levels = (1 to k).map { i =>
+      val prev = if (i == 1) "d0" else s"d${i - 1}"
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT p[1] AS x, p[2] AS y, sum(f) AS cnt FROM (
+         |    SELECT w, unnest(list_transform(range(1, len(ts)),
+         |                     j -> [ts[j], ts[j+1]])) AS p
+         |    FROM (SELECT w, list_filter(string_split(s, $us), t -> t <> '') AS ts
+         |          FROM $prev)) JOIN wf USING (w)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT x, y FROM pc$i ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+         |d$i AS MATERIALIZED (
+         |  SELECT d.w,
+         |    CASE WHEN b.x IS NULL THEN d.s
+         |         ELSE replace(d.s, $pat, $us||b.x||b.y||$us) END AS s
+         |  FROM $prev d LEFT JOIN b$i b ON true)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i => s"SELECT $i AS rank, x, y FROM b$i").mkString("\n  UNION ALL ")
+    // plain concatenation: a second stripMargin over the interpolated
+    // levels would re-strip their `||` concatenation lines
+    val head =
+      s"""WITH
+        |dw AS MATERIALIZED (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+        |wf AS MATERIALIZED (SELECT w, count(*) AS f FROM dw GROUP BY w),
+        |d0(w, s) AS MATERIALIZED (
+        |  SELECT w, array_to_string(list_transform(regexp_extract_all(w, '.'),
+        |    c -> $us || c || $us), '')
+        |  FROM (SELECT DISTINCT w FROM dw)),""".stripMargin
+    head + "\n" + levels + "\n" +
+      s"SELECT rank, x, y FROM (\n  $union\n) ORDER BY rank"
+  }
+
   /** The word-bigram shingle CTE opening shared by the three
     * decontamination oracles — ONE definition, so a future tokenization
     * fix cannot silently desynchronize one gate from the others.
@@ -1842,6 +1900,18 @@ object SparkEntry {
     "bpe_token_histogram" -> ((s, dir) =>
       graft.functions.Bpe.tokenHistogram(docs(s, dir), "doc_id", "text")
         .orderBy("token")),
+
+    // BPE TRAINING (the learner the encoder rows' fixture table stands
+    // in for): 8 greedy merge rounds over the corpus — each round one
+    // vocabulary-sized pair aggregate + a 1-row argmax, the corpus
+    // touched exactly once (word frequencies). The oracle unrolls the
+    // same choose-then-apply alternation as 8 generated CTE levels
+    // (SQL recursion cannot aggregate its own working table), applying
+    // each chosen pair with the bpeSqlScaffold leftmost-occurrence
+    // recursion — argmax ties break (count DESC, x, y) in both engines
+    "bpe_learn_merges" -> ((s, dir) =>
+      graft.functions.Bpe.learnMerges(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("rank")),
 
     // the whole curation pipeline COMPOSED end-to-end: quality filter →
     // exact dedup (keep lowest id per identical text) → train split →
@@ -3431,6 +3501,8 @@ object SparkEntry {
         |SELECT token, CAST(sum(wf.f) AS BIGINT) AS cnt
         |FROM tok JOIN wf USING (w)
         |GROUP BY token ORDER BY token""".stripMargin),
+
+    "bpe_learn_merges" -> bpeLearnOracle(8),
 
     "subquery_spend" ->
       """SELECT c_custkey, CAST(spend AS DOUBLE) AS spend

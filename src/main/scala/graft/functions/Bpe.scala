@@ -144,6 +144,78 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_bpe"))
   }
 
+  /** GREEDY BPE TRAINING (Sennrich et al. 2016 — the learner whose
+    * output table [[FixtureMerges]] stands in for at encode time): `k`
+    * merge rounds over the corpus vocabulary. Round i counts every
+    * adjacent token pair across the CURRENT tokenization — weighted by
+    * word frequency, overlapping occurrences counted, the standard
+    * formulation — picks the (count DESC, x ASC, y ASC) argmax, and
+    * merges all its occurrences left to right in every word. Output
+    * (rank, x, y), rank 1-based; fewer than k rows when pairs exhaust.
+    *
+    * Left-to-right-fold equivalence: the per-round application folds
+    * tokens with "merge when (last(acc), t) = (x, y)". This equals the
+    * scan-by-index form exactly, because a just-merged token `xy` can
+    * never itself re-match as the LEFT side within the same round
+    * (that needs xy = x, impossible with y non-empty) — so both forms
+    * consume occurrences left to right, non-overlapping. The same
+    * argument makes the DuckDB oracle's one-occurrence-at-a-time
+    * recursive form equal again: re-merging the leftmost remaining
+    * occurrence repeatedly visits the identical positions.
+    *
+    * Scale shape: ONE corpus-sized pass (the word-frequency aggregate);
+    * every round after that touches only the VOCABULARY (Zipf: ≪ the
+    * corpus) — one narrow pair aggregate + a 1-row argmax collect per
+    * round, the evolving tokenization lineage-cut per round (k rounds
+    * would otherwise stack k analyzer layers) and the previous round's
+    * blocks freed. The HOF pair-explode/fold lambdas are interpreted,
+    * the right trade here: they run once per distinct WORD per round,
+    * never per occurrence (the [[tokenCounts]] dictionary stance).
+    * Exact greedy training costs k vocabulary passes by construction —
+    * the classic single-machine trainer amortizes them with a mutable
+    * pair-count cache, which has no shared-nothing analogue; this is
+    * the exact distributed form, with k as the caller's budget knob.
+    */
+  def learnMerges(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import graft.operators.Par
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf = words(df, idCol, textCol).groupBy("w").agg(count(lit(1)).as("f"))
+    var toks = Par.cut(wf.select(col("f"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("ts")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      val best = toks.where(size(col("ts")) > 1)
+        .select(col("f"), explode(expr(
+          // Spark SQL array subscripts are 0-based
+          "transform(sequence(0, size(ts) - 2), j -> named_struct('x', ts[j], 'y', ts[j + 1]))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (x, y) = (best(0).getString(0), best(0).getString(1))
+        merges += ((round, x, y))
+        val xL = lit(x); val yL = lit(y)
+        val folded = aggregate(col("ts"), array().cast("array<string>"),
+          (acc, t) => when(size(acc) > 0 &&
+              acc(size(acc) - 1) === xL && t === yL, // 0-based last element
+            concat(slice(acc, lit(1), size(acc) - 1), array(concat(xL, yL))))
+            .otherwise(concat(acc, array(t))))
+        val prev = toks
+        toks = Par.cut(prev.select(col("f"), folded.as("ts")))
+        Par.free(prev)
+      }
+      round += 1
+    }
+    Par.free(toks)
+    merges.toSeq.toDF("rank", "x", "y")
+  }
+
   /** Corpus-wide BPE token histogram (token → occurrences), through the
     * same dictionary: tokens explode once per DISTINCT word, occurrence
     * multiplicity arrives as a pre-aggregated per-word count — the

@@ -94,4 +94,73 @@ class BpeSpec extends AnyFunSuite {
     // the->the (x2); thin->th,in (x2); x->x
     assert(got == Map("the" -> 2L, "th" -> 2L, "in" -> 2L, "x" -> 1L))
   }
+
+  /** Reference greedy trainer (pure JVM): k rounds of count-all-pairs
+    * (frequency-weighted, overlaps counted) → (count DESC, pair ASC)
+    * argmax → left-to-right scan-merge of all occurrences.
+    */
+  private def refLearn(wordFreq: Map[String, Long], k: Int): List[(Int, String, String)] = {
+    var toks: Map[List[String], Long] =
+      wordFreq.groupMapReduce { case (w, _) => w.toList.map(_.toString) }(_._2)(_ + _)
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String)]
+    for (r <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((ts, f) <- toks; Seq(a, b) <- ts.sliding(2) if ts.length > 1)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      if (counts.nonEmpty && out.length == r - 1) {
+        val (x, y) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += ((r, x, y))
+        toks = toks.groupMapReduce { case (ts, _) =>
+          val o = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < ts.length) {
+            if (i < ts.length - 1 && ts(i) == x && ts(i + 1) == y) { o += x + y; i += 2 }
+            else { o += ts(i); i += 1 }
+          }
+          o.toList
+        }(_._2)(_ + _)
+      }
+    }
+    out.toList
+  }
+
+  test("learnMerges equals the reference greedy trainer on a hand corpus") {
+    val df = Seq(
+      1L -> "the theme thin thin", 2L -> "other the rather",
+      3L -> "thin gather the").toDF("doc_id", "text")
+    val wf = Map("the" -> 3L, "theme" -> 1L, "thin" -> 3L, "other" -> 1L,
+      "rather" -> 1L, "gather" -> 1L)
+    val want = refLearn(wf, 6)
+    val got = Bpe.learnMerges(df, "doc_id", "text", 6)
+      .as[(Int, String, String)].collect().toList.sortBy(_._1)
+    assert(got == want, s"\n got=$got\n want=$want")
+    // 'th' (9 weighted occurrences) must be the first merge
+    assert(got.head == ((1, "t", "h")))
+  }
+
+  test("learnMerges equals the reference trainer on randomized corpora (ties included)") {
+    val rnd = new scala.util.Random(5)
+    for (trial <- 0 until 3) {
+      val vocabChars = "abcd"
+      val words = (0 until 12).map(_ =>
+        (0 until (2 + rnd.nextInt(5))).map(_ => vocabChars(rnd.nextInt(4))).mkString)
+      val docs = (0 until 8).map(i =>
+        (i.toLong, (0 until (1 + rnd.nextInt(6))).map(_ => words(rnd.nextInt(words.length)))
+          .mkString(" "))).toDF("doc_id", "text")
+      val wf = docs.as[(Long, String)].collect()
+        .flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+      val want = refLearn(wf, 5)
+      val got = Bpe.learnMerges(docs, "doc_id", "text", 5)
+        .as[(Int, String, String)].collect().toList.sortBy(_._1)
+      assert(got == want, s"trial $trial:\n got=$got\n want=$want\n wf=$wf")
+    }
+  }
+
+  test("learnMerges stops early when pairs exhaust") {
+    val df = Seq(1L -> "ab ab").toDF("doc_id", "text") // one word, one pair
+    val got = Bpe.learnMerges(df, "doc_id", "text", 5)
+      .as[(Int, String, String)].collect().toList
+    assert(got == List((1, "a", "b")), s"got=$got")
+  }
 }
