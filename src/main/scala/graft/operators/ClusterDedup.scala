@@ -85,6 +85,8 @@ import graft.functions.{NativeHash, Text}
   */
 object ClusterDedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Fp guard shared with [[JaccardDedup]]'s pruning bounds. */
   private val Eps = 1e-9
 
@@ -94,6 +96,59 @@ object ClusterDedup {
     * corpus-wide collapse window.
     */
   private val CollapseSkipRatio = 0.95
+
+  /** ADAPTIVE ROUTE (r17): the clustered candidate path only beats the
+    * direct PPJoin pipeline when the LSH contraction actually
+    * contracts — its whole mechanism is collapsing g-replica families
+    * so the candidate join runs at distinct-content granularity. On a
+    * low-duplication corpus the contraction labels ~every rep a
+    * singleton and the machinery degenerates to the direct pipeline
+    * PLUS pure overhead: the anchors/diffs cuts, the candidate stream
+    * carrying per-cluster stats through its DISTINCT, the eager
+    * materialization of the (candidate-sized) prune output, and the
+    * two-arm verify (measured at sf0.1: 13.6 s clustered vs 2.2 s
+    * direct for row-identical output). So the core probes the
+    * contraction mass first — one narrow aggregate over the MinHash
+    * band buckets, Σ over (band, bucket) of (size − 1), i.e. exactly
+    * the member→hub star edges the contraction could take — and when
+    * the per-band average is below this fraction of reps it runs the
+    * direct prefix pipeline over the collapsed reps instead (results
+    * fan out through the exact-set collapse unchanged; both arms are
+    * proven row-identical, see ClusterDedupSpec's routing cases).
+    * Same decision pattern as the HLL collapse probe above and
+    * [[Components.connectedComponents]]'s local threshold: a measured
+    * statistic picks between two exact plans.
+    *
+    * Threshold semantics: the probe statistic (per-band collisions /
+    * reps) ≈ f·(g−1)/g for a corpus with fraction f of docs in
+    * families of size g. The clustered arm's candidate saving is ~g²
+    * on the family slice, so it only pays when g is LARGE — and large
+    * g pushes the statistic toward f (10×/100× soaks measure ≥ 90%).
+    * Below 25% the worst case is small-family duplication (g ≈ 2-4),
+    * where direct candidates grow by a bounded few-× on the family
+    * slice while the clustered arm's fixed extra phases (measured
+    * 6-11 s per call at sf0.1) dwarf that. The probe normalizes by
+    * numBands, which UNDERcounts families whose J sits near the
+    * banding knee — but those are families the contraction itself
+    * would mostly miss (band collision is its only mechanism), so the
+    * statistic tracks exactly the benefit available.
+    */
+  private val RouteContractRatio = 0.25
+
+  /** Small-problem fast path for the route: when the direct arm's
+    * dominant cost — its candidate-join volume Σ_s dfP(s)², computed
+    * EXACTLY from the prefix index both arms build anyway — is under
+    * this many rows, the direct pipeline finishes in seconds on any
+    * hardware and the clustered arm's fixed extra phases (contraction,
+    * anchors/diffs, prune materialization, multi-arm verify — measured
+    * 6-11 s per call) cannot pay for themselves regardless of how much
+    * contraction is available. Absolute by design, like
+    * [[Components.connectedComponents]]'s localThreshold and
+    * [[Triangles.stats]]' broadcastEdgeLimit: at 100 TB any corpus
+    * with real replication sits orders of magnitude above it (the 10×
+    * soak already measured 634M), so the cap is inert at scale.
+    */
+  private val DirectCandCap = 32L * 1000 * 1000
 
   /** Lazy intermediate frames of the candidate path, captured so
     * PlanShapeSpec can pin the scale-shape claims on
@@ -119,9 +174,11 @@ object ClusterDedup {
       threshold: Double = 0.3,
       numHashes: Int = 64,
       numBands: Int = 16,
-      prune: Boolean = true): DataFrame =
-    componentsProbed(df, idCol, textCol, nGram, threshold,
-      numHashes, numBands, prune)._1
+      prune: Boolean = true,
+      adaptive: Boolean = true): DataFrame =
+    componentsImpl(df, idCol,
+      NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram),
+      threshold, numHashes, numBands, prune, adaptive)._1
 
   /** Candidate-path frames shared by [[components]] and
     * [[pairsClustered]]: everything through the anchor-bound prune
@@ -139,11 +196,28 @@ object ClusterDedup {
       anchors: DataFrame,    // (cl, __hsh, __hn)
       diffs: DataFrame,      // (cl, id, n, __hn, __dm, __dp) — member-vs-anchor diffs
       pruned: DataFrame,     // (cl_a, cl_b, __wit, __hc, size stats) surviving the bound
+      threshold: Double,
       probes: Probes,
       persisted: Seq[DataFrame],
       cuts: Seq[DataFrame])
 
-  /** [[components]] plus the candidate-path [[Probes]]. */
+  /** The ADAPTIVE direct arm (see [[RouteContractRatio]]): the exact
+    * rep-level pair stream through the plain PPJoin prefix pipeline —
+    * no contraction, no anchors/diffs, no cluster stats. Consumers fan
+    * the pairs out through the exact-set collapse (`docRep`) exactly as
+    * the clustered arm does.
+    */
+  private final case class DirectCore(
+      hashed: DataFrame, // (id, __sh, n) — all docs, persisted
+      docRep: DataFrame, // (id, rep) — exact-set collapse, non-empty docs
+      pairs: DataFrame,  // (ra, rb, jaccard) exact rep pairs — LAZY
+      persisted: Seq[DataFrame],
+      cuts: Seq[DataFrame])
+
+  /** [[components]] plus the candidate-path [[Probes]] — the
+    * PlanShapeSpec hook, pinned on the CLUSTERED arm (adaptive routing
+    * off: the probes ARE the clustered frames).
+    */
   private[graft] def componentsProbed(
       df: DataFrame,
       idCol: String,
@@ -153,10 +227,52 @@ object ClusterDedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       prune: Boolean = true): (DataFrame, Probes) = {
-    val core = candidateCore(df, idCol,
+    val (out, probes) = componentsImpl(df, idCol,
       NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram),
-      threshold, numHashes, numBands, prune)
+      threshold, numHashes, numBands, prune, adaptive = false)
+    (out, probes.get)
+  }
 
+  /** Shared [[components]] body over either core arm. */
+  private def componentsImpl(
+      df: DataFrame,
+      idCol: String,
+      shingleExpr: org.apache.spark.sql.Column,
+      threshold: Double,
+      numHashes: Int,
+      numBands: Int,
+      prune: Boolean,
+      adaptive: Boolean): (DataFrame, Option[Probes]) = {
+    candidateCore(df, idCol, shingleExpr,
+        threshold, numHashes, numBands, prune, adaptive) match {
+      case Left(d) => (componentsDirect(d), None)
+      case Right(core) => componentsClustered(core)
+    }
+  }
+
+  /** Direct-route components assembly: reps ARE the clusters (cl = id),
+    * so the exact rep-level pairs are the cluster edges directly and
+    * labels fan out through the collapse alone. Identical labeling to
+    * the clustered arm: component = min doc id reachable, and every
+    * collapsed member's id ≥ its rep's.
+    */
+  private def componentsDirect(d: DirectCore): DataFrame = {
+    val edges = d.pairs.select(col("ra"), col("rb"))
+    val clComp = Components.connectedComponents(edges, "ra", "rb")
+      .select(col("id").as("rep"), col("component"))
+    val labeled = d.docRep.select(col("id"), col("rep"))
+      .join(clComp, Seq("rep"), "left")
+      .select(col("id"), coalesce(col("component"), col("rep")).as("component"))
+    val isolated = d.hashed.where(col("n") === 0)
+      .select(col("id"), col("id").as("component"))
+    val out = Par.cut(labeled.union(isolated))
+    d.persisted.foreach(_.unpersist(false))
+    (d.cuts :+ clComp).foreach(Par.free)
+    out
+  }
+
+  private def componentsClustered(core: Core): (DataFrame, Option[Probes]) = {
+    val threshold = core.threshold
     // ---- 5. exact member verification of surviving cluster pairs ----
     // (connectivity only: the ids and jaccard values are dropped — the
     // pair-listing consumer keeps them, see pairsClustered). Witnessed
@@ -189,7 +305,7 @@ object ClusterDedup {
     // no consumer beyond `out` — freeing it here closes a per-call
     // block leak in long-lived sessions (the semanticDedup seal rule)
     (core.cuts :+ crossEdges :+ clComp).foreach(Par.free)
-    (out, core.probes)
+    (out, Some(core.probes))
   }
 
   /** INCREMENTAL labels for `base ∪ delta` from (a) the PREVIOUS run's
@@ -399,10 +515,11 @@ object ClusterDedup {
       threshold: Double = 0.3,
       numHashes: Int = 64,
       numBands: Int = 16,
-      prune: Boolean = true): DataFrame =
+      prune: Boolean = true,
+      adaptive: Boolean = true): DataFrame =
     pairsClusteredBy(df, idCol,
       NativeHash.shingleHashes(Text.tokens(col(textCol)), nGram),
-      threshold, numHashes, numBands, prune)
+      threshold, numHashes, numBands, prune, adaptive)
 
   /** [[pairsClustered]] over an arbitrary sorted-distinct-hash-array
     * shingle expression (the [[JaccardDedup.nearDupPairsByHashes]]
@@ -418,9 +535,10 @@ object ClusterDedup {
       threshold: Double,
       numHashes: Int = 64,
       numBands: Int = 16,
-      prune: Boolean = true): DataFrame = {
+      prune: Boolean = true,
+      adaptive: Boolean = true): DataFrame = {
     val (pairs, seal) = pairsClusteredPlan(df, idCol, shingleExpr,
-      threshold, numHashes, numBands, prune)
+      threshold, numHashes, numBands, prune, adaptive)
     seal(pairs)
   }
 
@@ -448,9 +566,10 @@ object ClusterDedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       prune: Boolean = true,
-      viaAgg: Boolean = true): DataFrame = {
+      viaAgg: Boolean = true,
+      adaptive: Boolean = true): DataFrame = {
     val (lazyOut, seal) = topKPlanBy(df, idCol, shingleExpr, threshold, k,
-      numHashes, numBands, prune, viaAgg)
+      numHashes, numBands, prune, viaAgg, adaptive)
     // cloned-session-scoped, never the caller's session: the raise is
     // only safe around an O(k)-buffer aggregate (see
     // TopKAgg.withHashAggHeadroom)
@@ -483,10 +602,11 @@ object ClusterDedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       prune: Boolean = true,
-      viaAgg: Boolean = true): (DataFrame, DataFrame => DataFrame) = {
+      viaAgg: Boolean = true,
+      adaptive: Boolean = true): (DataFrame, DataFrame => DataFrame) = {
     require(k >= 1, "k must be >= 1")
     val (pairs, seal) = pairsClusteredPlan(df, idCol, shingleExpr,
-      threshold, numHashes, numBands, prune)
+      threshold, numHashes, numBands, prune, adaptive)
     (graft.functions.TopKAgg.perDocTopK(pairs, "jaccard", k, viaAgg), seal)
   }
 
@@ -501,9 +621,33 @@ object ClusterDedup {
       threshold: Double,
       numHashes: Int,
       numBands: Int,
-      prune: Boolean): (DataFrame, DataFrame => DataFrame) = {
-    val core = candidateCore(df, idCol, shingleExpr, threshold,
-      numHashes, numBands, prune)
+      prune: Boolean,
+      adaptive: Boolean = true): (DataFrame, DataFrame => DataFrame) = {
+    val coreE = candidateCore(df, idCol, shingleExpr, threshold,
+      numHashes, numBands, prune, adaptive)
+    coreE match {
+      case Left(d) =>
+        // direct route: d.pairs IS the exact rep-level pair stream —
+        // fan it out through the collapse and seal exactly as below
+        val groups = d.docRep
+        val crossGroups = d.pairs
+          .join(groups.select(col("rep").as("ra"), col("id").as("ia")), Seq("ra"))
+          .join(groups.select(col("rep").as("rb"), col("id").as("ib")), Seq("rb"))
+          .select(least(col("ia"), col("ib")).as("id_a"),
+            greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+        val intraGroups = groups.select(col("rep"), col("id").as("id_a"))
+          .join(groups.select(col("rep"), col("id").as("id_b")), Seq("rep"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+        return (crossGroups.union(intraGroups), { finished =>
+          val out = Par.cut(finished)
+          d.persisted.foreach(_.unpersist(false))
+          d.cuts.foreach(Par.free)
+          out
+        })
+      case Right(_) => ()
+    }
+    val core = coreE.toOption.get
 
     // ---- 5'. exact member verification, KEEPING ids + jaccard ----
     val cross = verifiedMemberPairs(core.pruned, core.member,
@@ -683,7 +827,9 @@ object ClusterDedup {
   }
 
   /** Steps 1-4 of the object doc — everything up to (and including)
-    * the anchor-bound prune over cluster pairs.
+    * the anchor-bound prune over cluster pairs. With `adaptive` on, a
+    * band-collision probe may route to the [[DirectCore]] arm instead
+    * (see [[RouteContractRatio]]).
     */
   private def candidateCore(
       df: DataFrame,
@@ -692,7 +838,8 @@ object ClusterDedup {
       threshold: Double,
       numHashes: Int,
       numBands: Int,
-      prune: Boolean): Core = {
+      prune: Boolean,
+      adaptive: Boolean): Either[DirectCore, Core] = {
     // Upper bound matters for the row-identity contract: the exact-set
     // collapse assumes identical docs (J=1) always merge, which is only
     // valid for thresholds in (0, 1] — the direct pipeline would emit no
@@ -743,6 +890,76 @@ object ClusterDedup {
       _.select("id", "rep"))
     val reps = collapseCut.fold(nonEmpty.select("id", "__sh", "n"))(
       _.where(col("id") === col("rep")).select("id", "__sh", "n"))
+
+    // ---- ADAPTIVE ROUTE (see RouteContractRatio / DirectCandCap).
+    // Probe 1 — direct-candidate volume: the prefix index is built and
+    // persisted ONCE (both arms consume it: the direct arm's candidate
+    // self-join, the clustered arm's cluster postings), and one narrow
+    // aggregate over it computes Σ_s dfP(s)² — the EXACT row count of
+    // the direct arm's candidate join. Under the absolute cap the
+    // direct arm is seconds of work and wins outright.
+    // Probe 2 — contraction mass (only when the volume is large): one
+    // partial-aggregated pass over the MinHash band buckets; Σ over
+    // (band, bucket) of (size − 1) counts exactly the member→hub star
+    // edges the contraction could take. Per-band average under the
+    // ratio threshold means the clustered arm cannot collapse enough
+    // to repay its phases — and a huge-but-unreplicated candidate set
+    // costs BOTH arms the same join, so direct still wins. nReps comes
+    // from the HLL probe above (collapsed: distinct-set estimate; else
+    // the exact count) — no extra job.
+    val index = reps.select(col("id"), explode(col("__sh")).as("s"), col("n"))
+    val prefix = JaccardDedup.prefixIndex(index, "id", threshold)
+      .persist(MEMORY_AND_DISK)
+    val nRepsEst = if (collapseUseful) st.getLong(1) else st.getLong(0)
+    val routeDirect = adaptive && {
+      val cv = prefix.groupBy("s").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c").cast("double") * col("c").cast("double"))).head()
+      val candVol = if (cv.isNullAt(0)) 0.0 else cv.getDouble(0)
+      lazy val starEdgesUb = {
+        val collRow = reps.select(
+            posexplode(NativeHash.minhashBandBucketsHashed(col("__sh"), numHashes, numBands))
+              .as(Seq("band", "bucket")))
+          .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+          .agg(sum(when(col("c") > 1, col("c") - 1).otherwise(lit(0L)))).head()
+        if (collRow.isNullAt(0)) 0L else collRow.getLong(0)
+      }
+      val direct = candVol < DirectCandCap ||
+        starEdgesUb < RouteContractRatio * nRepsEst * numBands
+      log.info(s"candidateCore route: candVol=$candVol nReps=$nRepsEst " +
+        s"bands=$numBands -> ${if (direct) "DIRECT" else "CLUSTERED"}")
+      direct
+    }
+    if (routeDirect) {
+      // the direct arm: JaccardDedup's exact prefix pipeline over the
+      // already-hashed reps (df-rarity prefix index, size + positional
+      // filters inside the join, early-exit merge-walk verify) — the
+      // plan the direct operator runs, minus a second shingling pass
+      val a = prefix.select(col("s").as("__sa"), col("id").as("ra"),
+        col("n").as("__na"), col("pos").as("__pa"))
+      val b = prefix.select(col("s").as("__sb"), col("id").as("rb"),
+        col("n").as("__nb"), col("pos").as("__pb"))
+      val alphaC = ceil((col("__na") + col("__nb")) * (threshold / (1.0 + threshold)) - lit(Eps))
+      val cand = a.join(b,
+          col("__sa") === col("__sb") &&
+          col("ra") < col("rb") &&
+          greatest(col("__na"), col("__nb")) * threshold <=
+            least(col("__na"), col("__nb")) + lit(Eps) &&
+          lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb")) >= alphaC)
+        .select("ra", "rb")
+        .distinct()
+      val alphaV = ceil((col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - lit(Eps))
+        .cast("int")
+      val pairs = cand
+        .join(reps.select(col("id").as("ra"), col("__sh").as("__sha"), col("n").as("n_a")), Seq("ra"))
+        .join(reps.select(col("id").as("rb"), col("__sh").as("__shb"), col("n").as("n_b")), Seq("rb"))
+        .withColumn("c", NativeHash.sortedIntersectAtLeast(col("__sha"), col("__shb"), alphaV))
+        .filter(col("c") >= 0)
+        .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("ra"), col("rb"), col("jaccard"))
+      return Left(DirectCore(hashed, docRep, pairs,
+        persisted = Seq(hashed, prefix), cuts = collapseCut.toSeq))
+    }
 
     // ---- 2. LSH contraction over representatives ----
     val buckets = reps
@@ -800,7 +1017,11 @@ object ClusterDedup {
     val repCluster = member.select("id", "cl")
 
     // ---- 3 + 4: cluster-level candidates + anchor-bound prune ----
-    val cc = clusterCandidatePlan(member, threshold, prune, requireDelta = false)
+    // the route probe's persisted prefix index is REUSED as the
+    // postings source (contraction labels join on by id) — the dfreq
+    // count and per-doc rarity window run once per call, not twice
+    val cc = clusterCandidatePlan(member, threshold, prune, requireDelta = false,
+      prefix = Some(prefix))
     val pruned = Par.cut(cc.prunePlan(cc.candCl))
 
     // probe frames for the plan-shape pins (plans only — executing the
@@ -814,10 +1035,11 @@ object ClusterDedup {
           cc.diffs, cc.anchors, threshold)
         .select(col("cl_a"), col("cl_b")).distinct())
 
-    Core(hashed, docRep, reps, repCluster, member, cc.anchors, cc.diffs, pruned,
+    Right(Core(hashed, docRep, reps, repCluster, member, cc.anchors, cc.diffs, pruned,
+      threshold,
       Probes(cc.cpostRaw, cc.candCl, pruneProbe, crossEdgesProbe),
-      persisted = Seq(hashed),
-      cuts = collapseCut.toSeq ++ Seq(member, cc.cpost, cc.anchors, cc.diffs, pruned))
+      persisted = Seq(hashed, prefix),
+      cuts = collapseCut.toSeq ++ Seq(member, cc.cpost, cc.anchors, cc.diffs, pruned)))
   }
 
   /** Steps 3-4 over an arbitrary member frame, shared by the batch core
@@ -919,15 +1141,25 @@ object ClusterDedup {
       member: DataFrame,
       threshold: Double,
       prune: Boolean,
-      requireDelta: Boolean): ClusterCand = {
-    val index = member.select(col("id"), explode(col("__sh")).as("s"), col("n"), col("cl"))
+      requireDelta: Boolean,
+      prefix: Option[DataFrame] = None): ClusterCand = {
     // the per-cluster delta flag exists ONLY in the incremental arm —
     // the batch path's plan stays byte-identical to pre-extraction
     val statCols = Seq(min("n").as("minN"), max("n").as("maxN"),
       count(lit(1)).as("nm")) ++
       (if (requireDelta) Seq(max(col("__d")).as("isDelta")) else Nil)
     val cStats = member.groupBy("cl").agg(statCols.head, statCols.tail: _*)
-    val cpostRaw = JaccardDedup.prefixIndex(index, "id", threshold, keep = Seq("cl"))
+    // postings source: the caller's persisted prefix index when it has
+    // one (the batch core's route probe — cluster labels join on by
+    // id, identical rows to rebuilding with keep = cl since cl is
+    // functionally dependent on id), else built here (incremental arm)
+    val prefixed = prefix match {
+      case Some(pf) => pf.join(member.select(col("id"), col("cl")), Seq("id"))
+      case None =>
+        val index = member.select(col("id"), explode(col("__sh")).as("s"), col("n"), col("cl"))
+        JaccardDedup.prefixIndex(index, "id", threshold, keep = Seq("cl"))
+    }
+    val cpostRaw = prefixed
       .groupBy(col("s"), col("cl"))
       .agg(max(col("n") - col("pos")).as("mr"))
       .join(cStats, Seq("cl"))

@@ -109,6 +109,33 @@ class ClusterDedupSpec extends AnyFunSuite {
     assert(clustered(docs, 0.5).contains((1L, 0L)))
   }
 
+  test("adaptive route: forced-clustered and adaptive arms row-identical on both corpus shapes") {
+    // distinct corpus (probe routes DIRECT: near-zero band collisions)
+    val distinct = (0L until 120L)
+      .map(i => (i, s"unique$i alpha$i beta$i gamma$i delta$i epsilon$i"))
+      .toDF("doc_id", "text")
+    // replica-heavy corpus (probe stays CLUSTERED: every family collides)
+    val replicated = (0L until 8L).flatMap { id =>
+      val text = s"base document number $id with plenty of shared boilerplate text inside"
+      (0 until 6).map(r => (id * 10 + r, if (r == 0) text else s"$text rep $r"))
+    }.toDF("doc_id", "text")
+    for (docs <- Seq(distinct, replicated)) {
+      val adaptiveLabels = ClusterDedup.components(docs, "doc_id", "text", 2, 0.3)
+        .as[(Long, Long)].collect().toSet
+      val forcedLabels = ClusterDedup.components(docs, "doc_id", "text", 2, 0.3,
+        adaptive = false).as[(Long, Long)].collect().toSet
+      assert(adaptiveLabels == forcedLabels)
+      val adaptivePairs = ClusterDedup.pairsClustered(docs, "doc_id", "text", 2, 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      val forcedPairs = ClusterDedup.pairsClustered(docs, "doc_id", "text", 2, 0.3,
+        adaptive = false)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(adaptivePairs == forcedPairs)
+    }
+  }
+
   test("prune=false (anchor-bound prune disabled everywhere) still exact") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
