@@ -95,7 +95,7 @@ object ClusterDedup {
     * fully-distinct corpus stays comfortably above it and skips the
     * corpus-wide collapse window.
     */
-  private val CollapseSkipRatio = 0.95
+  private[operators] val CollapseSkipRatio = 0.95
 
   /** ADAPTIVE ROUTE (r17): the clustered candidate path only beats the
     * direct PPJoin pipeline when the LSH contraction actually
@@ -133,7 +133,7 @@ object ClusterDedup {
     * would mostly miss (band collision is its only mechanism), so the
     * statistic tracks exactly the benefit available.
     */
-  private val RouteContractRatio = 0.25
+  private[operators] val RouteContractRatio = 0.25
 
   /** Small-problem fast path for the route: when the direct arm's
     * dominant cost — its candidate-join volume Σ_s dfP(s)², computed
@@ -148,7 +148,7 @@ object ClusterDedup {
     * with real replication sits orders of magnitude above it (the 10×
     * soak already measured 634M), so the cap is inert at scale.
     */
-  private val DirectCandCap = 32L * 1000 * 1000
+  private[operators] val DirectCandCap = 32L * 1000 * 1000
 
   /** Lazy intermediate frames of the candidate path, captured so
     * PlanShapeSpec can pin the scale-shape claims on
@@ -258,14 +258,15 @@ object ClusterDedup {
     */
   private def componentsDirect(d: DirectCore): DataFrame = {
     val edges = d.pairs.select(col("ra"), col("rb"))
-    val clComp = Components.connectedComponents(edges, "ra", "rb")
+    val clComp = Par.labeled(d.pairs.sparkSession, "cluster: components(direct)")(
+      Components.connectedComponents(edges, "ra", "rb"))
       .select(col("id").as("rep"), col("component"))
     val labeled = d.docRep.select(col("id"), col("rep"))
       .join(clComp, Seq("rep"), "left")
       .select(col("id"), coalesce(col("component"), col("rep")).as("component"))
     val isolated = d.hashed.where(col("n") === 0)
       .select(col("id"), col("id").as("component"))
-    val out = Par.cut(labeled.union(isolated))
+    val out = Par.cut(labeled.union(isolated), "cluster: labels out(direct)")
     d.persisted.foreach(_.unpersist(false))
     (d.cuts :+ clComp).foreach(Par.free)
     out
@@ -282,7 +283,7 @@ object ClusterDedup {
     val crossEdges = Par.cut(witnessed.union(
       verifiedMemberPairs(core.pruned.where(!col("__wit")), core.member,
           core.diffs, core.anchors, threshold)
-        .select(col("cl_a"), col("cl_b")).distinct()))
+        .select(col("cl_a"), col("cl_b")).distinct()), "cluster: verify cross edges")
 
     // ---- assemble: cluster-graph components, then fan labels back out
     // through contraction (cl) and collapse (rep). Cluster ids are min
@@ -290,7 +291,8 @@ object ClusterDedup {
     // min-cluster label IS the min reachable doc id. Components runs
     // over edge-touched clusters only — untouched clusters coalesce to
     // themselves in the label join, sparing the vertex-union pass.
-    val clComp = Components.connectedComponents(crossEdges, "cl_a", "cl_b")
+    val clComp = Par.labeled(crossEdges.sparkSession, "cluster: components")(
+      Components.connectedComponents(crossEdges, "cl_a", "cl_b"))
       .select(col("id").as("cl"), col("component"))
     val labeled = core.docRep.select(col("id"), col("rep"))
       .join(core.repCluster.select(col("id").as("rep"), col("cl")), Seq("rep"))
@@ -299,7 +301,7 @@ object ClusterDedup {
     // isolated docs (empty shingle set): own singleton component
     val isolated = core.hashed.where(col("n") === 0)
       .select(col("id"), col("id").as("component"))
-    val out = Par.cut(labeled.union(isolated))
+    val out = Par.cut(labeled.union(isolated), "cluster: labels out")
     core.persisted.foreach(_.unpersist(false))
     // clComp is itself a cut (connectedComponents' sealed result) with
     // no consumer beyond `out` — freeing it here closes a per-call
@@ -378,7 +380,8 @@ object ClusterDedup {
       threshold: Double = 0.3,
       numHashes: Int = 64,
       numBands: Int = 16,
-      prune: Boolean = true): DataFrame = {
+      prune: Boolean = true,
+      adaptive: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val hashed = Par.widen(
@@ -391,7 +394,80 @@ object ClusterDedup {
       .select(col("id"), col("__sh"),
         coalesce(size(col("__sh")), lit(0)).as("n"), col("__d"))
       .persist(MEMORY_AND_DISK)
-    val nonEmpty = Par.cut(hashed.where(col("n") > 0))
+    val nonEmpty = Par.cut(hashed.where(col("n") > 0), "inc: nonEmpty")
+    val verts = base.select(col(idCol).as("id"))
+      .unionByName(delta.select(col(idCol).as("id")))
+
+    // ---- ADAPTIVE ROUTE (r17, the batch core's [[DirectCandCap]]
+    // pattern): the cluster-granularity machinery below (banding +
+    // contraction + label merge + cluster candidates + diff verify —
+    // measured 6-10 s of fixed phases at sf0.1) only pays when the
+    // doc-level delta-vs-all prefix join would drown in replication.
+    // Its EXACT candidate volume is Σ_s dfPΔ(s)·dfP(s) over the UNION
+    // prefix index — one narrow aggregate over an index BOTH arms
+    // consume (the clustered arm's cluster postings reuse it, exactly
+    // like the batch core reuses its route probe's index). Under the
+    // absolute cap the direct arm runs in seconds on any hardware:
+    // exact delta-touching pairs ([[JaccardDedup.nearDupPairsIncremental]]'s
+    // candidate scheme, same size/positional filters and verify walk)
+    // plus ONE components pass over (base label star edges ∪ those
+    // pairs) — row-identical by the same argument as the clustered arm
+    // (baseLabels' id→component edges span exactly the base-internal
+    // connectivity; IncrementalDedupSpec pins adaptive == forced-
+    // clustered on both corpus shapes). On replica-heavy corpora the
+    // volume explodes g² and the probe routes clustered (the 10× soak
+    // measured 409 s doc-level vs 116 s clustered).
+    val prefIndex = nonEmpty.select(col("id"), explode(col("__sh")).as("s"),
+      col("n"), col("__d"))
+    val prefix = JaccardDedup.prefixIndex(prefIndex, "id", threshold, keep = Seq("__d"))
+      .persist(MEMORY_AND_DISK)
+    val routeDirect = adaptive && {
+      val cv = Par.labeled(base.sparkSession, "inc: candVol probe")(
+        prefix.groupBy("s").agg(count(lit(1)).as("c"),
+            sum(when(col("__d"), 1L).otherwise(0L)).as("cd"))
+          .agg(sum(col("cd").cast("double") * col("c").cast("double"))).head())
+      val vol = if (cv.isNullAt(0)) 0.0 else cv.getDouble(0)
+      log.info(s"componentsIncremental route: candVol=$vol -> " +
+        s"${if (vol < DirectCandCap) "DIRECT" else "CLUSTERED"}")
+      vol < DirectCandCap
+    }
+    if (routeDirect) {
+      val dp = prefix.where(col("__d"))
+      val a = dp.select(col("s").as("__sa"), col("id").as("ia"),
+        col("n").as("__na"), col("pos").as("__pa"))
+      val b = prefix.select(col("s").as("__sb"), col("id").as("ib"),
+        col("n").as("__nb"), col("pos").as("__pb"))
+      val alphaC = ceil((col("__na") + col("__nb")) * (threshold / (1.0 + threshold)) - lit(Eps))
+      val cand = a.join(b,
+          col("__sa") === col("__sb") &&
+          col("ia") =!= col("ib") &&
+          greatest(col("__na"), col("__nb")) * threshold <=
+            least(col("__na"), col("__nb")) + lit(Eps) &&
+          lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb")) >= alphaC)
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"))
+        .distinct()
+      val alphaD = ceil((col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - lit(Eps))
+        .cast("int")
+      val deltaPairs = cand
+        .join(nonEmpty.select(col("id").as("id_a"), col("__sh").as("__sha"), col("n").as("n_a")), Seq("id_a"))
+        .join(nonEmpty.select(col("id").as("id_b"), col("__sh").as("__shb"), col("n").as("n_b")), Seq("id_b"))
+        .withColumn("c", NativeHash.sortedIntersectAtLeast(col("__sha"), col("__shb"), alphaD))
+        .filter(col("c") >= 0)
+        .filter(col("c") / (col("n_a") + col("n_b") - col("c")) >= threshold)
+        .select("id_a", "id_b")
+      // baseLabels' star edges (id → component) ARE the base-internal
+      // connectivity; self-loops (singletons) drop in the components
+      // normalize and re-enter through the vertex universe
+      val baseEdges = baseLabels.select(col("id").as("id_a"), col("component").as("id_b"))
+      val out = Par.labeled(base.sparkSession, "inc: final components(direct)")(
+        Components.connectedComponents(baseEdges.unionByName(deltaPairs),
+          "id_a", "id_b", Some(verts)))
+      hashed.unpersist(false)
+      prefix.unpersist(false)
+      Par.free(nonEmpty)
+      return out
+    }
 
     // LSH star contraction over ALL docs (the batch core's step 2 — a
     // LINEAR pass): base-only contraction is not enough, because an
@@ -447,27 +523,30 @@ object ClusterDedup {
     val incidence = starLab.where(!col("__d"))
       .join(baseLabels.select(col("id"), col("component").as("__bc")), Seq("id"))
       .select(col("__sl").as("id_a"), col("__bc").as("id_b")).distinct()
-    val mergedLabel = Components.connectedComponents(incidence, "id_a", "id_b")
+    val mergedLabel = Par.labeled(base.sparkSession, "inc: label merge components")(
+      Components.connectedComponents(incidence, "id_a", "id_b"))
       .select(col("id").as("__sl"), col("component").as("__m"))
     // delta-only star clusters never meet a base doc: their label is
     // absent from the incidence graph and survives as-is
     val member = Par.cut(starLab
       .join(mergedLabel, Seq("__sl"), "left")
       .select(col("id"), col("__sh"), col("n"), col("__d"),
-        coalesce(col("__m"), col("__sl")).as("cl")))
-    val verts = base.select(col(idCol).as("id"))
-      .unionByName(delta.select(col(idCol).as("id")))
+        coalesce(col("__m"), col("__sl")).as("cl")), "inc: member")
 
     // shared steps 3-5, restricted to clusters holding >= 1 delta doc
     // and (at expansion) to member pairs with >= 1 delta endpoint —
-    // base-internal pairs are the previous run's output
-    val cc = clusterCandidatePlan(member, threshold, prune, requireDelta = true)
-    val pruned = Par.cut(cc.prunePlan(cc.candCl))
+    // base-internal pairs are the previous run's output. The route
+    // probe's persisted prefix index is REUSED as the postings source
+    // (cluster labels join on by id — the batch core's pattern), so the
+    // dfreq count + per-doc rarity window run once per call
+    val cc = clusterCandidatePlan(member, threshold, prune, requireDelta = true,
+      prefix = Some(prefix))
+    val pruned = Par.cut(cc.prunePlan(cc.candCl), "inc: prune")
     val witnessed = pruned.where(col("__wit")).select(col("cl_a"), col("cl_b"))
     val crossEdges = Par.cut(witnessed.union(
       verifiedMemberPairs(pruned.where(!col("__wit")), member,
           cc.diffs, cc.anchors, threshold, deltaOnly = true)
-        .select(col("cl_a"), col("cl_b")).distinct()))
+        .select(col("cl_a"), col("cl_b")).distinct()), "inc: verify cross edges")
 
     // final labels: the pre-contraction's (id → cl) star edges carry
     // its connectivity (each edge abbreviates a path of known t-edges),
@@ -477,10 +556,12 @@ object ClusterDedup {
     // connectedComponents fully materializes (and cuts) its result
     // before returning, so every incremental intermediate can be
     // released immediately after
-    val out = Components.connectedComponents(
+    val out = Par.labeled(base.sparkSession, "inc: final components")(
+      Components.connectedComponents(
       preStar.unionByName(crossEdges.select(col("cl_a").as("id_a"), col("cl_b").as("id_b"))),
-      "id_a", "id_b", Some(verts))
+      "id_a", "id_b", Some(verts)))
     hashed.unpersist(false)
+    prefix.unpersist(false)
     Seq(nonEmpty, member, cc.cpost, cc.anchors, cc.diffs, pruned, crossEdges,
       mergedLabel).foreach(Par.free)
     out
@@ -640,7 +721,7 @@ object ClusterDedup {
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
         return (crossGroups.union(intraGroups), { finished =>
-          val out = Par.cut(finished)
+          val out = Par.cut(finished, "cluster: pairs out(direct)")
           d.persisted.foreach(_.unpersist(false))
           d.cuts.foreach(Par.free)
           out
@@ -701,7 +782,7 @@ object ClusterDedup {
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     val pairsOut = crossGroups.union(intraGroups)
     (pairsOut, { finished =>
-      val out = Par.cut(finished)
+      val out = Par.cut(finished, "cluster: pairs out")
       core.persisted.foreach(_.unpersist(false))
       core.cuts.foreach(Par.free)
       out
@@ -869,8 +950,25 @@ object ClusterDedup {
     // (the contraction is NEVER skipped — near-duplicate replicas have
     // DISTINCT sets, so this probe says nothing about them and the
     // g²-killing contraction must stay unconditional).
-    val st = nonEmpty.agg(count(lit(1)),
-      approx_count_distinct(xxhash64(col("__sh")), 0.01)).head()
+    // ONE fused probe job carries every routing statistic (r17 — the
+    // sequential probe jobs were themselves the overhead: the separate
+    // candVol + contraction probes measured 1.9-3.1 s of pure routing
+    // latency per call at sf0.1, ~half each call's wall):
+    //   - count + HLL distinct sets → the collapse decision (as before);
+    //   - HLL distinct band-0 buckets → the contraction-mass estimate:
+    //     Σ over buckets of (size − 1) = members − distinct buckets, so
+    //     (reps − distinct buckets) IS the star-edge upper bound the old
+    //     groupBy probe computed, now from one aggregate. One band of
+    //     the real family (identical seeding ⇒ band 0) estimates the
+    //     per-band average at 1/numBands the hashing cost; identical
+    //     sets share buckets, so distinct-buckets-over-docs equals
+    //     distinct-buckets-over-reps and the statistic is rep-level
+    //     even before the collapse decision is made.
+    val st = Par.labeled(spark, "cluster: route probe")(nonEmpty.agg(count(lit(1)),
+      approx_count_distinct(xxhash64(col("__sh")), 0.01),
+      approx_count_distinct(element_at(
+        NativeHash.minhashBandBucketsHashed(col("__sh"), numHashes / numBands, 1),
+        1), 0.01)).head())
     val collapseUseful = st.getLong(1) < st.getLong(0) * CollapseSkipRatio
     // Par.cut (not persist) on the fan-out frames: persist caches
     // EXECUTION but leaves the full logical subtree in every consumer's
@@ -885,48 +983,45 @@ object ClusterDedup {
     val collapseCut: Option[DataFrame] = if (!collapseUseful) None else Some(
       Par.cut(nonEmpty
         .select(col("id"), col("__sh"), col("n"), min(col("id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("__sh"))).as("rep"))))
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__sh"))).as("rep")),
+        "cluster: collapse window"))
     val docRep = collapseCut.fold(nonEmpty.select(col("id"), col("id").as("rep")))(
       _.select("id", "rep"))
     val reps = collapseCut.fold(nonEmpty.select("id", "__sh", "n"))(
       _.where(col("id") === col("rep")).select("id", "__sh", "n"))
 
     // ---- ADAPTIVE ROUTE (see RouteContractRatio / DirectCandCap).
-    // Probe 1 — direct-candidate volume: the prefix index is built and
+    // Probe — direct-candidate volume: the prefix index is built and
     // persisted ONCE (both arms consume it: the direct arm's candidate
     // self-join, the clustered arm's cluster postings), and one narrow
     // aggregate over it computes Σ_s dfP(s)² — the EXACT row count of
     // the direct arm's candidate join. Under the absolute cap the
-    // direct arm is seconds of work and wins outright.
-    // Probe 2 — contraction mass (only when the volume is large): one
-    // partial-aggregated pass over the MinHash band buckets; Σ over
-    // (band, bucket) of (size − 1) counts exactly the member→hub star
-    // edges the contraction could take. Per-band average under the
-    // ratio threshold means the clustered arm cannot collapse enough
-    // to repay its phases — and a huge-but-unreplicated candidate set
-    // costs BOTH arms the same join, so direct still wins. nReps comes
-    // from the HLL probe above (collapsed: distinct-set estimate; else
-    // the exact count) — no extra job.
+    // direct arm is seconds of work and wins outright. The cap is
+    // LOAD-BEARING at gate scale: the collision estimate alone routes
+    // badly on small-vocabulary corpora (measured: the zh char-gram
+    // slice shows 560/753 band-0 collisions from sub-threshold overlap
+    // the contraction would never verify, and 1-gram token sets
+    // collide 3664/3935 — both corpora where the direct arm wins by
+    // 3-4×). Only above the cap does the contraction-mass estimate
+    // from the fused probe decide (reps − distinct band-0 buckets, a
+    // FREE upper bound on star edges — the r16 design's separate
+    // groupBy probe job, eliminated): under the ratio the clustered
+    // arm cannot collapse enough to repay its phases, and a huge-but-
+    // unreplicated candidate set costs BOTH arms the same join.
     val index = reps.select(col("id"), explode(col("__sh")).as("s"), col("n"))
     val prefix = JaccardDedup.prefixIndex(index, "id", threshold)
       .persist(MEMORY_AND_DISK)
     val nRepsEst = if (collapseUseful) st.getLong(1) else st.getLong(0)
     val routeDirect = adaptive && {
-      val cv = prefix.groupBy("s").agg(count(lit(1)).as("c"))
-        .agg(sum(col("c").cast("double") * col("c").cast("double"))).head()
+      val cv = Par.labeled(spark, "cluster: candVol probe")(
+        prefix.groupBy("s").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c").cast("double") * col("c").cast("double"))).head())
       val candVol = if (cv.isNullAt(0)) 0.0 else cv.getDouble(0)
-      lazy val starEdgesUb = {
-        val collRow = reps.select(
-            posexplode(NativeHash.minhashBandBucketsHashed(col("__sh"), numHashes, numBands))
-              .as(Seq("band", "bucket")))
-          .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
-          .agg(sum(when(col("c") > 1, col("c") - 1).otherwise(lit(0L)))).head()
-        if (collRow.isNullAt(0)) 0L else collRow.getLong(0)
-      }
+      val starEdgesUb = math.max(0L, nRepsEst - st.getLong(2))
       val direct = candVol < DirectCandCap ||
-        starEdgesUb < RouteContractRatio * nRepsEst * numBands
-      log.info(s"candidateCore route: candVol=$candVol nReps=$nRepsEst " +
-        s"bands=$numBands -> ${if (direct) "DIRECT" else "CLUSTERED"}")
+        starEdgesUb < RouteContractRatio * nRepsEst
+      log.info(s"candidateCore route: candVol=$candVol starEdgesUb=$starEdgesUb " +
+        s"nReps=$nRepsEst -> ${if (direct) "DIRECT" else "CLUSTERED"}")
       direct
     }
     if (routeDirect) {
@@ -1013,7 +1108,8 @@ object ClusterDedup {
     val member = Par.cut(reps
       .join(nbrMin, Seq("id"), "left")
       .select(col("id"), col("__sh"), col("n"),
-        least(col("id"), coalesce(col("__nbmin"), col("id"))).as("cl")))
+        least(col("id"), coalesce(col("__nbmin"), col("id"))).as("cl")),
+      "cluster: contraction labels")
     val repCluster = member.select("id", "cl")
 
     // ---- 3 + 4: cluster-level candidates + anchor-bound prune ----
@@ -1022,7 +1118,7 @@ object ClusterDedup {
     // count and per-doc rarity window run once per call, not twice
     val cc = clusterCandidatePlan(member, threshold, prune, requireDelta = false,
       prefix = Some(prefix))
-    val pruned = Par.cut(cc.prunePlan(cc.candCl))
+    val pruned = Par.cut(cc.prunePlan(cc.candCl), "cluster: prune")
 
     // probe frames for the plan-shape pins (plans only — executing the
     // consumers re-runs the same stages): the FULLY LAZY prune over the
@@ -1163,7 +1259,7 @@ object ClusterDedup {
       .groupBy(col("s"), col("cl"))
       .agg(max(col("n") - col("pos")).as("mr"))
       .join(cStats, Seq("cl"))
-    val cpost = Par.cut(cpostRaw)
+    val cpost = Par.cut(cpostRaw, "cluster: postings")
     val alphaMin = ceil((col("__mna") + col("__mnb")) * (threshold / (1.0 + threshold)) - lit(Eps))
     val aCols = Seq(col("s").as("__sa"), col("cl").as("cl_a"), col("mr").as("__mra"),
       col("minN").as("__mna"), col("maxN").as("__mxa"), col("nm").as("__nma")) ++
@@ -1206,7 +1302,8 @@ object ClusterDedup {
     // replaces up to three aggregate passes.
     val anchors = Par.cut(member.groupBy("cl")
       .agg(min_by(struct(col("__sh"), col("n")), col("id")).as("__h"))
-      .select(col("cl"), col("__h.__sh").as("__hsh"), col("__h.n").as("__hn")))
+      .select(col("cl"), col("__h.__sh").as("__hsh"), col("__h.n").as("__hn")),
+      "cluster: anchors")
     // MEMBER DIFFS — each member re-expressed as edit-sized diffs
     // against its cluster anchor (__dm = H \ S_x missing, __dp = S_x \ H
     // added). One corpus-linear anchor join for multi-member clusters
@@ -1226,7 +1323,7 @@ object ClusterDedup {
       .join(cStats.where(col("nm") === 1).select("cl"), Seq("cl"))
       .select(Seq(col("cl"), col("id"), col("n"), col("n").as("__hn"),
         emptyArr.as("__dm"), emptyArr.as("__dp")) ++ dCol: _*)
-    val diffs = Par.cut(multiDiffs.unionByName(singleDiffs))
+    val diffs = Par.cut(multiDiffs.unionByName(singleDiffs), "cluster: diffs")
     // maxD_C = max over members of |S_x \ H_C| = max |__dp| — a narrow
     // aggregate over the diffs cut (singletons contribute 0 exactly,
     // matching the old left-join-coalesce semantics)

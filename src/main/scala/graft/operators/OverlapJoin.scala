@@ -87,8 +87,10 @@ object OverlapJoin {
       minOverlap: Int,
       numHashes: Int = 64,
       numBands: Int = 16,
-      prune: Boolean = true): DataFrame = {
-    val p = clusteredPlan(df, idCol, setCol, minOverlap, numHashes, numBands, prune)
+      prune: Boolean = true,
+      adaptive: Boolean = true): DataFrame = {
+    val p = clusteredPlan(df, idCol, setCol, minOverlap, numHashes, numBands, prune,
+      adaptive)
     p.seal(p.pairs)
   }
 
@@ -119,9 +121,11 @@ object OverlapJoin {
       numHashes: Int = 64,
       numBands: Int = 16,
       prune: Boolean = true,
-      viaAgg: Boolean = true): DataFrame = {
+      viaAgg: Boolean = true,
+      adaptive: Boolean = true): DataFrame = {
     val (lazyOut, seal) =
-      topKPlan(df, idCol, setCol, minOverlap, k, numHashes, numBands, prune, viaAgg)
+      topKPlan(df, idCol, setCol, minOverlap, k, numHashes, numBands, prune, viaAgg,
+        adaptive)
     // cloned-session-scoped, never the caller's session: the raise is
     // only safe around an O(k)-buffer aggregate (see
     // TopKAgg.withHashAggHeadroom)
@@ -148,9 +152,11 @@ object OverlapJoin {
       numHashes: Int = 64,
       numBands: Int = 16,
       prune: Boolean = true,
-      viaAgg: Boolean = true): (DataFrame, DataFrame => DataFrame) = {
+      viaAgg: Boolean = true,
+      adaptive: Boolean = true): (DataFrame, DataFrame => DataFrame) = {
     require(k >= 1, "k must be >= 1")
-    val p = clusteredPlan(df, idCol, setCol, minOverlap, numHashes, numBands, prune)
+    val p = clusteredPlan(df, idCol, setCol, minOverlap, numHashes, numBands, prune,
+      adaptive)
     (graft.functions.TopKAgg.perDocTopK(p.pairs, "overlap", k, viaAgg), p.seal)
   }
 
@@ -161,7 +167,8 @@ object OverlapJoin {
       minOverlap: Int,
       numHashes: Int,
       numBands: Int,
-      prune: Boolean): ClusteredPairs = {
+      prune: Boolean,
+      adaptive: Boolean = true): ClusteredPairs = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val k = minOverlap
@@ -174,13 +181,110 @@ object OverlapJoin {
       .select(col("id"), col("__set"), coalesce(size(col("__set")), lit(0)).as("n"))
       .where(col("n") >= k) // shorter sets cannot reach overlap k
       .persist(MEMORY_AND_DISK)
+    val spark = df.sparkSession
 
-    // ---- 1. exact-set collapse (see ClusterDedup on why Par.cut and
-    // not persist: the analyzer re-walks duplicated subtrees otherwise)
-    val docRep = Par.cut(base.select(col("id"), col("n"),
-      min(col("id")).over(Window.partitionBy(col("__set"))).as("rep")))
-    val reps = Par.cut(
-      base.join(docRep.where(col("id") === col("rep")).select("id"), Seq("id")))
+    // ---- 1. exact-set collapse, ADAPTIVE (the ClusterDedup HLL probe:
+    // on a (near-)fully-distinct corpus the corpus-wide collapse window
+    // is the identity and its shuffle + cut are skipped; identical sets
+    // are ordinary overlap-n pairs for the downstream arms either way).
+    // One window pass carries (__set, n) through, so the collapse costs
+    // a single cut — docRep/reps are projections, not a join + second
+    // materialization of the corpus-sized set arrays.
+    // ONE fused probe job carries every routing statistic (the
+    // ClusterDedup r17 pattern): count + HLL distinct sets decide the
+    // collapse; HLL distinct band-0 buckets give the contraction-mass
+    // estimate (reps − distinct buckets = the star-edge upper bound) —
+    // identical sets share buckets, so the statistic is rep-level even
+    // before the collapse decision is made.
+    val st = Par.labeled(spark, "overlap: route probe")(base.agg(count(lit(1)),
+      approx_count_distinct(xxhash64(col("__set")), 0.01),
+      approx_count_distinct(element_at(
+        NativeHash.minhashBandBucketsHashed(col("__set"), numHashes / numBands, 1),
+        1), 0.01)).head())
+    val collapseUseful =
+      st.getLong(1) < st.getLong(0) * ClusterDedup.CollapseSkipRatio
+    val collapseCut: Option[DataFrame] = if (!collapseUseful) None else Some(
+      Par.cut(base.select(col("id"), col("__set"), col("n"), min(col("id")).over(
+        Window.partitionBy(col("__set"))).as("rep")), "overlap: collapse window"))
+    val docRep = collapseCut.fold(base.select(col("id"), col("n"), col("id").as("rep")))(
+      _.select("id", "n", "rep"))
+    val reps = collapseCut.fold(base.select("id", "__set", "n"))(
+      _.where(col("id") === col("rep")).select("id", "__set", "n"))
+
+    // ---- ADAPTIVE ROUTE (the ClusterDedup r17 pattern, overlap
+    // flavor): the clustered machinery below only pays when LSH
+    // contraction can collapse replica families, and the fused probe's
+    // contraction-mass estimate decides that with no extra job. The
+    // rarity-order prefix index is built and persisted ONCE — the
+    // direct arm's candidate self-join or the clustered arm's cluster
+    // postings consume it — and materializes fused into that consumer's
+    // first job. Both arms are exact and row-identical (OverlapJoinSpec
+    // pins the routing identity on every fixture); at 10×/100×
+    // replication the collision mass approaches the rep count and the
+    // probe routes clustered.
+    val index = reps.select(col("id"), explode(col("__set")).as("s"), col("n"))
+    val dfreq = index.groupBy("s").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    val prefix = index.join(dfreq, Seq("s"))
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= col("n") - k + 1)
+      .select(col("s"), col("id"), col("n"), col("pos"))
+      .persist(MEMORY_AND_DISK)
+    val nRepsEst = if (collapseUseful) st.getLong(1) else st.getLong(0)
+    val routeDirect = adaptive && {
+      // the EXACT direct-join volume under an absolute cap decides
+      // first (see ClusterDedup's route: the collision estimate alone
+      // routes badly on small-vocabulary sets — 1-gram token sets
+      // collide 3664/3935 in band 0 from sub-threshold overlap); the
+      // free contraction-mass estimate only arbitrates above the cap
+      val cv = Par.labeled(spark, "overlap: candVol probe")(
+        prefix.groupBy("s").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c").cast("double") * col("c").cast("double"))).head())
+      val candVol = if (cv.isNullAt(0)) 0.0 else cv.getDouble(0)
+      val starEdgesUb = math.max(0L, nRepsEst - st.getLong(2))
+      candVol < ClusterDedup.DirectCandCap ||
+        starEdgesUb < ClusterDedup.RouteContractRatio * nRepsEst
+    }
+    if (routeDirect) {
+      // direct arm: the plain rarity-order prefix self-join over the
+      // collapsed reps (positional filter inside the join condition),
+      // exact early-exit walk verify — the overlapJoin plan minus a
+      // second set-building pass; results fan out through the collapse
+      val a = prefix.select(col("s").as("__sa"), col("id").as("ra"),
+        col("n").as("__na"), col("pos").as("__pa"))
+      val b = prefix.select(col("s").as("__sb"), col("id").as("rb"),
+        col("n").as("__nb"), col("pos").as("__pb"))
+      val cand = a.join(b,
+          col("__sa") === col("__sb") &&
+          col("ra") < col("rb") &&
+          lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb")) >= lit(k))
+        .select("ra", "rb")
+        .distinct()
+      val repPairs = cand
+        .join(reps.select(col("id").as("ra"), col("__set").as("__sa")), Seq("ra"))
+        .join(reps.select(col("id").as("rb"), col("__set").as("__sb")), Seq("rb"))
+        .withColumn("c", NativeHash.sortedIntersectAtLeast(
+          col("__sa"), col("__sb"), lit(k)))
+        .filter(col("c") >= 0)
+        .select(col("ra"), col("rb"), col("c").cast("long").as("overlap"))
+      val groups = docRep.select(col("id"), col("n"), col("rep"))
+      val crossGroups = repPairs
+        .join(groups.select(col("rep").as("ra"), col("id").as("ia")), Seq("ra"))
+        .join(groups.select(col("rep").as("rb"), col("id").as("ib")), Seq("rb"))
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"), col("overlap"))
+      val intraGroups = groups.select(col("rep"), col("id").as("id_a"), col("n"))
+        .join(groups.select(col("rep"), col("id").as("id_b")), Seq("rep"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("n").cast("long").as("overlap"))
+      return ClusteredPairs(crossGroups.union(intraGroups), { finished =>
+        val out = Par.cut(finished, "overlap: pairs out(direct)")
+        base.unpersist(false)
+        prefix.unpersist(false)
+        collapseCut.foreach(Par.free)
+        out
+      })
+    }
 
     // ---- 2. LSH star contraction over representatives ----
     val buckets = reps.select(col("id"),
@@ -209,21 +313,20 @@ object OverlapJoin {
     val repCluster = Par.cut(reps.select(col("id"))
       .join(nbrMin, Seq("id"), "left")
       .select(col("id"),
-        least(col("id"), coalesce(col("__nbmin"), col("id"))).as("cl")))
+        least(col("id"), coalesce(col("__nbmin"), col("id"))).as("cl")),
+      "overlap: contraction labels")
 
-    // ---- 3. cluster postings in rarity order ----
-    val index = reps.select(col("id"), explode(col("__set")).as("s"), col("n"))
-    val member = Par.cut(reps.join(repCluster, Seq("id"))) // (id, __set, n, cl)
+    // ---- 3. cluster postings in rarity order — the route probe's
+    // persisted prefix index REUSED as the postings source (cluster
+    // labels join on by id; identical rows to rebuilding the dfreq
+    // count + per-doc window here, which the probe already paid for)
+    val member = Par.cut(reps.join(repCluster, Seq("id")), "overlap: member") // (id, __set, n, cl)
     val cStats = member.groupBy("cl").agg(count(lit(1)).as("nm"))
-    val dfreq = index.groupBy("s").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
-    val cpost = Par.cut(index.join(dfreq, Seq("s"))
-      .withColumn("pos", row_number().over(wDoc))
-      .filter(col("pos") <= col("n") - k + 1)
+    val cpost = Par.cut(prefix
       .join(repCluster, Seq("id"))
       .groupBy(col("s"), col("cl"))
       .agg(max(col("n") - col("pos")).as("mr"))
-      .join(cStats, Seq("cl")))
+      .join(cStats, Seq("cl")), "overlap: postings")
     // a qualifying pair shares a prefix element e* with
     // 1 + min(n_a−p_a, n_b−p_b) ≥ k; mr ≥ n−p per member, so the
     // relaxed positional filter below is lossless. nm rides the
@@ -389,9 +492,11 @@ object OverlapJoin {
     val pairsOut = crossGroups.union(intraGroups)
 
     ClusteredPairs(pairsOut, { finished =>
-      val out = Par.cut(finished)
+      val out = Par.cut(finished, "overlap: pairs out")
       base.unpersist(false)
-      Seq(docRep, reps, repCluster, member, anchors, diffs, cpost).foreach(Par.free)
+      prefix.unpersist(false)
+      (collapseCut.toSeq ++ Seq(repCluster, member, anchors, diffs, cpost))
+        .foreach(Par.free)
       out
     })
   }

@@ -38,6 +38,24 @@ object Par {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(true)
 
+  /** [[cut]] with a job description so the checkpoint's jobs are
+    * attributable in the UI / JobProfile (guide §1.5) — measurement
+    * labeling only, no behavioral difference vs [[cut]].
+    */
+  def cut(df: DataFrame, label: String): DataFrame =
+    labeled(df.sparkSession, s"cut: $label")(cut(df))
+
+  /** Run `body` (usually an eager action) under a job description and
+    * restore the previous one after — thread-local, so concurrent query
+    * threads are unaffected.
+    */
+  def labeled[T](spark: org.apache.spark.sql.SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   /** Release a frame produced by [[cut]] once no successor's lineage
     * needs it (i.e. after the NEXT cut has materialized). Both
     * checkpoint flavors persist their RDD outside the cache manager,

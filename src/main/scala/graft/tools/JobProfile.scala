@@ -77,7 +77,7 @@ object JobProfile {
         prevEnd = if (j.end > 0) j.end else prevEnd
         val nt = j.stages.map(_.takeWhile(_ != ':').toInt)
           .map(taskCounts.getOrElse(_, 0)).sum
-        val head = j.stages.take(3).mkString(" | ")
+        val head = if (j.desc.nonEmpty) j.desc else j.stages.take(3).mkString(" | ")
         println(f"  job ${j.id}%3d ${dur}%7.2fs gap=${gap}%6.2fs tasks=$nt%4d  $head")
       }
       val tracked = jobs.filter(_.end > 0)

@@ -34,6 +34,15 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(inc == full,
       s"incremental labels diverge from full recompute:\n inc=$inc\n full=$full")
+    // ROUTING IDENTITY: the adaptive probe (r17) picks a plan, never a
+    // result — the forced-clustered arm must label identically (at spec
+    // scale the probe routes DIRECT, so this is the clustered arm's
+    // only coverage on these shapes)
+    val clustered = ClusterDedup.componentsIncremental(baseLabels, df(base), df(delta),
+        "id", "text", nGram = 2, threshold = threshold, adaptive = false)
+      .as[(Long, Long)].collect().toMap
+    assert(clustered == full,
+      s"forced-clustered incremental diverges:\n clustered=$clustered\n full=$full")
     inc
   }
 

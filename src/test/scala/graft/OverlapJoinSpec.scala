@@ -25,9 +25,19 @@ class OverlapJoinSpec extends AnyFunSuite {
     JaccardDedup.overlapJoin(df, "doc_id", tokens1, k)
       .as[(Long, Long, Long)].collect().toSet
 
-  private def clustered(df: DataFrame, k: Int, prune: Boolean = true): Set[(Long, Long, Long)] =
-    OverlapJoin.pairsClustered(df, "doc_id", tokens1, k, prune = prune)
+  private def clustered(df: DataFrame, k: Int, prune: Boolean = true): Set[(Long, Long, Long)] = {
+    // ROUTING IDENTITY (r17): the adaptive probe picks a plan, never a
+    // result — every fixture pins the default (adaptive, DIRECT at spec
+    // scale) against the FORCED-CLUSTERED arm before returning
+    val adaptive = OverlapJoin.pairsClustered(df, "doc_id", tokens1, k, prune = prune)
       .as[(Long, Long, Long)].collect().toSet
+    val forced = OverlapJoin.pairsClustered(df, "doc_id", tokens1, k, prune = prune,
+        adaptive = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(adaptive == forced,
+      s"adaptive route diverges from forced-clustered:\n adaptive=$adaptive\n forced=$forced")
+    adaptive
+  }
 
   test("matches the direct join on sf0.001 documents at the driver query's k=30") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
