@@ -753,34 +753,102 @@ object NativeHash {
     require(centroids.nonEmpty, "assignExact: empty centroid set")
     private val HALF_UP = java.math.RoundingMode.HALF_UP
 
+    /** Argmin over exact decimal(28,18) distance sums — but the exact
+      * fold is ~70 BigDecimal allocations per (row, centroid, dim) and
+      * was THE hot loop of the semantic-dedup rows (measured: two
+      * assignment passes × k≈√n centroids × dim ≈ 45M BigDecimal ops
+      * per gate query). A plain double fold of the same squared terms
+      * brackets the decimal sum provably:
+      *
+      *   S = Σ dec18(sq_i),  |dec18(sq_i) − sq_i| ≤ 0.5e-18 each, and
+      *   the double fold of 2n non-negative-term ops has relative error
+      *   < 2n·2⁻⁵³·1.01 — so |S − sumD| ≤ sumD·(1e-15·n + 1e-12)
+      *   + n·1e-18 =: err (the coded bound is ~100× looser than the
+      *   analytic one on every term, so fp slop cannot invalidate it).
+      *
+      * A centroid whose LOWER bound (sumD − err) exceeds the smallest
+      * UPPER bound (min over candidates of sumD + err) can neither win
+      * nor tie the exact argmin, so only the candidates inside the
+      * bracket pay the decimal fold — on real embeddings (inter-cluster
+      * gaps ≫ 1e-10) that is one fold per row instead of k. Exactness
+      * is unconditional: survivors are compared by the UNCHANGED exact
+      * fold in the UNCHANGED (sum, cid) order, and excluded centroids
+      * provably compare strictly greater. Failure semantics are
+      * preserved: the double pass performs the same per-centroid
+      * length/null/finite checks in the same centroid order, and any
+      * term or sum near the decimal(28,18) precision wall (≥ 1e9 —
+      * orders of magnitude above any real embedding distance) disables
+      * pruning for that centroid so the exact fold's own precision
+      * checks fire exactly as before. NativeHashSpec pins the compiled
+      * helper equal to the interpreted full-fold Column reference,
+      * ties and near-ties included.
+      */
     def assign(vec: ArrayData): Int = {
       val n = vec.numElements()
-      var best: java.math.BigDecimal = null
-      var bestCid = 0
+      val k = centroids.length
+      val sums = new Array[Double](k)
+      var noPrune = false
       var ci = 0
-      while (ci < centroids.length) {
+      while (ci < k) {
         val (cid, c) = centroids(ci)
         if (c.length != n) fail(cid)
-        var sum = java.math.BigDecimal.ZERO.setScale(18)
+        var sumD = 0.0
         var i = 0
         while (i < n) {
           if (vec.isNullAt(i)) fail(cid)
           val diff = vec.getDouble(i) - c(i)
           val sq = diff * diff
           if (!java.lang.Double.isFinite(sq)) fail(cid)
-          val d = java.math.BigDecimal.valueOf(sq).setScale(18, HALF_UP)
-          if (d.precision > 28) fail(cid)
-          sum = sum.add(d)
-          if (sum.precision > 28) fail(cid)
+          if (sq >= 1e9) noPrune = true
+          sumD += sq
           i += 1
         }
-        if (best == null || {
-          val cmp = sum.compareTo(best)
-          cmp < 0 || (cmp == 0 && cid < bestCid)
-        }) { best = sum; bestCid = cid }
+        if (sumD >= 1e9) noPrune = true
+        sums(ci) = sumD
+        ci += 1
+      }
+      // smallest upper bound over all centroids
+      var minUpper = java.lang.Double.MAX_VALUE
+      ci = 0
+      while (ci < k) {
+        val up = sums(ci) + err(sums(ci), n)
+        if (up < minUpper) minUpper = up
+        ci += 1
+      }
+      var best: java.math.BigDecimal = null
+      var bestCid = 0
+      ci = 0
+      while (ci < k) {
+        val (cid, c) = centroids(ci)
+        if (noPrune || sums(ci) - err(sums(ci), n) <= minUpper) {
+          val sum = exactSum(vec, c, cid, n)
+          if (best == null || {
+            val cmp = sum.compareTo(best)
+            cmp < 0 || (cmp == 0 && cid < bestCid)
+          }) { best = sum; bestCid = cid }
+        }
         ci += 1
       }
       bestCid
+    }
+
+    @inline private def err(sumD: Double, n: Int): Double =
+      (1e-15 * n + 1e-12) * (sumD + 1.0) + n * 1e-18
+
+    private def exactSum(
+        vec: ArrayData, c: Array[Double], cid: Int, n: Int): java.math.BigDecimal = {
+      var sum = java.math.BigDecimal.ZERO.setScale(18)
+      var i = 0
+      while (i < n) {
+        val diff = vec.getDouble(i) - c(i)
+        val sq = diff * diff
+        val d = java.math.BigDecimal.valueOf(sq).setScale(18, HALF_UP)
+        if (d.precision > 28) fail(cid)
+        sum = sum.add(d)
+        if (sum.precision > 28) fail(cid)
+        i += 1
+      }
+      sum
     }
 
     private def fail(cid: Int): Nothing = throw new IllegalStateException(

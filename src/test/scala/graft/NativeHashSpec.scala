@@ -397,6 +397,21 @@ class NativeHashSpec extends AnyFunSuite {
       graft.operators.Embeddings.assignExact(col("v"), dupCents).as("old"))
       .as[(Int, Int)].collect()
     tie.foreach { case (nw, old) => assert(nw == 0 && old == 0) }
+    // near-ties INSIDE the double-prune bracket (r17): distance gaps at
+    // ~5e-13 sit below the prune's error bound, so both centroids must
+    // survive to the exact decimal fold and the fold must decide — in
+    // both orders (winner first / winner last)
+    val zeroVec = Seq(Tuple1(Seq(0.0, 0.0))).toDF("v")
+      .select(col("v").cast("array<double>").as("v"))
+    for ((cNear, want) <- Seq(
+        Seq(0 -> Array(1.0, 0.0), 1 -> Array(1.0 + 5e-13, 0.0), 2 -> Array(2.0, 0.0)) -> 0,
+        Seq(0 -> Array(1.0, 0.0), 1 -> Array(1.0 - 5e-13, 0.0), 2 -> Array(2.0, 0.0)) -> 1)) {
+      val got = zeroVec.select(
+        NativeHash.assignExact(col("v"), cNear).as("nw"),
+        graft.operators.Embeddings.assignExact(col("v"), cNear).as("old"))
+        .as[(Int, Int)].head()
+      assert(got == ((want, want)), s"near-tie: got $got want $want")
+    }
   }
 
   test("assign_exact raises on null elements and on overflow, like the guarded fold") {

@@ -206,6 +206,11 @@ class SimilaritySpec extends AnyFunSuite {
   test("knn join: exact arm excludes self, ranks own-cluster first; IVF at full probe is row-identical") {
     val exact = SimilaritySearch.knnJoinExact(corpus, k = 2)
       .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted
+    // the sort-free aggregate arm (r17 default) and the window arm are
+    // row-identical — one comparator, one oracle
+    val winArm = SimilaritySearch.knnJoinExact(corpus, k = 2, viaAgg = false)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted
+    assert(exact.sameElements(winArm), "viaAgg arm diverges from the window arm")
     // every vector gets exactly k neighbors, never itself
     assert(exact.length == 7 * 2 && exact.forall { case (q, i, _) => q != i })
     val m = exact.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
