@@ -85,9 +85,14 @@ object SparkEntry {
     // determinism + content sensitivity, not a narrow type
     val fp = base.agg(count(lit(1)),
       sum(xxhash64(col(idCol), col(textCol)).cast("decimal(38,0)"))).head()
+    // algoV: bump on ANY semantic change to ClusterDedup.components'
+    // labeling (the ADVICE r16 item: a content-only key would silently
+    // reuse labels produced by an older labeling algorithm, masking
+    // regressions in the base labeling behind stale sidecar state)
+    val algoV = 2
     val key = java.lang.Long.toHexString(fp.getLong(0)) + "_" +
       Option(fp.get(1)).fold("0")(_ => fp.getDecimal(1).toBigInteger.toString(36)) +
-      s"_g${nGram}_t$threshold"
+      s"_g${nGram}_t${threshold}_v$algoV"
     val root = new org.apache.hadoop.fs.Path(
       sys.props("java.io.tmpdir"), s"graft_inc_baselabels/$key")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -863,7 +868,9 @@ object SparkEntry {
     // wide -> long melt of the lineitem measures (Dataset.unpivot —
     // a generator, row-local, no shuffle)
     "unpivot_metrics" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      // widen: the 4x fan-out + range sort otherwise runs on the scan's
+      // 3 splits (measured 1.4 s on 3 of 32 cores)
+      Par.widen(t(s, dir, "lineitem"))
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
@@ -1517,9 +1524,15 @@ object SparkEntry {
           count(lit(1)).as("n_windows"))
         .select(col("doc_id"), col("span_start"), col("span_end"),
           (col("span_end") - col("span_start") + 1L).as("span_len"), col("n_windows"))
-      val onlyNative = native.exceptAll(ref).count()
-      val onlyRef = ref.exceptAll(native).count()
+      // cut both arms once: the two exceptAll counts each consume BOTH
+      // subtrees, so uncut they re-ran every window explode twice
+      // (~40% of the row's wall)
+      val nativeC = Par.cut(native)
+      val refC = Par.cut(ref)
+      val onlyNative = nativeC.exceptAll(refC).count()
+      val onlyRef = refC.exceptAll(nativeC).count()
       val nDocs = base.count()
+      Seq(nativeC, refC).foreach(Par.free)
       import s.implicits._
       Seq((nDocs, onlyNative == 0L && onlyRef == 0L))
         .toDF("n_docs", "spans_match")

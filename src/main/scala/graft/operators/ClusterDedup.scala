@@ -394,7 +394,11 @@ object ClusterDedup {
       .select(col("id"), col("__sh"),
         coalesce(size(col("__sh")), lit(0)).as("n"), col("__d"))
       .persist(MEMORY_AND_DISK)
-    val nonEmpty = Par.cut(hashed.where(col("n") > 0), "inc: nonEmpty")
+    // plain filter over the persist, NOT an extra eager cut: the cut
+    // was a full second materialization pass of the corpus arrays per
+    // call (the persist already dedups execution; the consumers' plans
+    // stay shallow — scan→widen→shingle→filter)
+    val nonEmpty = hashed.where(col("n") > 0)
     val verts = base.select(col(idCol).as("id"))
       .unionByName(delta.select(col(idCol).as("id")))
 
@@ -964,11 +968,27 @@ object ClusterDedup {
     //     sets share buckets, so distinct-buckets-over-docs equals
     //     distinct-buckets-over-reps and the statistic is rep-level
     //     even before the collapse decision is made.
-    val st = Par.labeled(spark, "cluster: route probe")(nonEmpty.agg(count(lit(1)),
-      approx_count_distinct(xxhash64(col("__sh")), 0.01),
+    // The candVol aggregate (over an OPTIMISTIC prefix index built over
+    // nonEmpty — correct whenever the collapse does not fire, i.e. the
+    // common case and the 100 TB posture after upstream exact dedup)
+    // rides the SAME action as the doc-level stats via a 1-row × 1-row
+    // join: one driver round-trip materializes the hashed persist, the
+    // prefix persist, and every routing statistic (the r16 design paid
+    // a separate sequential probe job for each).
+    val prefix0 = JaccardDedup.prefixIndex(
+        nonEmpty.select(col("id"), explode(col("__sh")).as("s"), col("n")),
+        "id", threshold)
+      .persist(MEMORY_AND_DISK)
+    val statAgg = nonEmpty.agg(count(lit(1)).as("__n"),
+      approx_count_distinct(xxhash64(col("__sh")), 0.01).as("__sets"),
       approx_count_distinct(element_at(
         NativeHash.minhashBandBucketsHashed(col("__sh"), numHashes / numBands, 1),
-        1), 0.01)).head())
+        1), 0.01).as("__buckets"))
+    val cvAgg = prefix0.groupBy("s").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c").cast("double") * col("c").cast("double")),
+        lit(0.0)).as("__cv"))
+    val st = Par.labeled(spark, "cluster: route probe")(
+      statAgg.crossJoin(cvAgg).head())
     val collapseUseful = st.getLong(1) < st.getLong(0) * CollapseSkipRatio
     // Par.cut (not persist) on the fan-out frames: persist caches
     // EXECUTION but leaves the full logical subtree in every consumer's
@@ -991,32 +1011,40 @@ object ClusterDedup {
       _.where(col("id") === col("rep")).select("id", "__sh", "n"))
 
     // ---- ADAPTIVE ROUTE (see RouteContractRatio / DirectCandCap).
-    // Probe — direct-candidate volume: the prefix index is built and
-    // persisted ONCE (both arms consume it: the direct arm's candidate
-    // self-join, the clustered arm's cluster postings), and one narrow
-    // aggregate over it computes Σ_s dfP(s)² — the EXACT row count of
-    // the direct arm's candidate join. Under the absolute cap the
-    // direct arm is seconds of work and wins outright. The cap is
+    // Probe — direct-candidate volume: Σ_s dfP(s)² is the EXACT row
+    // count of the direct arm's candidate join; under the absolute cap
+    // the direct arm is seconds of work and wins outright. The cap is
     // LOAD-BEARING at gate scale: the collision estimate alone routes
     // badly on small-vocabulary corpora (measured: the zh char-gram
     // slice shows 560/753 band-0 collisions from sub-threshold overlap
     // the contraction would never verify, and 1-gram token sets
     // collide 3664/3935 — both corpora where the direct arm wins by
-    // 3-4×). Only above the cap does the contraction-mass estimate
-    // from the fused probe decide (reps − distinct band-0 buckets, a
-    // FREE upper bound on star edges — the r16 design's separate
-    // groupBy probe job, eliminated): under the ratio the clustered
-    // arm cannot collapse enough to repay its phases, and a huge-but-
+    // 3-4×). Only above the cap does the fused probe's contraction-
+    // mass estimate decide (reps − distinct band-0 buckets, a FREE
+    // upper bound on star edges): under the ratio the clustered arm
+    // cannot collapse enough to repay its phases, and a huge-but-
     // unreplicated candidate set costs BOTH arms the same join.
-    val index = reps.select(col("id"), explode(col("__sh")).as("s"), col("n"))
-    val prefix = JaccardDedup.prefixIndex(index, "id", threshold)
-      .persist(MEMORY_AND_DISK)
+    // When the collapse FIRED the optimistic nonEmpty-level index is
+    // discarded and rebuilt over the collapsed reps (its candVol is
+    // recomputed — the nonEmpty-level Σ dfP² overstates the rep-level
+    // volume by exactly the g² the collapse just removed); the rebuild
+    // only happens on exact-dup-heavy corpora, where the collapse
+    // saves far more than one extra index pass.
+    val (prefix, candVol) =
+      if (!collapseUseful) (prefix0, st.getDouble(3))
+      else {
+        prefix0.unpersist(false)
+        val p = JaccardDedup.prefixIndex(
+            reps.select(col("id"), explode(col("__sh")).as("s"), col("n")),
+            "id", threshold)
+          .persist(MEMORY_AND_DISK)
+        val cv = Par.labeled(spark, "cluster: candVol probe(collapsed)")(
+          p.groupBy("s").agg(count(lit(1)).as("c"))
+            .agg(sum(col("c").cast("double") * col("c").cast("double"))).head())
+        (p, if (cv.isNullAt(0)) 0.0 else cv.getDouble(0))
+      }
     val nRepsEst = if (collapseUseful) st.getLong(1) else st.getLong(0)
     val routeDirect = adaptive && {
-      val cv = Par.labeled(spark, "cluster: candVol probe")(
-        prefix.groupBy("s").agg(count(lit(1)).as("c"))
-        .agg(sum(col("c").cast("double") * col("c").cast("double"))).head())
-      val candVol = if (cv.isNullAt(0)) 0.0 else cv.getDouble(0)
       val starEdgesUb = math.max(0L, nRepsEst - st.getLong(2))
       val direct = candVol < DirectCandCap ||
         starEdgesUb < RouteContractRatio * nRepsEst

@@ -78,21 +78,24 @@ object Components {
         // min; groupBy(min) also makes pre-convergence output well-defined
         e.groupBy(col("src").as("id")).agg(min("dst").as("component"))
       }
-    val vs = Par.cut({
+    val vs = {
       // one pass over the cached input (a union of two selects would
       // re-scan it twice); raw edges, so self-loop-only nodes survive
       val fromEdges = in.select(
         explode(array(col(srcCol).cast(idT), col(dstCol).cast(idT))).as("id"))
       vertices.map(v => fromEdges.union(v.toDF("id"))).getOrElse(fromEdges)
-    }.distinct()) // eager: materialized before the input cache is dropped
-    in.unpersist()
+    }.distinct()
     // materialize the (vertex-sized) result so every intermediate
-    // checkpoint — the per-round edge sets above plus vs and the final
+    // checkpoint — the per-round edge sets above plus the final
     // fixpoint — can be freed NOW instead of lingering until RDD GC;
-    // the one surviving checkpoint is the result itself
+    // the one surviving checkpoint is the result itself. The vertex
+    // union stays LAZY inside this one cut (r17): a separate eager vs
+    // cut was a whole extra job per call, and the input cache is only
+    // dropped after the cut has materialized everything it reads.
     val out = Par.cut(vs.join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component")))
-    freeCheckpoint(vs)
+      .select(col("id"), coalesce(col("component"), col("id")).as("component")),
+      "components: labels out")
+    in.unpersist()
     freeCheckpoint(e)
     out
   }

@@ -190,17 +190,37 @@ object OverlapJoin {
     // One window pass carries (__set, n) through, so the collapse costs
     // a single cut — docRep/reps are projections, not a join + second
     // materialization of the corpus-sized set arrays.
-    // ONE fused probe job carries every routing statistic (the
+    // ONE fused probe action carries every routing statistic (the
     // ClusterDedup r17 pattern): count + HLL distinct sets decide the
     // collapse; HLL distinct band-0 buckets give the contraction-mass
     // estimate (reps − distinct buckets = the star-edge upper bound) —
     // identical sets share buckets, so the statistic is rep-level even
-    // before the collapse decision is made.
-    val st = Par.labeled(spark, "overlap: route probe")(base.agg(count(lit(1)),
-      approx_count_distinct(xxhash64(col("__set")), 0.01),
+    // before the collapse decision is made; and the exact candVol over
+    // an OPTIMISTIC doc-level prefix index (correct whenever the
+    // collapse does not fire — the common case) rides the same action
+    // via a 1-row × 1-row join, so one driver round-trip materializes
+    // the base persist, the prefix persist, and all four statistics.
+    def prefixOver(src: DataFrame): DataFrame = {
+      val index = src.select(col("id"), explode(col("__set")).as("s"), col("n"))
+      val dfreq = index.groupBy("s").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+      index.join(dfreq, Seq("s"))
+        .withColumn("pos", row_number().over(wDoc))
+        .filter(col("pos") <= col("n") - k + 1)
+        .select(col("s"), col("id"), col("n"), col("pos"))
+        .persist(MEMORY_AND_DISK)
+    }
+    def candVolOf(p: DataFrame): DataFrame = p.groupBy("s").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c").cast("double") * col("c").cast("double")),
+        lit(0.0)).as("__cv"))
+    val prefix0 = prefixOver(base)
+    val statAgg = base.agg(count(lit(1)).as("__n"),
+      approx_count_distinct(xxhash64(col("__set")), 0.01).as("__sets"),
       approx_count_distinct(element_at(
         NativeHash.minhashBandBucketsHashed(col("__set"), numHashes / numBands, 1),
-        1), 0.01)).head())
+        1), 0.01).as("__buckets"))
+    val st = Par.labeled(spark, "overlap: route probe")(
+      statAgg.crossJoin(candVolOf(prefix0)).head())
     val collapseUseful =
       st.getLong(1) < st.getLong(0) * ClusterDedup.CollapseSkipRatio
     val collapseCut: Option[DataFrame] = if (!collapseUseful) None else Some(
@@ -222,14 +242,20 @@ object OverlapJoin {
     // pins the routing identity on every fixture); at 10×/100×
     // replication the collision mass approaches the rep count and the
     // probe routes clustered.
-    val index = reps.select(col("id"), explode(col("__set")).as("s"), col("n"))
-    val dfreq = index.groupBy("s").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
-    val prefix = index.join(dfreq, Seq("s"))
-      .withColumn("pos", row_number().over(wDoc))
-      .filter(col("pos") <= col("n") - k + 1)
-      .select(col("s"), col("id"), col("n"), col("pos"))
-      .persist(MEMORY_AND_DISK)
+    // when the collapse FIRED the optimistic doc-level index is
+    // discarded and rebuilt over the collapsed reps (the doc-level
+    // Σ dfP² overstates the rep-level volume by exactly the g² the
+    // collapse removed); the rebuild only happens on exact-dup-heavy
+    // corpora where the collapse saves far more than one index pass
+    val (prefix, candVol) =
+      if (!collapseUseful) (prefix0, st.getDouble(3))
+      else {
+        prefix0.unpersist(false)
+        val p = prefixOver(reps)
+        val cv = Par.labeled(spark, "overlap: candVol probe(collapsed)")(
+          candVolOf(p).head())
+        (p, cv.getDouble(0))
+      }
     val nRepsEst = if (collapseUseful) st.getLong(1) else st.getLong(0)
     val routeDirect = adaptive && {
       // the EXACT direct-join volume under an absolute cap decides
@@ -237,10 +263,6 @@ object OverlapJoin {
       // routes badly on small-vocabulary sets — 1-gram token sets
       // collide 3664/3935 in band 0 from sub-threshold overlap); the
       // free contraction-mass estimate only arbitrates above the cap
-      val cv = Par.labeled(spark, "overlap: candVol probe")(
-        prefix.groupBy("s").agg(count(lit(1)).as("c"))
-          .agg(sum(col("c").cast("double") * col("c").cast("double"))).head())
-      val candVol = if (cv.isNullAt(0)) 0.0 else cv.getDouble(0)
       val starEdgesUb = math.max(0L, nRepsEst - st.getLong(2))
       candVol < ClusterDedup.DirectCandCap ||
         starEdgesUb < ClusterDedup.RouteContractRatio * nRepsEst

@@ -30,7 +30,8 @@ object PageRank {
     * appearing as a src or dst. `iterations` fixed (no convergence
     * probe — deterministic cost and output).
     */
-  def run(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+  def run(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
+      localThreshold: Long = 1L << 20): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -43,6 +44,55 @@ object PageRank {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
+    // ADAPTIVE local arm (the Components.localThreshold pattern, r17):
+    // when the normalized edge list fits a bounded driver collect, the
+    // power iterations run in one driver pass over arrays instead of
+    // paying iterations × (join + aggregate + lineage cut) of pure
+    // scheduling latency (measured on the 5-node event-type graph:
+    // 55 jobs, none over 0.16 s, 4.6 s wall → ~1 s). Inflow sums group
+    // by dst exactly like the distributed aggregate; double addition
+    // order within a dst group is shuffle-arrival-dependent in the
+    // distributed arm too, so both arms produce an ordering the
+    // operator always could — consumers round (the gate rounds to
+    // 6 dp). Edge count comes from norm's persisted blocks (one cheap
+    // job); the distributed path is the 100 TB posture and larger
+    // graphs take it automatically.
+    if (norm.count() <= localThreshold) {
+      val es = norm.collect()
+      val ns = nodes.collect().map(_.get(0))
+      val idx = ns.zipWithIndex.toMap
+      var rank = Array.fill(ns.length)(1.0 / n)
+      val srcI = es.map(r => idx(r.get(0)))
+      val dstI = es.map(r => idx(r.get(1)))
+      val p = es.map(_.getDouble(2))
+      for (_ <- 1 to iterations) {
+        val inflow = new Array[Double](ns.length)
+        var i = 0
+        while (i < es.length) {
+          inflow(dstI(i)) += rank(srcI(i)) * p(i)
+          i += 1
+        }
+        val next = new Array[Double](ns.length)
+        var j = 0
+        while (j < ns.length) {
+          next(j) = (1 - damping) / n + damping * inflow(j)
+          j += 1
+        }
+        rank = next
+      }
+      val spark = edges.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", edges.schema("src").dataType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val rows = ns.zip(rank).map { case (node, r) => org.apache.spark.sql.Row(node, r) }
+      val out = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(rows: _*)), schema)
+      norm.unpersist()
+      nodes.unpersist()
+      return out
+    }
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       // Par.cut is eager: the new rank vector is materialized before the

@@ -42,8 +42,11 @@ object Triangles {
     // would OOM the driver on an unconditional broadcast; past the
     // limit the orientation joins fall back to shuffles on the vertex
     // key, same policy as adjSide below
+    // persisted: three consumers (both orientation joins and nodeAgg)
+    // would otherwise each re-run the 2m-row degree aggregate
     val degBase = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = if (m <= broadcastEdgeLimit) broadcast(degBase) else degBase
     val withDeg = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
@@ -69,14 +72,16 @@ object Triangles {
     // Σ deg·(deg−1) sums as DECIMAL and halves with integer `div` —
     // double division would silently round past 2^53, exactly the
     // regime a celebrity vertex reaches
-    val nodeAgg = deg.agg(count(lit(1)).as("n_nodes"),
+    val nodeAgg = degBase.agg(count(lit(1)).as("n_nodes"),
       expr("CAST(sum(CAST(deg AS DECIMAL(38,0)) * (deg - 1)) div 2 AS BIGINT)")
         .as("n_wedges"))
-    val edgeAgg = e.agg(count(lit(1)).as("n_edges"))
     val triAgg = closures.agg(coalesce(sum(col("nc")), lit(0L)).as("n_triangles"))
     // explicit double casts: a bare `3.0` literal is DECIMAL in both
     // Spark and DuckDB SQL, and their decimal division semantics differ
-    val out = nodeAgg.crossJoin(edgeAgg).crossJoin(triAgg)
+    // n_edges = m, already counted on the persisted canonical edge set —
+    // a separate e.agg(count) job re-scanned the cache for a known scalar
+    val out = nodeAgg.crossJoin(triAgg)
+      .withColumn("n_edges", lit(m))
       .withColumn("global_cc",
         expr("round(CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)"))
       .select("n_nodes", "n_edges", "n_wedges", "n_triangles", "global_cc")
@@ -87,6 +92,7 @@ object Triangles {
     val result = edges.sparkSession.createDataFrame(
       java.util.Arrays.asList(row: _*), out.schema)
     e.unpersist()
+    degBase.unpersist()
     oriented.unpersist()
     result
   }

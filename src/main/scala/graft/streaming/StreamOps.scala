@@ -251,13 +251,15 @@ object StreamOps {
       checkpoint: String,
       nGram: Int = 2,
       threshold: Double = 0.3,
-      retainLabels: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      retainLabels: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    // validate at SINK CONSTRUCTION (ADVICE r16): inside foreachBatch a
+    // bad value only surfaced as the first micro-batch's query failure
+    require(retainLabels >= 2,
+      s"retainLabels must be >= 2 (replay of batch N reads the previous labeling), got $retainLabels")
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        require(retainLabels >= 2,
-          s"retainLabels must be >= 2 (replay of batch N reads the previous labeling), got $retainLabels")
         val spark = batch.sparkSession
         val self = s"b$batchId"
         val base = spark.read.parquet(corpusDir)
@@ -298,19 +300,24 @@ object StreamOps {
         val lp = new org.apache.hadoop.fs.Path(labelsDir)
         val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (lfs.exists(lp)) {
-          def ord(name: String): Long = {
+          // unparseable part names (foreign directories) are SKIPPED,
+          // never deleted and never allowed to crash the batch (ADVICE
+          // r16: a stray part=tmp dir threw NumberFormatException here)
+          def ord(name: String): Option[Long] = {
             val v = name.stripPrefix("part=")
-            if (v == "seed") -1L else v.stripPrefix("b").toLong
+            if (v == "seed") Some(-1L) else v.stripPrefix("b").toLongOption
           }
           lfs.listStatus(lp).filter(_.isDirectory).map(_.getPath)
             .filter(_.getName.startsWith("part="))
-            .sortBy(p => ord(p.getName))
+            .flatMap(p => ord(p.getName).map(o => (o, p)))
+            .sortBy(_._1)
             .dropRight(retainLabels)
-            .foreach(p => lfs.delete(p, true))
+            .foreach { case (_, p) => lfs.delete(p, true) }
         }
         ()
       }
       .start()
+  }
 
   /** Streaming twin of `MinHashDedup.incrementalPairs` — the daily-
     * ingest dedup story end to end: each micro-batch of new docs probes

@@ -43,6 +43,27 @@ object MicroProbe {
     time("scan+widen+shingle2")(noop(Par.widen(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         NativeHash.shingleHashes(Text.tokens(col("text")), 2).as("__sh"))))
+    time("hashed CUT+HLL probe") {
+      val hashed = Par.cut(Par.widen(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id").as("id"),
+          NativeHash.shingleHashes(Text.tokens(col("text")), 2).as("__sh"))
+        .select(col("id"), col("__sh"), coalesce(size(col("__sh")), lit(0)).as("n")))
+      hashed.where(col("n") > 0).agg(count(lit(1)),
+        approx_count_distinct(xxhash64(col("__sh")), 0.01)).head()
+      Par.free(hashed)
+    }
+    time("hashed persist(uncompressed)+HLL probe") {
+      spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      val hashed = Par.widen(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id").as("id"),
+          NativeHash.shingleHashes(Text.tokens(col("text")), 2).as("__sh"))
+        .select(col("id"), col("__sh"), coalesce(size(col("__sh")), lit(0)).as("n"))
+        .persist(MEMORY_AND_DISK)
+      hashed.where(col("n") > 0).agg(count(lit(1)),
+        approx_count_distinct(xxhash64(col("__sh")), 0.01)).head()
+      hashed.unpersist(false)
+      spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "true")
+    }
     time("hashed persist+HLL probe") {
       val hashed = Par.widen(docs.select(col("doc_id"), col("text")))
         .select(col("doc_id").as("id"),

@@ -36,4 +36,18 @@ class PageRankSpec extends AnyFunSuite {
     val r = ranks(edges, iters = 25)
     r.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-6))
   }
+
+  test("local arm (r17 adaptive) agrees with the distributed arm to fp tolerance") {
+    // localThreshold = 0 forces the distributed rounds; the default
+    // routes this graph local — same ranks up to double-summation
+    // order (consumers round to 6 dp)
+    val edges = Seq(("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0),
+      ("c", "a", 2.0), ("c", "b", 1.0), ("d", "a", 1.0)).toDF("src", "dst", "w")
+    val loc = PageRank.run(edges, iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dist = PageRank.run(edges, iterations = 10, localThreshold = 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(loc.keySet == dist.keySet)
+    loc.foreach { case (k, v) => assert(math.abs(v - dist(k)) < 1e-12, s"node $k") }
+  }
 }
