@@ -26,13 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 20g default (overridable via SPARK_DRIVER_MEM): a local[32] driver
+  // 12g default (overridable via SPARK_DRIVER_MEM): a local[32] driver
   // IS the whole cluster — 32 concurrent tasks' execution memory plus
   // the block manager's persisted/checkpointed blocks live in this one
-  // heap, and the old 8g default showed measurable GC drag on the
-  // dedup/ANN rows (same-mode A/B: jaccard_topk 5.8 -> 3.9 s min,
-  // dedup_semantic 1.8 -> 1.2 s min, triangle_parts 4.3 -> 3.4 s min).
-  // The host carries 128 GiB; a real cluster sizes executor heaps to
-  // cores exactly the same way.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // heap. Same-mode A/Bs at 8g/12g/20g: 8g shows GC drag on the
+  // dedup/ANN rows (jaccard_topk 3.96 -> 3.32 s, dedup_semantic 1.90 ->
+  // 1.02, triangle_parts 3.35 -> 2.83 at 12g); 20g overshoots — the
+  // shuffle-heavy cluster rows develop a LASTING mid-run degradation
+  // (dedup_clusters_scalable reps 4.4,4.5,4.7 then 16.4,12.7,11.5 —
+  // G1 old-gen growth outpacing the async cleaner), gone at 12g where
+  // collections run often enough to keep cleaner backlogs bounded.
+  // A real cluster sizes executor heaps to cores exactly the same way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

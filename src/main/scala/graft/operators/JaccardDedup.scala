@@ -87,10 +87,27 @@ object JaccardDedup {
     */
   private[graft] def prefixIndex(index: DataFrame, idCol: String, threshold: Double,
       keep: Seq[String] = Nil): DataFrame = {
-    val dfreq = index.groupBy("s").agg(count(lit(1)).as("df"))
+    // df as a COUNT WINDOW over one shuffle by s, not groupBy + join
+    // back (guide §2: shuffle fewer bytes): the join form paid TWO full
+    // explode+shuffle map passes over the index (one for dfreq, one for
+    // the join's probe side) — measured as the two heaviest jobs of
+    // every routed dedup row (~1.2 s each at sf0.1). A whole-partition
+    // count window over the same exchange computes identical df values
+    // (each index row joins exactly one dfreq row, so row counts per s
+    // are the group counts) in ONE pass.
+    // Explicit partition counts on both exchanges: AQE's advisory-size
+    // coalescing shrank the per-doc window to a SINGLE task at gate
+    // scale (sub-64MB shuffle), serializing the row_number pass and
+    // amplifying host-contention spikes 4-6x; a pinned width keeps the
+    // sort parallel and stays scale-adaptive (cores-derived, same
+    // heuristic as Par.widen).
+    val p = index.sparkSession.sparkContext.defaultParallelism
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df").asc, col("s").asc)
-    index.join(dfreq, Seq("s"))
+    index.repartition(p, col("s"))
+      .withColumn("df", count(lit(1)).over(wS))
+      .repartition(p, col(idCol))
       .withColumn("pos", row_number().over(wDoc))
       .filter(col("pos") <= col("n") - ceil(col("n") * threshold - lit(Eps)) + 1)
       .select((Seq("s", idCol, "n", "pos") ++ keep).map(col): _*)
@@ -288,15 +305,12 @@ object JaccardDedup {
         col("__d"))
       .select(col("id"), col("__sh"), size(col("__sh")).as("n"), col("__d"))
       .persist(MEMORY_AND_DISK)
-    val dfreq = docs.select(explode(col("__sh")).as("s"))
-      .groupBy("s").agg(count(lit(1)).as("df"))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
-    val prefix = docs.select(col("id"), explode(col("__sh")).as("s"), col("n"), col("__d"))
-      .join(dfreq, Seq("s"))
-      .withColumn("pos", row_number().over(wDoc))
-      .filter(col("pos") <= col("n") - ceil(col("n") * threshold - lit(Eps)) + 1)
-      .select(col("s"), col("id"), col("n"), col("pos"), col("__d"))
+    // shared single-pass prefix builder (df count window, pinned-width
+    // exchanges — see prefixIndex): df counted over the whole union,
+    // prefix positions per doc, __d carried through
+    val prefix = prefixIndex(
+        docs.select(col("id"), explode(col("__sh")).as("s"), col("n"), col("__d")),
+        "id", threshold, keep = Seq("__d"))
       .persist(MEMORY_AND_DISK)
     val dp = prefix.filter(col("__d"))
     // delta-active shingles only: the corpus-sized side of the candidate

@@ -201,10 +201,17 @@ object OverlapJoin {
     // via a 1-row × 1-row join, so one driver round-trip materializes
     // the base persist, the prefix persist, and all four statistics.
     def prefixOver(src: DataFrame): DataFrame = {
+      // single-pass df count window + pinned-width exchanges — same
+      // rationale as JaccardDedup.prefixIndex (r17): the groupBy+join
+      // form re-exploded the index twice and AQE serialized the per-doc
+      // window to one task at gate scale
+      val p = src.sparkSession.sparkContext.defaultParallelism
       val index = src.select(col("id"), explode(col("__set")).as("s"), col("n"))
-      val dfreq = index.groupBy("s").agg(count(lit(1)).as("df"))
+      val wS = Window.partitionBy(col("s"))
       val wDoc = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
-      index.join(dfreq, Seq("s"))
+      index.repartition(p, col("s"))
+        .withColumn("df", count(lit(1)).over(wS))
+        .repartition(p, col("id"))
         .withColumn("pos", row_number().over(wDoc))
         .filter(col("pos") <= col("n") - k + 1)
         .select(col("s"), col("id"), col("n"), col("pos"))
