@@ -699,7 +699,7 @@ object ClusterDedup {
     * frame and releases the candidate core — [[topKPlanBy]] applies its
     * bounded-output window between the two.
     */
-  private def pairsClusteredPlan(
+  private[graft] def pairsClusteredPlan(
       df: DataFrame,
       idCol: String,
       shingleExpr: org.apache.spark.sql.Column,

@@ -160,7 +160,7 @@ object OverlapJoin {
     (graft.functions.TopKAgg.perDocTopK(p.pairs, "overlap", k, viaAgg), p.seal)
   }
 
-  private def clusteredPlan(
+  private[graft] def clusteredPlan(
       df: DataFrame,
       idCol: String,
       setCol: Column,
