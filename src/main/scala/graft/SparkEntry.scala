@@ -1342,10 +1342,15 @@ object SparkEntry {
     "quantiles_scalable" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
-      val q = Quantiles.exactQuantiles(li, "l_returnflag", "l_quantity", Seq(0.5, 0.9))
-      val qp = Quantiles.exactQuantiles(li, "l_returnflag", "l_extendedprice", Seq(0.99))
-      q.keys.toSeq.sorted
-        .map(g => (g, q(g)(0.5), q(g)(0.9), qp(g)(0.99)))
+      // ONE prepared persist + ONE refinement loop for BOTH value
+      // columns (r18): the per-column exactQuantiles calls scanned,
+      // persisted and refined the same lineitem once per column.
+      // Values are identical (same engine, stacked input).
+      val qq = Quantiles.exactQuantilesCols(li, "l_returnflag",
+        Seq("l_quantity" -> Seq(0.5, 0.9), "l_extendedprice" -> Seq(0.99)))
+      qq.keys.toSeq.sorted
+        .map(g => (g, qq(g)("l_quantity")(0.5), qq(g)("l_quantity")(0.9),
+          qq(g)("l_extendedprice")(0.99)))
         .toDF("l_returnflag", "p50", "p90", "p99_price")
         .orderBy("l_returnflag")
     }),

@@ -91,11 +91,19 @@ object ClusterDedup {
   private val Eps = 1e-9
 
   /** Exact-set collapse fires only when the HLL probe sees distinct
-    * sets below this fraction of docs — with the probe's 1% rsd, a
-    * fully-distinct corpus stays comfortably above it and skips the
-    * corpus-wide collapse window.
+    * sets below this fraction of docs. 0.90 with the probe at rsd 0.05
+    * (r18 — the r17 pair was 0.95 at rsd 0.01, and the high-precision
+    * HLL buffer made the probe aggregate itself the routed rows'
+    * bottleneck: measured 3.3 s vs 0.9 s per probe at sf0.1, the HLL
+    * update cost growing with register count). A fully-distinct corpus
+    * estimates ≥ 0.94 even at 3σ and skips the corpus-wide collapse
+    * window; corpora the collapse actually pays for (g-replica
+    * families) sit at ≤ 0.5 and fire it regardless of estimate noise.
+    * Routing is correctness-neutral either way — a borderline corpus
+    * (0.90 ± noise) gains little from the collapse and loses little
+    * without it.
     */
-  private[operators] val CollapseSkipRatio = 0.95
+  private[operators] val CollapseSkipRatio = 0.90
 
   /** ADAPTIVE ROUTE (r17): the clustered candidate path only beats the
     * direct PPJoin pipeline when the LSH contraction actually
@@ -469,7 +477,6 @@ object ClusterDedup {
           "id_a", "id_b", Some(verts)))
       hashed.unpersist(false)
       prefix.unpersist(false)
-      Par.free(nonEmpty)
       return out
     }
 
@@ -566,7 +573,7 @@ object ClusterDedup {
       "id_a", "id_b", Some(verts)))
     hashed.unpersist(false)
     prefix.unpersist(false)
-    Seq(nonEmpty, member, cc.cpost, cc.anchors, cc.diffs, pruned, crossEdges,
+    Seq(member, cc.cpost, cc.anchors, cc.diffs, pruned, crossEdges,
       mergedLabel).foreach(Par.free)
     out
   }
@@ -954,11 +961,9 @@ object ClusterDedup {
     // (the contraction is NEVER skipped — near-duplicate replicas have
     // DISTINCT sets, so this probe says nothing about them and the
     // g²-killing contraction must stay unconditional).
-    // ONE fused probe job carries every routing statistic (r17 — the
-    // sequential probe jobs were themselves the overhead: the separate
-    // candVol + contraction probes measured 1.9-3.1 s of pure routing
-    // latency per call at sf0.1, ~half each call's wall):
-    //   - count + HLL distinct sets → the collapse decision (as before);
+    // ONE narrow probe aggregate carries the doc-level routing
+    // statistics (r18 — reshaped from r17's fused crossJoin probe):
+    //   - count + HLL distinct sets → the collapse decision;
     //   - HLL distinct band-0 buckets → the contraction-mass estimate:
     //     Σ over buckets of (size − 1) = members − distinct buckets, so
     //     (reps − distinct buckets) IS the star-edge upper bound the old
@@ -968,27 +973,27 @@ object ClusterDedup {
     //     sets share buckets, so distinct-buckets-over-docs equals
     //     distinct-buckets-over-reps and the statistic is rep-level
     //     even before the collapse decision is made.
-    // The candVol aggregate (over an OPTIMISTIC prefix index built over
-    // nonEmpty — correct whenever the collapse does not fire, i.e. the
-    // common case and the 100 TB posture after upstream exact dedup)
-    // rides the SAME action as the doc-level stats via a 1-row × 1-row
-    // join: one driver round-trip materializes the hashed persist, the
-    // prefix persist, and every routing statistic (the r16 design paid
-    // a separate sequential probe job for each).
-    val prefix0 = JaccardDedup.prefixIndex(
-        nonEmpty.select(col("id"), explode(col("__sh")).as("s"), col("n")),
-        "id", threshold)
-      .persist(MEMORY_AND_DISK)
-    val statAgg = nonEmpty.agg(count(lit(1)).as("__n"),
-      approx_count_distinct(xxhash64(col("__sh")), 0.01).as("__sets"),
-      approx_count_distinct(element_at(
-        NativeHash.minhashBandBucketsHashed(col("__sh"), numHashes / numBands, 1),
-        1), 0.01).as("__buckets"))
-    val cvAgg = prefix0.groupBy("s").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c").cast("double") * col("c").cast("double")),
-        lit(0.0)).as("__cv"))
+    // Two r18 changes, both measured at sf0.1 (JobProfile/StatProbe):
+    //   - rsd 0.05, not 0.01 — the high-precision HLL buffer made the
+    //     probe itself the bottleneck (fused aggregate 4.0 s vs 0.9 s;
+    //     every routing threshold tolerates ≥ 10% estimate error, and
+    //     routing picks between two EXACT plans);
+    //   - no crossJoin with the candVol aggregate — the r17 fused form
+    //     ran this aggregate and the optimistic prefix build as
+    //     CONCURRENT AQE stages against the unmaterialized hashed
+    //     persist, and the race double-computed the shingling pass
+    //     (twin 3.2-3.7 s jobs, ~60% of dedup_canonical's wall). This
+    //     single-subtree action materializes the persist exactly once;
+    //     the prefix index is built AFTER the collapse decision over
+    //     the final rep set (no optimistic build + discard), and
+    //     candVol — only needed when the contraction-mass shortcut is
+    //     inconclusive — runs lazily against the prefix cut below.
     val st = Par.labeled(spark, "cluster: route probe")(
-      statAgg.crossJoin(cvAgg).head())
+      nonEmpty.agg(count(lit(1)).as("__n"),
+        approx_count_distinct(xxhash64(col("__sh")), 0.05).as("__sets"),
+        approx_count_distinct(element_at(
+          NativeHash.minhashBandBucketsHashed(col("__sh"), numHashes / numBands, 1),
+          1), 0.05).as("__buckets")).head())
     val collapseUseful = st.getLong(1) < st.getLong(0) * CollapseSkipRatio
     // Par.cut (not persist) on the fan-out frames: persist caches
     // EXECUTION but leaves the full logical subtree in every consumer's
@@ -1010,6 +1015,17 @@ object ClusterDedup {
     val reps = collapseCut.fold(nonEmpty.select("id", "__sh", "n"))(
       _.where(col("id") === col("rep")).select("id", "__sh", "n"))
 
+    // prefix index over the FINAL rep set, built ONCE after the
+    // collapse decision (the r17 probe built an optimistic doc-level
+    // index and discarded+rebuilt it when the collapse fired), and CUT
+    // rather than lazily persisted: the candidate self-join's two
+    // sides (and the clustered arm's postings + plan probes) would
+    // otherwise race to materialize the persist from concurrent AQE
+    // stages and double-compute the whole df + window chain (r18).
+    val prefix = Par.cut(JaccardDedup.prefixIndex(
+        reps.select(col("id"), explode(col("__sh")).as("s"), col("n")),
+        "id", threshold), "cluster: prefix index")
+
     // ---- ADAPTIVE ROUTE (see RouteContractRatio / DirectCandCap).
     // Probe — direct-candidate volume: Σ_s dfP(s)² is the EXACT row
     // count of the direct arm's candidate join; under the absolute cap
@@ -1019,37 +1035,30 @@ object ClusterDedup {
     // slice shows 560/753 band-0 collisions from sub-threshold overlap
     // the contraction would never verify, and 1-gram token sets
     // collide 3664/3935 — both corpora where the direct arm wins by
-    // 3-4×). Only above the cap does the fused probe's contraction-
-    // mass estimate decide (reps − distinct band-0 buckets, a FREE
-    // upper bound on star edges): under the ratio the clustered arm
-    // cannot collapse enough to repay its phases, and a huge-but-
-    // unreplicated candidate set costs BOTH arms the same join.
-    // When the collapse FIRED the optimistic nonEmpty-level index is
-    // discarded and rebuilt over the collapsed reps (its candVol is
-    // recomputed — the nonEmpty-level Σ dfP² overstates the rep-level
-    // volume by exactly the g² the collapse just removed); the rebuild
-    // only happens on exact-dup-heavy corpora, where the collapse
-    // saves far more than one extra index pass.
-    val (prefix, candVol) =
-      if (!collapseUseful) (prefix0, st.getDouble(3))
-      else {
-        prefix0.unpersist(false)
-        val p = JaccardDedup.prefixIndex(
-            reps.select(col("id"), explode(col("__sh")).as("s"), col("n")),
-            "id", threshold)
-          .persist(MEMORY_AND_DISK)
-        val cv = Par.labeled(spark, "cluster: candVol probe(collapsed)")(
-          p.groupBy("s").agg(count(lit(1)).as("c"))
-            .agg(sum(col("c").cast("double") * col("c").cast("double"))).head())
-        (p, if (cv.isNullAt(0)) 0.0 else cv.getDouble(0))
-      }
+    // 3-4×). The contraction-mass estimate (reps − distinct band-0
+    // buckets, a FREE upper bound on star edges) shortcuts the
+    // decision first: under the ratio the clustered arm cannot
+    // collapse enough to repay its phases and the direct route is
+    // taken with NO candVol aggregate at all (the common low-
+    // duplication shape — r18); only when the shortcut is inconclusive
+    // does the candVol job run and arbitrate via the cap. Same
+    // decision as r17's `candVol < cap || starEdges < ratio·reps` —
+    // `||` commutes — minus one aggregate job on most corpora, and
+    // minus every probe job when `adaptive` is off (the route is
+    // forced, so the statistics would be dead weight — r17 ADVICE).
     val nRepsEst = if (collapseUseful) st.getLong(1) else st.getLong(0)
+    def candVol(): Double = {
+      val cv = Par.labeled(spark, "cluster: candVol probe")(
+        prefix.groupBy("s").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c").cast("double") * col("c").cast("double"))).head())
+      if (cv.isNullAt(0)) 0.0 else cv.getDouble(0)
+    }
     val routeDirect = adaptive && {
       val starEdgesUb = math.max(0L, nRepsEst - st.getLong(2))
-      val direct = candVol < DirectCandCap ||
-        starEdgesUb < RouteContractRatio * nRepsEst
-      log.info(s"candidateCore route: candVol=$candVol starEdgesUb=$starEdgesUb " +
-        s"nReps=$nRepsEst -> ${if (direct) "DIRECT" else "CLUSTERED"}")
+      val byRatio = starEdgesUb < RouteContractRatio * nRepsEst
+      val direct = byRatio || candVol() < DirectCandCap
+      log.info(s"candidateCore route: starEdgesUb=$starEdgesUb nReps=$nRepsEst " +
+        s"byRatio=$byRatio -> ${if (direct) "DIRECT" else "CLUSTERED"}")
       direct
     }
     if (routeDirect) {
@@ -1081,7 +1090,7 @@ object ClusterDedup {
         .filter(col("jaccard") >= threshold)
         .select(col("ra"), col("rb"), col("jaccard"))
       return Left(DirectCore(hashed, docRep, pairs,
-        persisted = Seq(hashed, prefix), cuts = collapseCut.toSeq))
+        persisted = Seq(hashed), cuts = collapseCut.toSeq :+ prefix))
     }
 
     // ---- 2. LSH contraction over representatives ----
@@ -1162,8 +1171,8 @@ object ClusterDedup {
     Right(Core(hashed, docRep, reps, repCluster, member, cc.anchors, cc.diffs, pruned,
       threshold,
       Probes(cc.cpostRaw, cc.candCl, pruneProbe, crossEdgesProbe),
-      persisted = Seq(hashed, prefix),
-      cuts = collapseCut.toSeq ++ Seq(member, cc.cpost, cc.anchors, cc.diffs, pruned)))
+      persisted = Seq(hashed),
+      cuts = collapseCut.toSeq ++ Seq(prefix, member, cc.cpost, cc.anchors, cc.diffs, pruned)))
   }
 
   /** Steps 3-4 over an arbitrary member frame, shared by the batch core

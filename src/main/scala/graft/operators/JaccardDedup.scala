@@ -87,27 +87,39 @@ object JaccardDedup {
     */
   private[graft] def prefixIndex(index: DataFrame, idCol: String, threshold: Double,
       keep: Seq[String] = Nil): DataFrame = {
-    // df as a COUNT WINDOW over one shuffle by s, not groupBy + join
-    // back (guide §2: shuffle fewer bytes): the join form paid TWO full
-    // explode+shuffle map passes over the index (one for dfreq, one for
-    // the join's probe side) — measured as the two heaviest jobs of
-    // every routed dedup row (~1.2 s each at sf0.1). A whole-partition
-    // count window over the same exchange computes identical df values
-    // (each index row joins exactly one dfreq row, so row counts per s
-    // are the group counts) in ONE pass.
-    // Explicit partition counts on both exchanges: AQE's advisory-size
-    // coalescing shrank the per-doc window to a SINGLE task at gate
-    // scale (sub-64MB shuffle), serializing the row_number pass and
-    // amplifying host-contention spikes 4-6x; a pinned width keeps the
-    // sort parallel and stays scale-adaptive (cores-derived, same
-    // heuristic as Par.widen).
-    val p = index.sparkSession.sparkContext.defaultParallelism
-    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    // df as a combiner AGGREGATE + join-back, not a count window over an
+    // s-partitioned exchange (r18, guide §2.3/§2.5/§3.1). The r17 window
+    // form shuffled the ENTIRE exploded index by shingle and sorted
+    // every partition so the whole-partition count window could buffer
+    // each shingle group — a hot shingle (a stopword n-gram at corpus
+    // scale) ships every posting into ONE window buffer in one task,
+    // the straggler-maker the r17 verdict flagged, and the 32 concurrent
+    // partition sorts were the prime suspect for dedup_canonical's
+    // 32-core GC pathology. The aggregate does map-side partial
+    // aggregation, so a hot shingle accumulates in O(1) combiner state
+    // and the df shuffle carries (s, partial count) rows —
+    // distinct-shingle-sized, not index-sized. The join-back is
+    // AQE-planned: at gate scale the aggregated dfreq is a few MB and
+    // broadcasts, so the index is NEVER exchanged by s at all (one
+    // exchange — by doc — where the window form paid two; measured
+    // 0.55 s vs 0.89 s warm at sf0.1); at corpus scale dfreq outgrows
+    // the broadcast threshold and AQE falls back to a shuffled join,
+    // where — unlike a window — AQE's skew-join splitting can still
+    // carve up a hot shingle's oversized partition.
+    // The join on s is null-rejecting: a null shingle drops here,
+    // matching the pre-r17 groupBy+join semantics (inert today — the
+    // shingle-hash arrays are containsNull=false).
+    val dfreq = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // explicit width on the per-doc exchange: AQE's advisory-size
+    // coalescing shrank this window to a SINGLE task at gate scale
+    // (sub-64MB shuffle), serializing the row_number pass. The width is
+    // data-size-aware with a cores floor (Par.scaleWidth, r18): cores
+    // locally, estimated-bytes/advisory-size at 100 TB — the r17 blind
+    // defaultParallelism would cap parallelism there.
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df").asc, col("s").asc)
-    index.repartition(p, col("s"))
-      .withColumn("df", count(lit(1)).over(wS))
-      .repartition(p, col(idCol))
+    index.join(dfreq, Seq("s"))
+      .repartition(Par.scaleWidth(index), col(idCol))
       .withColumn("pos", row_number().over(wDoc))
       .filter(col("pos") <= col("n") - ceil(col("n") * threshold - lit(Eps)) + 1)
       .select((Seq("s", idCol, "n", "pos") ++ keep).map(col): _*)
@@ -115,13 +127,15 @@ object JaccardDedup {
 
   /** Candidate (id_a < id_b) pairs from the prefix self-join. The size
     * and positional filters run inside the join condition — pruned rows
-    * never reach the pair-distinct exchange. The prefix index is
-    * persisted: a self-join re-evaluates its subtree per side, and the
-    * df-count + per-doc window pipeline is the expensive part.
+    * never reach the pair-distinct exchange. The prefix index is CUT
+    * (eager, sequential), not lazily persisted: a self-join
+    * re-evaluates its subtree per side, and with a persist the two
+    * sides' AQE stages RACE to materialize it and double-compute the
+    * whole df + window pipeline (the r18 JobProfile finding on the
+    * routed core's probe — same mechanism here).
     */
   private[graft] def prefixCandidates(index: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val prefix = prefixIndex(index, idCol, threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = Par.cut(prefixIndex(index, idCol, threshold), "jaccard: prefix index")
     val a = prefix.select(col("s").as("__sa"), col(idCol).as("id_a"),
       col("n").as("__na"), col("pos").as("__pa"))
     val b = prefix.select(col("s").as("__sb"), col(idCol).as("id_b"),
@@ -305,13 +319,14 @@ object JaccardDedup {
         col("__d"))
       .select(col("id"), col("__sh"), size(col("__sh")).as("n"), col("__d"))
       .persist(MEMORY_AND_DISK)
-    // shared single-pass prefix builder (df count window, pinned-width
-    // exchanges — see prefixIndex): df counted over the whole union,
-    // prefix positions per doc, __d carried through
-    val prefix = prefixIndex(
+    // shared prefix builder (combiner dfreq + AQE join-back — see
+    // prefixIndex): df counted over the whole union, prefix positions
+    // per doc, __d carried through. CUT, not persisted: the candidate
+    // join's a/b sides and the semi-join all scan it, and a lazy
+    // persist lets their AQE stages race to materialize it (r18)
+    val prefix = Par.cut(prefixIndex(
         docs.select(col("id"), explode(col("__sh")).as("s"), col("n"), col("__d")),
-        "id", threshold, keep = Seq("__d"))
-      .persist(MEMORY_AND_DISK)
+        "id", threshold, keep = Seq("__d")), "inc: prefix index")
     val dp = prefix.filter(col("__d"))
     // delta-active shingles only: the corpus-sized side of the candidate
     // join never ships a row the batch cannot match
@@ -341,7 +356,7 @@ object JaccardDedup {
       .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (pairs, () => { docs.unpersist(false); prefix.unpersist(false); () })
+    (pairs, () => { docs.unpersist(false); Par.free(prefix); () })
   }
 
   /** Set-overlap self-join: every pair sharing ≥ `minOverlap` distinct
@@ -435,6 +450,14 @@ object JaccardDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ld = docsOf(left, leftId, "left_id")
     val rd = docsOf(right, rightId, "right_id")
+    // materialize BOTH doc caches in one action before the main query:
+    // its AQE stages (the dfreq build, both prefix windows, both verify
+    // joins) otherwise race to build the same unmaterialized caches
+    // concurrently and re-shingle each corpus (the r18 routed-core
+    // finding). The two 1-row aggregates read DIFFERENT caches, so
+    // running them in one crossJoin action is race-free.
+    Par.labeled(left.sparkSession, "decontaminate: doc caches")(
+      ld.agg(count(lit(1))).crossJoin(rd.agg(count(lit(1)))).head())
     // the common global rarity order: df summed over BOTH corpora
     val dfreq = ld.select(explode(col("__sh")).as("s"))
       .union(rd.select(explode(col("__sh")).as("s")))
@@ -444,6 +467,10 @@ object JaccardDedup {
         .partitionBy(col(idCol)).orderBy(col("df").asc, col("s").asc)
       docs.select(col(idCol), explode(col("__sh")).as("s"), col("n"))
         .join(dfreq, Seq("s"))
+        // explicit data-size-aware width (cores floor): AQE's
+        // advisory-size coalescing otherwise shrinks the per-doc rarity
+        // window to 1-2 tasks at gate scale (the prefixIndex trap)
+        .repartition(Par.scaleWidth(docs), col(idCol))
         .withColumn("pos", row_number().over(w))
         .filter(col("pos") <= col("n") - ceil(col("n") * threshold - lit(Eps)) + 1)
         .select(col("s"), col(idCol), col("n").as(s"n_$idCol"), col("pos").as(s"p_$idCol"))

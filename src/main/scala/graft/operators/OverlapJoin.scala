@@ -190,44 +190,43 @@ object OverlapJoin {
     // One window pass carries (__set, n) through, so the collapse costs
     // a single cut — docRep/reps are projections, not a join + second
     // materialization of the corpus-sized set arrays.
-    // ONE fused probe action carries every routing statistic (the
-    // ClusterDedup r17 pattern): count + HLL distinct sets decide the
-    // collapse; HLL distinct band-0 buckets give the contraction-mass
-    // estimate (reps − distinct buckets = the star-edge upper bound) —
-    // identical sets share buckets, so the statistic is rep-level even
-    // before the collapse decision is made; and the exact candVol over
-    // an OPTIMISTIC doc-level prefix index (correct whenever the
-    // collapse does not fire — the common case) rides the same action
-    // via a 1-row × 1-row join, so one driver round-trip materializes
-    // the base persist, the prefix persist, and all four statistics.
-    def prefixOver(src: DataFrame): DataFrame = {
-      // single-pass df count window + pinned-width exchanges — same
-      // rationale as JaccardDedup.prefixIndex (r17): the groupBy+join
-      // form re-exploded the index twice and AQE serialized the per-doc
-      // window to one task at gate scale
-      val p = src.sparkSession.sparkContext.defaultParallelism
+    // ONE narrow probe aggregate carries the doc-level routing
+    // statistics (r18 — reshaped from the r17 fused crossJoin probe;
+    // see ClusterDedup.candidateCore for the full rationale): count +
+    // HLL distinct sets decide the collapse; HLL distinct band-0
+    // buckets give the contraction-mass estimate (reps − distinct
+    // buckets = the star-edge upper bound) — identical sets share
+    // buckets, so the statistic is rep-level even before the collapse
+    // decision is made. rsd 0.05 (not 0.01 — the high-precision HLL
+    // buffer was itself the probe's bottleneck), single subtree (the
+    // crossJoin with candVol ran the stats and the optimistic prefix
+    // build as concurrent AQE stages racing to materialize the base
+    // persist, double-computing the set-building pass), and the prefix
+    // index is built AFTER the collapse decision over the final rep
+    // set — no optimistic build + discard when the collapse fires.
+    def prefixOver(src: DataFrame): DataFrame = Par.cut({
+      // combiner dfreq + AQE-planned join-back + data-size-aware doc
+      // exchange — same shape and rationale as JaccardDedup.prefixIndex
+      // (r18): one index exchange instead of two at gate scale, O(1)
+      // combiner state per hot element instead of a one-task window
+      // buffer, AQE skew-join splitting available on the fallback join.
+      // CUT so the candidate self-join's two sides (or the clustered
+      // arm's postings) cannot race its materialization.
       val index = src.select(col("id"), explode(col("__set")).as("s"), col("n"))
-      val wS = Window.partitionBy(col("s"))
+      val dfreq = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
-      index.repartition(p, col("s"))
-        .withColumn("df", count(lit(1)).over(wS))
-        .repartition(p, col("id"))
+      index.join(dfreq, Seq("s"))
+        .repartition(Par.scaleWidth(index), col("id"))
         .withColumn("pos", row_number().over(wDoc))
         .filter(col("pos") <= col("n") - k + 1)
         .select(col("s"), col("id"), col("n"), col("pos"))
-        .persist(MEMORY_AND_DISK)
-    }
-    def candVolOf(p: DataFrame): DataFrame = p.groupBy("s").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c").cast("double") * col("c").cast("double")),
-        lit(0.0)).as("__cv"))
-    val prefix0 = prefixOver(base)
-    val statAgg = base.agg(count(lit(1)).as("__n"),
-      approx_count_distinct(xxhash64(col("__set")), 0.01).as("__sets"),
-      approx_count_distinct(element_at(
-        NativeHash.minhashBandBucketsHashed(col("__set"), numHashes / numBands, 1),
-        1), 0.01).as("__buckets"))
+    }, "overlap: prefix index")
     val st = Par.labeled(spark, "overlap: route probe")(
-      statAgg.crossJoin(candVolOf(prefix0)).head())
+      base.agg(count(lit(1)).as("__n"),
+        approx_count_distinct(xxhash64(col("__set")), 0.05).as("__sets"),
+        approx_count_distinct(element_at(
+          NativeHash.minhashBandBucketsHashed(col("__set"), numHashes / numBands, 1),
+          1), 0.05).as("__buckets")).head())
     val collapseUseful =
       st.getLong(1) < st.getLong(0) * ClusterDedup.CollapseSkipRatio
     val collapseCut: Option[DataFrame] = if (!collapseUseful) None else Some(
@@ -238,41 +237,36 @@ object OverlapJoin {
     val reps = collapseCut.fold(base.select("id", "__set", "n"))(
       _.where(col("id") === col("rep")).select("id", "__set", "n"))
 
-    // ---- ADAPTIVE ROUTE (the ClusterDedup r17 pattern, overlap
-    // flavor): the clustered machinery below only pays when LSH
-    // contraction can collapse replica families, and the fused probe's
-    // contraction-mass estimate decides that with no extra job. The
-    // rarity-order prefix index is built and persisted ONCE — the
-    // direct arm's candidate self-join or the clustered arm's cluster
-    // postings consume it — and materializes fused into that consumer's
-    // first job. Both arms are exact and row-identical (OverlapJoinSpec
-    // pins the routing identity on every fixture); at 10×/100×
-    // replication the collision mass approaches the rep count and the
-    // probe routes clustered.
-    // when the collapse FIRED the optimistic doc-level index is
-    // discarded and rebuilt over the collapsed reps (the doc-level
-    // Σ dfP² overstates the rep-level volume by exactly the g² the
-    // collapse removed); the rebuild only happens on exact-dup-heavy
-    // corpora where the collapse saves far more than one index pass
-    val (prefix, candVol) =
-      if (!collapseUseful) (prefix0, st.getDouble(3))
-      else {
-        prefix0.unpersist(false)
-        val p = prefixOver(reps)
-        val cv = Par.labeled(spark, "overlap: candVol probe(collapsed)")(
-          candVolOf(p).head())
-        (p, cv.getDouble(0))
-      }
+    // ---- ADAPTIVE ROUTE (the ClusterDedup pattern, overlap flavor):
+    // the clustered machinery below only pays when LSH contraction can
+    // collapse replica families. The rarity-order prefix index is built
+    // (and CUT) once over the final rep set — the direct arm's
+    // candidate self-join or the clustered arm's cluster postings
+    // consume it. Both arms are exact and row-identical
+    // (OverlapJoinSpec pins the routing identity on every fixture); at
+    // 10×/100× replication the collision mass approaches the rep count
+    // and the probe routes clustered. The contraction-mass shortcut
+    // decides first with no extra job; the EXACT direct-join volume
+    // Σ_s dfP(s)² under the absolute cap arbitrates only when the
+    // shortcut is inconclusive (1-gram token sets collide 3664/3935 in
+    // band 0 from sub-threshold overlap, so THIS operator usually pays
+    // the candVol aggregate — one narrow pass over the prefix cut).
+    // Same decision as r17's `candVol < cap || starEdges < ratio·reps`
+    // (`||` commutes), minus the probe-blocking prefix materialization
+    // and minus every probe job when `adaptive` is off.
+    val prefix = prefixOver(reps)
     val nRepsEst = if (collapseUseful) st.getLong(1) else st.getLong(0)
+    def candVol(): Double = {
+      val cv = Par.labeled(spark, "overlap: candVol probe")(
+        prefix.groupBy("s").agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c").cast("double") * col("c").cast("double")),
+            lit(0.0)).as("__cv")).head())
+      cv.getDouble(0)
+    }
     val routeDirect = adaptive && {
-      // the EXACT direct-join volume under an absolute cap decides
-      // first (see ClusterDedup's route: the collision estimate alone
-      // routes badly on small-vocabulary sets — 1-gram token sets
-      // collide 3664/3935 in band 0 from sub-threshold overlap); the
-      // free contraction-mass estimate only arbitrates above the cap
       val starEdgesUb = math.max(0L, nRepsEst - st.getLong(2))
-      candVol < ClusterDedup.DirectCandCap ||
-        starEdgesUb < ClusterDedup.RouteContractRatio * nRepsEst
+      starEdgesUb < ClusterDedup.RouteContractRatio * nRepsEst ||
+        candVol() < ClusterDedup.DirectCandCap
     }
     if (routeDirect) {
       // direct arm: the plain rarity-order prefix self-join over the
@@ -309,7 +303,7 @@ object OverlapJoin {
       return ClusteredPairs(crossGroups.union(intraGroups), { finished =>
         val out = Par.cut(finished, "overlap: pairs out(direct)")
         base.unpersist(false)
-        prefix.unpersist(false)
+        Par.free(prefix)
         collapseCut.foreach(Par.free)
         out
       })
@@ -523,7 +517,7 @@ object OverlapJoin {
     ClusteredPairs(pairsOut, { finished =>
       val out = Par.cut(finished, "overlap: pairs out")
       base.unpersist(false)
-      prefix.unpersist(false)
+      Par.free(prefix)
       (collapseCut.toSeq ++ Seq(repCluster, member, anchors, diffs, cpost))
         .foreach(Par.free)
       out

@@ -81,8 +81,11 @@ object PageRank {
         rank = next
       }
       val spark = edges.sparkSession
+      // node type from the src∪dst UNION's widened schema, not from src
+      // alone — mixed src/dst types would otherwise make this schema
+      // lie about the collected rows (r17 ADVICE)
       val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("node", edges.schema("src").dataType),
+        org.apache.spark.sql.types.StructField("node", nodes.schema("node").dataType),
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.DoubleType, nullable = false)))
       val rows = ns.zip(rank).map { case (node, r) => org.apache.spark.sql.Row(node, r) }

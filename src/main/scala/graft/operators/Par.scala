@@ -23,6 +23,30 @@ object Par {
     if (splits < target) df.repartition(target) else df
   }
 
+  /** Data-size-aware exchange width with a cores floor (r18). The
+    * pinned `defaultParallelism` widths of r17 stopped AQE from
+    * coalescing CPU-bound window stages to one task at gate scale, but
+    * a blind core count also CAPS parallelism at 100 TB — a cores-wide
+    * partition of a multi-TB index must spill. Width = max(cores,
+    * estimated plan bytes / AQE advisory partition size), so the cores
+    * floor rules locally (bench-identical) and the byte term takes
+    * over at scale; capped so a wild size estimate cannot flood the
+    * scheduler with tasks.
+    */
+  def scaleWidth(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val floor = spark.sparkContext.defaultParallelism
+    val advisory =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+      catch { case _: Throwable => 64L << 20 }
+    val bytes =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(0) }
+    val byBytes = (bytes / BigInt(math.max(advisory, 1L))).min(BigInt(1 << 16)).toInt
+    math.max(floor, byBytes)
+  }
+
   /** Cut lineage eagerly. With a checkpoint dir configured
     * (`sparkContext.setCheckpointDir` — the production setting on a
     * real cluster) this is a RELIABLE `checkpoint()`: blocks live in

@@ -142,6 +142,65 @@ object Quantiles {
       .map { case (g, xs) => g -> xs.map { case (t, v) => t.rank -> v }.toMap }
   }
 
+  /** Multi-VALUE-COLUMN [[exactQuantiles]] over ONE prepared persist
+    * and ONE refinement loop (r18, guide §2.4): calling exactQuantiles
+    * once per value column scans, persists and refines the same table
+    * per column — quantiles_scalable paid two full pipelines for two
+    * columns of one lineitem scan. Here the value columns are STACKED
+    * map-side into (group ⊕ column, value) rows, so the bounds pass,
+    * every histogram round and the final selection price all targets
+    * together; the refinement engine is byte-identical (only the group
+    * key encoding differs), so each (group, column, p) resolves to
+    * exactly the value the per-column call returns.
+    *
+    * Contract: group values must be non-null and must not contain the
+    * NUL separator (the composite key must split unambiguously).
+    * Returns (group → valueCol → p → quantile).
+    */
+  def exactQuantilesCols(
+      df: DataFrame, groupCol: String, psByCol: Seq[(String, Seq[Double])],
+      buckets: Int = 1024, collectLimit: Int = 4096, maxIter: Int = 256)
+      : Map[String, Map[String, Map[Double, Double]]] = {
+    require(psByCol.nonEmpty, "psByCol must be non-empty")
+    val sep = "\u0000"
+    val stacked = df.select(col(groupCol).cast("string").as("g0"),
+        explode(array(psByCol.map { case (c, _) =>
+          struct(lit(c).as("c"), col(c).cast("double").as("v")) }: _*)).as("x"))
+      .select(concat(col("g0"), lit(sep), col("x.c")).as("g"), col("x.v").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val psOf = psByCol.toMap
+    try {
+      val gstats = stacked.groupBy("g")
+        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      val targets = gstats.map { case (g, (n, lo, hi)) =>
+        val ps = psOf(g.substring(g.lastIndexOf(sep) + 1))
+        g -> ((lo, hi), ps.flatMap { p =>
+          val h = (n - 1) * p
+          Seq(math.floor(h).toLong, math.ceil(h).toLong)
+        }.distinct)
+      }
+      val stats = refine(stacked, targets, buckets, collectLimit, maxIter)
+      gstats.toSeq.map { case (g, (n, _, _)) =>
+        val i = g.lastIndexOf(sep)
+        val (g0, c) = (g.substring(0, i), g.substring(i + 1))
+        (g0, c, psOf(c).map { p =>
+          val h = (n - 1) * p
+          val k0 = math.floor(h).toLong
+          val k1 = math.ceil(h).toLong
+          val v0 = stats(g)(k0)
+          val v1 = stats(g)(k1)
+          // same interpolation shape as exactQuantiles (ulp-exact vs
+          // Spark percentile / DuckDB quantile_cont)
+          p -> (if (k0 == k1) v0 else (k1 - h) * v0 + (h - k0) * v1)
+        }.toMap)
+      }.groupBy(_._1).map { case (g0, xs) =>
+        g0 -> xs.map { case (_, c, m) => c -> m }.toMap }
+    } finally stacked.unpersist()
+  }
+
   /** Exact continuous-interpolation quantiles (the `percentile` /
     * `quantile_cont` definition: h = (n−1)·p, interpolate between the
     * ⌊h⌋-th and ⌈h⌉-th order statistics) on the refinement engine —

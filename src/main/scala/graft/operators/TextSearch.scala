@@ -36,19 +36,34 @@ object TextSearch {
       .select(col(idCol), Text.tokens(col(textCol)).as("toks"))
       .select(col(idCol), col("toks"), size(col("toks")).as("len"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = docToks.agg(count(lit(1)).as("n_docs"), avg("len").as("avgdl"))
+    // corpus stats collected as driver scalars in the SAME action that
+    // materializes the tokenization cache (r18): the old
+    // crossJoin(broadcast(stats)) form ran this aggregate and the tf
+    // pass as concurrent AQE stages over the unmaterialized persist
+    // and tokenized the corpus twice. count and avg are exact; folding
+    // them in as literals is value-identical to the broadcast columns.
+    val st = Par.labeled(docs.sparkSession, "bm25: corpus stats")(
+      docToks.agg(count(lit(1)).as("n_docs"), avg("len").as("avgdl")).head())
+    val nDocs = st.getLong(0)
+    val avgdl = st.getDouble(1)
+    // per-term tf computed MAP-SIDE from the token array (queryTerms is
+    // a literal handful, so |terms| array scans per doc): no explode of
+    // the corpus and no (doc, term) aggregate exchange — the r17
+    // explode+filter+groupBy form shuffled the matching postings AND
+    // recomputed that subtree twice, once under the dfreq broadcast
+    // build and once as the probe side (guide §2.4).
+    val tfCols = terms.map(t => struct(lit(t).as("term"),
+      size(filter(col("toks"), x => x === lit(t))).as("tf")))
     val tf = docToks
-      .select(col(idCol), col("len"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms: _*)) // map-side: only query terms shuffle
-      .groupBy(col(idCol), col("len"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol), col("len"), explode(array(tfCols: _*)).as("__tt"))
+      .select(col(idCol), col("len"), col("__tt.term").as("term"), col("__tt.tf").as("tf"))
+      .filter(col("tf") > 0) // docs sharing no term are absent, as before
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df")) // one row per (doc, term) above
     tf.join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("idf", log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("w",
         col("idf") * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avgdl"))))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / lit(avgdl))))
       .groupBy(col(idCol))
       .agg(sum("w").as("score"))
   }

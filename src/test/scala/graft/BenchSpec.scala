@@ -28,6 +28,21 @@ class BenchSpec extends AnyFunSuite {
     assert(got.head == "q40") // largest ratio first
   }
 
+  test("adoption rule: rerun median adopted only when lower AND back under the trigger") {
+    // contamination disproved: rerun well under 3x ruler -> adopt rerun
+    assert(Bench.adjudicatedValue(original = 16.0, rerunMedian = 5.0, ruler = 5.0)
+      .contains(5.0))
+    // rerun faster but STILL suspicious (> 3x ruler): keep the original
+    // — a possibly-real regression must not be scrubbed by a marginally
+    // better warm re-measurement (r17 verdict's symmetry item)
+    assert(Bench.adjudicatedValue(original = 30.0, rerunMedian = 20.0, ruler = 5.0).isEmpty)
+    // rerun slower: never adopt upward
+    assert(Bench.adjudicatedValue(original = 16.0, rerunMedian = 17.0, ruler = 5.0).isEmpty)
+    // boundary: exactly at the trigger threshold counts as back under
+    assert(Bench.adjudicatedValue(original = 16.0, rerunMedian = 15.0, ruler = 5.0)
+      .contains(15.0))
+  }
+
   test("committedRuler reads real committed records and takes per-query mins") {
     // the repo carries BENCH_LOCAL_r15 (clean) and r16 (driver-
     // contaminated: heavy_hitters at 24.95 where r15 reads sub-second);

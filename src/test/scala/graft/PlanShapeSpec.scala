@@ -127,6 +127,40 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixIndex: combiner df aggregate + join-back, no corpus window over the shingle key (r18)") {
+    import spark.implicits._
+    // stopword-heavy fixture: shingle 0L occurs in EVERY doc (the 100 TB
+    // hot-key shape the r17 verdict flagged). The r17 form computed df
+    // with a whole-partition count window over an s-partitioned
+    // exchange, which buffers a hot shingle's full posting list in ONE
+    // window task; the r18 form must show df as a hash AGGREGATE
+    // (map-side combined — O(1) state per shingle however hot) joined
+    // back, with the only Window in the plan the per-doc rarity window.
+    val docs = (0L until 200L).map { id =>
+      (id, Array(0L, id + 1, id + 2, id + 3), 4)
+    }.toDF("id", "__sh", "n")
+    val index = docs.select(col("id"), explode(col("__sh")).as("s"), col("n"))
+    val prefix = graft.operators.JaccardDedup.prefixIndex(index, "id", 0.3)
+    val p = plan(prefix)
+    assert(nodes(p, "Window") == 1, s"expected ONLY the per-doc rarity window:\n$p")
+    assert(nodes(p, "HashAggregate") >= 2, // partial + final of the df count
+      s"df must be a combiner-based aggregate:\n$p")
+    // the hot shingle must not force a single-group window buffer; at
+    // this scale the aggregated dfreq broadcasts, so the index is never
+    // exchanged by s at all
+    assert(p.contains("BroadcastHashJoin"), s"dfreq join-back should broadcast here:\n$p")
+    // df values identical to the groupBy+join reference (the oracle-
+    // relevant property: the global rarity order is unchanged)
+    val ref = index.join(index.groupBy("s").agg(count(lit(1)).as("df")), Seq("s"))
+    val refPrefix = ref
+      .withColumn("pos", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)))
+      .filter(col("pos") <= col("n") - ceil(col("n") * 0.3 - lit(1e-9)) + 1)
+      .select("s", "id", "n", "pos")
+    assert(prefix.exceptAll(refPrefix).isEmpty && refPrefix.exceptAll(prefix).isEmpty,
+      "prefix rows diverge from the groupBy+join reference")
+  }
+
   test("knnJoinIvf: rank pushdown intact — WindowGroupLimit present, no aggregate between scorer and window") {
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
