@@ -127,15 +127,20 @@ object JaccardDedup {
 
   /** Candidate (id_a < id_b) pairs from the prefix self-join. The size
     * and positional filters run inside the join condition — pruned rows
-    * never reach the pair-distinct exchange. The prefix index is CUT
-    * (eager, sequential), not lazily persisted: a self-join
-    * re-evaluates its subtree per side, and with a persist the two
-    * sides' AQE stages RACE to materialize it and double-compute the
-    * whole df + window pipeline (the r18 JobProfile finding on the
-    * routed core's probe — same mechanism here).
+    * never reach the pair-distinct exchange. The prefix index is
+    * persisted: a self-join re-evaluates its subtree per side, and the
+    * df + per-doc-window pipeline is the expensive part. Lazy persist,
+    * NOT an eager cut: the sides' concurrent AQE stages can race the
+    * materialization and duplicate some work, but at 32 cores that
+    * overlap rides otherwise-idle cores — the r18 A/B measured the
+    * eager-cut form 1.8× SLOWER on this operator (2.1 s → 3.9 s,
+    * serializing the probe-side build behind the checkpoint write).
+    * The routed cores are the opposite case (heavier chains, saturated
+    * cores) and keep their sequential cut.
     */
   private[graft] def prefixCandidates(index: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val prefix = Par.cut(prefixIndex(index, idCol, threshold), "jaccard: prefix index")
+    val prefix = prefixIndex(index, idCol, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prefix.select(col("s").as("__sa"), col(idCol).as("id_a"),
       col("n").as("__na"), col("pos").as("__pa"))
     val b = prefix.select(col("s").as("__sb"), col(idCol).as("id_b"),
@@ -321,12 +326,13 @@ object JaccardDedup {
       .persist(MEMORY_AND_DISK)
     // shared prefix builder (combiner dfreq + AQE join-back — see
     // prefixIndex): df counted over the whole union, prefix positions
-    // per doc, __d carried through. CUT, not persisted: the candidate
-    // join's a/b sides and the semi-join all scan it, and a lazy
-    // persist lets their AQE stages race to materialize it (r18)
-    val prefix = Par.cut(prefixIndex(
+    // per doc, __d carried through. Lazy persist (the prefixCandidates
+    // rationale: the concurrent materialization race rides idle cores
+    // and measured faster than an eager cut at gate scale)
+    val prefix = prefixIndex(
         docs.select(col("id"), explode(col("__sh")).as("s"), col("n"), col("__d")),
-        "id", threshold, keep = Seq("__d")), "inc: prefix index")
+        "id", threshold, keep = Seq("__d"))
+      .persist(MEMORY_AND_DISK)
     val dp = prefix.filter(col("__d"))
     // delta-active shingles only: the corpus-sized side of the candidate
     // join never ships a row the batch cannot match
@@ -356,7 +362,7 @@ object JaccardDedup {
       .withColumn("jaccard", col("c") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (pairs, () => { docs.unpersist(false); Par.free(prefix); () })
+    (pairs, () => { docs.unpersist(false); prefix.unpersist(false); () })
   }
 
   /** Set-overlap self-join: every pair sharing ≥ `minOverlap` distinct
@@ -450,14 +456,12 @@ object JaccardDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ld = docsOf(left, leftId, "left_id")
     val rd = docsOf(right, rightId, "right_id")
-    // materialize BOTH doc caches in one action before the main query:
-    // its AQE stages (the dfreq build, both prefix windows, both verify
-    // joins) otherwise race to build the same unmaterialized caches
-    // concurrently and re-shingle each corpus (the r18 routed-core
-    // finding). The two 1-row aggregates read DIFFERENT caches, so
-    // running them in one crossJoin action is race-free.
-    Par.labeled(left.sparkSession, "decontaminate: doc caches")(
-      ld.agg(count(lit(1))).crossJoin(rd.agg(count(lit(1)))).head())
+    // NO eager cache-materialization action: the main query's AQE
+    // stages race to build the ld/rd caches and re-shingle parts of
+    // the corpus, but that duplicated work overlaps on otherwise-idle
+    // cores — the r18 A/B measured an explicit materialization action
+    // 15-35% SLOWER across the decontaminate family (it serializes a
+    // full tokenize pass the query pipeline hides).
     // the common global rarity order: df summed over BOTH corpora
     val dfreq = ld.select(explode(col("__sh")).as("s"))
       .union(rd.select(explode(col("__sh")).as("s")))
@@ -467,10 +471,6 @@ object JaccardDedup {
         .partitionBy(col(idCol)).orderBy(col("df").asc, col("s").asc)
       docs.select(col(idCol), explode(col("__sh")).as("s"), col("n"))
         .join(dfreq, Seq("s"))
-        // explicit data-size-aware width (cores floor): AQE's
-        // advisory-size coalescing otherwise shrinks the per-doc rarity
-        // window to 1-2 tasks at gate scale (the prefixIndex trap)
-        .repartition(Par.scaleWidth(docs), col(idCol))
         .withColumn("pos", row_number().over(w))
         .filter(col("pos") <= col("n") - ceil(col("n") * threshold - lit(Eps)) + 1)
         .select(col("s"), col(idCol), col("n").as(s"n_$idCol"), col("pos").as(s"p_$idCol"))

@@ -163,7 +163,14 @@ object Quantiles {
       : Map[String, Map[String, Map[Double, Double]]] = {
     require(psByCol.nonEmpty, "psByCol must be non-empty")
     val sep = "\u0000"
-    val stacked = df.select(col(groupCol).cast("string").as("g0"),
+    // widen the (projected) input before the stack: a small parquet
+    // table arrives as a handful of splits and every refinement round's
+    // histogram job would otherwise run that narrow (measured 3-wide at
+    // sf0.1); the stack/filter sit ABOVE the exchange, so the persist —
+    // what every round scans — is cores-wide
+    val slim = Par.widen(
+      df.select((groupCol +: psByCol.map(_._1)).distinct.map(col): _*))
+    val stacked = slim.select(col(groupCol).cast("string").as("g0"),
         explode(array(psByCol.map { case (c, _) =>
           struct(lit(c).as("c"), col(c).cast("double").as("v")) }: _*)).as("x"))
       .select(concat(col("g0"), lit(sep), col("x.c")).as("g"), col("x.v").as("v"))
