@@ -43,7 +43,19 @@ object Par {
     val bytes =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case _: Throwable => BigInt(0) }
-    val byBytes = (bytes / BigInt(math.max(advisory, 1L))).min(BigInt(1 << 16)).toInt
+    // UNKNOWN-STATS GUARD: a plan containing any leaf without size
+    // statistics (LogicalRDD from a Par.cut, a MemoryStream batch, …)
+    // estimates at spark.sql.defaultSizeInBytes = Long.MaxValue, and
+    // joins multiply child estimates — treating such a sentinel as a
+    // real size once turned a 5-doc streaming micro-batch into a
+    // 65536-task shuffle (measured: the StreamingSpec compaction test
+    // spun for 30+ minutes deserializing task binaries). Anything at
+    // or above 1 PB is an estimate artifact, not a measurement — fall
+    // back to the cores floor.
+    val usable = bytes > 0 && bytes < BigInt(1L << 50)
+    val byBytes =
+      if (!usable) 0
+      else (bytes / BigInt(math.max(advisory, 1L))).min(BigInt(1 << 16)).toInt
     math.max(floor, byBytes)
   }
 
