@@ -96,7 +96,13 @@ object SparkEntry {
     val root = new org.apache.hadoop.fs.Path(
       sys.props("java.io.tmpdir"), s"graft_inc_baselabels/$key")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+    val warm = fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))
+    // transparency marker (r17 verdict item 5): whether this timed
+    // invocation found the carried-state sidecar warm (read-only) or
+    // paid the base labeling itself — so a bench reading of the
+    // incremental row is self-describing about what it priced
+    System.err.println(s"[sidecar] inc base labels ${if (warm) "WARM" else "COLD"}: $key")
+    if (!warm) {
       val tmp = new org.apache.hadoop.fs.Path(
         root.getParent, s"${root.getName}.tmp.${java.util.UUID.randomUUID()}")
       ClusterDedup.components(base, idCol, textCol, nGram, threshold)
