@@ -1426,7 +1426,11 @@ object SparkEntry {
     // (NativeHash.portableSimhash60, bit-identical to the interpreted
     // Column reference — the r7 gate spent 319 s in the HOF version).
     "dedup_simhash" -> ((s, dir) => {
-      val sigs = t(s, dir, "documents").select(
+      // widen BEFORE the signature projection (r18): the md5-fold
+      // simhash is the expensive pass, and the raw 1-split scan ran it
+      // in a single task (JobProfile: one 1.3 s single-task job was
+      // ~60% of the row); no-op at corpus scale
+      val sigs = docs(s, dir).select(
         col("doc_id"),
         graft.functions.NativeHash.portableSimhash60(Text.tokens(col("text"))).as("sig"))
       SimHashDedup.nearDupPairsFromSigs(sigs, "doc_id", "sig", maxDist = 7)

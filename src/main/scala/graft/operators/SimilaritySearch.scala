@@ -66,7 +66,12 @@ object SimilaritySearch {
     */
   def knnJoinExact(corpus: DataFrame /* (id, vec) */, k: Int,
       viaAgg: Boolean = true): DataFrame = {
-    val scored = corpus.select(col("id").as("qid"), col("vec").as("qvec"))
+    // widen the STREAM side (r18): a small embeddings parquet arrives
+    // as one split, so the Ω(n²) cosine scoring + top-k aggregate ran
+    // in ONE task (JobProfile: a single 1.85 s single-task job was the
+    // whole query); cores-wide after the widen, no-op at corpus scale
+    // where the scan is already thousands of splits
+    val scored = Par.widen(corpus.select(col("id").as("qid"), col("vec").as("qvec")))
       .crossJoin(corpus)
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
